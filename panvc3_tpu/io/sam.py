@@ -1,0 +1,590 @@
+"""SAM/BAM records, headers, readers and writers.
+
+Replaces the reference's use of seqan3::sam_file_{input,output}
+(/root/reference/project-alignments/project_alignments.cc:1330-1437) with a
+self-contained implementation.  Conventions chosen to match seqan3's
+observable output:
+
+- positions are stored 0-based internally (-1 == unset); SAM text uses
+  1-based with 0 for missing,
+- optional tags are emitted sorted by their two-character tag (seqan3 keeps
+  tags in a std::map keyed by the 16-bit tag value, so its output is always
+  tag-sorted),
+- integer tags are written with type 'i' regardless of the BAM storage
+  width, matching htslib/seqan3 SAM text behaviour.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+from .bgzf import BgzfWriter, _read_block
+from ..cigar import (
+    Cigar,
+    OPS,
+    cigar_query_length,
+    format_cigar,
+    parse_cigar,
+)
+
+# FLAG bits (SAMv1)
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_FIRST = 0x40
+FLAG_LAST = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QC_FAIL = 0x200
+FLAG_DUPLICATE = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+MAPQ_UNKNOWN = 255
+
+_BAM_SEQ_CODE = "=ACMGRSVTWYHKDBN"
+_BAM_SEQ_DECODE = {i: c for i, c in enumerate(_BAM_SEQ_CODE)}
+_BAM_SEQ_ENCODE = {c: i for i, c in enumerate(_BAM_SEQ_CODE)}
+for _c, _i in list(_BAM_SEQ_ENCODE.items()):
+    _BAM_SEQ_ENCODE[_c.lower()] = _i
+
+
+@dataclass
+class SamHeader:
+    """Parsed SAM header: raw lines (in order) + reference dictionary."""
+
+    lines: list[str] = field(default_factory=list)
+    ref_names: list[str] = field(default_factory=list)
+    ref_lengths: list[int] = field(default_factory=list)
+
+    @classmethod
+    def parse(cls, text: str) -> "SamHeader":
+        hdr = cls()
+        for line in text.splitlines():
+            if not line:
+                continue
+            hdr.lines.append(line)
+            if line.startswith("@SQ"):
+                name = length = None
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("SN:"):
+                        name = fld[3:]
+                    elif fld.startswith("LN:"):
+                        length = int(fld[3:])
+                if name is None or length is None:
+                    raise ValueError(f"invalid @SQ line: {line!r}")
+                hdr.ref_names.append(name)
+                hdr.ref_lengths.append(length)
+        return hdr
+
+    def ref_id(self, name: str) -> int:
+        try:
+            return self.ref_names.index(name)
+        except ValueError:
+            return -1
+
+    def copy_without_sq(self) -> "SamHeader":
+        hdr = SamHeader()
+        hdr.lines = [l for l in self.lines if not l.startswith("@SQ")]
+        return hdr
+
+    def to_text(self) -> str:
+        return "".join(line + "\n" for line in self.lines)
+
+    def last_pg_id(self) -> str | None:
+        last = None
+        for line in self.lines:
+            if line.startswith("@PG"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("ID:"):
+                        last = fld[3:]
+        return last
+
+    def append_program(
+        self, base_id: str, name: str, command_line: str, version: str
+    ) -> None:
+        """Append a @PG line chained onto the previous one via PP, with an
+        ID made unique by suffixing ``.N`` (mirrors
+        panvc3::append_sam_program_info,
+        /root/reference/include/panvc3/utility.hh:91-143)."""
+        existing = set()
+        for line in self.lines:
+            if line.startswith("@PG"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("ID:"):
+                        existing.add(fld[3:])
+        pg_id = base_id
+        i = 1
+        while pg_id in existing:
+            pg_id = f"{base_id}.{i}"
+            i += 1
+        prev = self.last_pg_id()
+        parts = [f"@PG\tID:{pg_id}", f"PN:{name}"]
+        if prev is not None:
+            parts.append(f"PP:{prev}")
+        parts.append(f"CL:{command_line}")
+        parts.append(f"VN:{version}")
+        self.lines.append("\t".join(parts))
+
+
+@dataclass
+class SamRecord:
+    qname: str = "*"
+    flag: int = 0
+    ref_id: int = -1          # index into header ref_names; -1 == '*'
+    pos: int = -1             # 0-based; -1 == unset
+    mapq: int = 255
+    cigar: Cigar = field(default_factory=list)
+    mate_ref_id: int = -1     # -2 encodes '=' pending resolution (text parse)
+    mate_pos: int = -1
+    tlen: int = 0
+    seq: str = "*"
+    qual: str = "*"
+    tags: dict[str, tuple[str, object]] = field(default_factory=dict)
+
+    # -- flag helpers ------------------------------------------------------
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    def query_length(self) -> int:
+        if self.seq != "*":
+            return len(self.seq)
+        return cigar_query_length(self.cigar)
+
+
+# -- tag codecs -------------------------------------------------------------
+
+def _parse_tag_text(fld: str) -> tuple[str, str, object]:
+    tag, typ, val = fld.split(":", 2)
+    if typ == "i":
+        return tag, typ, int(val)
+    if typ == "f":
+        return tag, typ, float(val)
+    if typ == "A":
+        return tag, typ, val
+    if typ in ("Z", "H"):
+        return tag, typ, val
+    if typ == "B":
+        sub = val[0]
+        items = val[1:]
+        nums = [x for x in items.split(",") if x != ""]
+        if sub in "fF":
+            return tag, typ, (sub, [float(x) for x in nums])
+        return tag, typ, (sub, [int(x) for x in nums])
+    raise ValueError(f"unknown tag type {typ!r} in {fld!r}")
+
+
+def format_float(v: float) -> str:
+    """Format a float tag value like C++ std::to_chars on float
+    (shortest representation that round-trips float32)."""
+    import numpy as np
+
+    f = np.float32(v)
+    if f == int(f) and abs(f) < 1e16:
+        # to_chars prints integral floats without a trailing ".0"... it
+        # actually prints e.g. "1" for 1.0f? No: to_chars(1.0f) gives "1".
+        return str(int(f))
+    s = repr(float(f))
+    # prefer the shortest of positional/scientific float32 round-trips
+    cand = np.format_float_positional(f, unique=True, trim="-")
+    sci = np.format_float_scientific(f, unique=True, trim="-")
+    best = min((cand, sci, s), key=len)
+    return best
+
+
+def _format_tag_text(tag: str, typ: str, val: object) -> str:
+    if typ == "i":
+        return f"{tag}:i:{int(val)}"
+    if typ == "f":
+        return f"{tag}:f:{format_float(val)}"
+    if typ in ("A", "Z", "H"):
+        return f"{tag}:{typ}:{val}"
+    if typ == "B":
+        sub, items = val
+        if sub in "fF":
+            body = ",".join(format_float(x) for x in items)
+        else:
+            body = ",".join(str(int(x)) for x in items)
+        return f"{tag}:B:{sub}" + ("," + body if items else "")
+    raise ValueError(f"unknown tag type {typ!r}")
+
+
+# -- SAM text ---------------------------------------------------------------
+
+def parse_sam_record(line: str, header: SamHeader) -> SamRecord:
+    f = line.rstrip("\n").split("\t")
+    if len(f) < 11:
+        raise ValueError(f"truncated SAM record: {line!r}")
+    rec = SamRecord(
+        qname=f[0],
+        flag=int(f[1]),
+        ref_id=header.ref_id(f[2]) if f[2] != "*" else -1,
+        pos=int(f[3]) - 1,
+        mapq=int(f[4]),
+        cigar=parse_cigar(f[5]),
+        tlen=int(f[8]),
+        seq=f[9],
+        qual=f[10],
+    )
+    if f[2] != "*" and rec.ref_id < 0:
+        raise ValueError(f"unknown reference {f[2]!r}")
+    if f[6] == "*":
+        rec.mate_ref_id = -1
+    elif f[6] == "=":
+        rec.mate_ref_id = rec.ref_id
+    else:
+        rec.mate_ref_id = header.ref_id(f[6])
+        if rec.mate_ref_id < 0:
+            raise ValueError(f"unknown mate reference {f[6]!r}")
+    rec.mate_pos = int(f[7]) - 1
+    for fld in f[11:]:
+        tag, typ, val = _parse_tag_text(fld)
+        rec.tags[tag] = (typ, val)
+    return rec
+
+
+def format_sam_record(rec: SamRecord, header: SamHeader) -> str:
+    rname = header.ref_names[rec.ref_id] if rec.ref_id >= 0 else "*"
+    if rec.mate_ref_id < 0:
+        rnext = "*"
+    elif rec.mate_ref_id == rec.ref_id and rec.ref_id >= 0:
+        rnext = "="
+    else:
+        rnext = header.ref_names[rec.mate_ref_id]
+    fields = [
+        rec.qname,
+        str(rec.flag),
+        rname,
+        str(rec.pos + 1),
+        str(rec.mapq),
+        format_cigar(rec.cigar) if rec.cigar else "*",
+        rnext,
+        str(rec.mate_pos + 1),
+        str(rec.tlen),
+        rec.seq if rec.seq else "*",
+        rec.qual if rec.qual else "*",
+    ]
+    for tag in sorted(rec.tags):
+        typ, val = rec.tags[tag]
+        fields.append(_format_tag_text(tag, typ, val))
+    return "\t".join(fields)
+
+
+# -- BAM --------------------------------------------------------------------
+
+def _decode_bam_tags(buf: bytes) -> dict[str, tuple[str, object]]:
+    tags: dict[str, tuple[str, object]] = {}
+    off = 0
+    n = len(buf)
+    int_fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}
+    int_sz = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4}
+    while off < n:
+        tag = buf[off:off + 2].decode()
+        typ = chr(buf[off + 2])
+        off += 3
+        if typ == "A":
+            tags[tag] = ("A", chr(buf[off]))
+            off += 1
+        elif typ in int_fmt:
+            (v,) = struct.unpack_from(int_fmt[typ], buf, off)
+            off += int_sz[typ]
+            tags[tag] = ("i", v)
+        elif typ == "f":
+            (v,) = struct.unpack_from("<f", buf, off)
+            off += 4
+            tags[tag] = ("f", v)
+        elif typ in ("Z", "H"):
+            end = buf.index(0, off)
+            tags[tag] = (typ, buf[off:end].decode())
+            off = end + 1
+        elif typ == "B":
+            sub = chr(buf[off])
+            (cnt,) = struct.unpack_from("<I", buf, off + 1)
+            off += 5
+            if sub == "f":
+                vals = list(struct.unpack_from(f"<{cnt}f", buf, off))
+                off += 4 * cnt
+            else:
+                fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I"}[sub]
+                vals = list(struct.unpack_from(f"<{cnt}{fmt}", buf, off))
+                off += int_sz[sub] * cnt
+            tags[tag] = ("B", (sub, vals))
+        else:
+            raise ValueError(f"unknown BAM tag type {typ!r}")
+    return tags
+
+
+def _encode_bam_tags(tags: dict[str, tuple[str, object]]) -> bytes:
+    out = bytearray()
+    for tag in sorted(tags):
+        typ, val = tags[tag]
+        out += tag.encode()
+        if typ == "A":
+            out += b"A" + val.encode()
+        elif typ == "i":
+            v = int(val)
+            # choose the smallest width like htslib does
+            if 0 <= v <= 0xFF:
+                out += b"C" + struct.pack("<B", v)
+            elif -0x80 <= v < 0x80:
+                out += b"c" + struct.pack("<b", v)
+            elif 0 <= v <= 0xFFFF:
+                out += b"S" + struct.pack("<H", v)
+            elif -0x8000 <= v < 0x8000:
+                out += b"s" + struct.pack("<h", v)
+            elif v < 0:
+                out += b"i" + struct.pack("<i", v)
+            else:
+                out += b"I" + struct.pack("<I", v)
+        elif typ == "f":
+            out += b"f" + struct.pack("<f", float(val))
+        elif typ in ("Z", "H"):
+            out += typ.encode() + val.encode() + b"\x00"
+        elif typ == "B":
+            sub, items = val
+            out += b"B" + sub.encode() + struct.pack("<I", len(items))
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            for x in items:
+                out += struct.pack("<" + fmt, x)
+        else:
+            raise ValueError(f"unknown tag type {typ!r}")
+    return bytes(out)
+
+
+def _decode_bam_record(buf: bytes, header: SamHeader) -> SamRecord:
+    (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+     next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, 0)
+    off = 32
+    qname = buf[off:off + l_read_name - 1].decode()
+    off += l_read_name
+    cigar: Cigar = []
+    for _ in range(n_cigar):
+        (v,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        cigar.append((v >> 4, OPS[v & 0xF]))
+    if l_seq:
+        nb = (l_seq + 1) // 2
+        raw = buf[off:off + nb]
+        off += nb
+        chars = []
+        for i in range(l_seq):
+            b = raw[i >> 1]
+            chars.append(_BAM_SEQ_DECODE[(b >> 4) if i % 2 == 0 else (b & 0xF)])
+        seq = "".join(chars)
+        qraw = buf[off:off + l_seq]
+        off += l_seq
+        qual = "*" if qraw[0] == 0xFF else "".join(chr(q + 33) for q in qraw)
+    else:
+        seq = "*"
+        qual = "*"
+    tags = _decode_bam_tags(buf[off:])
+    return SamRecord(
+        qname=qname, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+        cigar=cigar, mate_ref_id=next_ref, mate_pos=next_pos, tlen=tlen,
+        seq=seq, qual=qual, tags=tags,
+    )
+
+
+def _encode_bam_record(rec: SamRecord) -> bytes:
+    qname_b = rec.qname.encode() + b"\x00"
+    cigar_b = b"".join(
+        struct.pack("<I", (n << 4) | OPS.index(op)) for n, op in rec.cigar
+    )
+    if rec.seq != "*":
+        l_seq = len(rec.seq)
+        seq_b = bytearray((l_seq + 1) // 2)
+        for i, c in enumerate(rec.seq):
+            code = _BAM_SEQ_ENCODE.get(c, 15)
+            if i % 2 == 0:
+                seq_b[i >> 1] |= code << 4
+            else:
+                seq_b[i >> 1] |= code
+        if rec.qual == "*":
+            qual_b = b"\xff" * l_seq
+        else:
+            qual_b = bytes((ord(c) - 33) & 0xFF for c in rec.qual)
+    else:
+        l_seq = 0
+        seq_b = b""
+        qual_b = b""
+    tags_b = _encode_bam_tags(rec.tags)
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        rec.ref_id, rec.pos, len(qname_b), rec.mapq, 0,
+        len(rec.cigar), rec.flag, l_seq, rec.mate_ref_id, rec.mate_pos, rec.tlen,
+    ) + qname_b + bytes(cigar_b) + bytes(seq_b) + qual_b + tags_b
+    return struct.pack("<I", len(body)) + body
+
+
+# -- file-level readers/writers --------------------------------------------
+
+class SamReader:
+    """Streaming reader over SAM text or BAM (auto-detected)."""
+
+    def __init__(self, path_or_fh, *, is_bam: bool | None = None):
+        import io as _io
+
+        if isinstance(path_or_fh, str):
+            fh = open(path_or_fh, "rb")
+            self._owns = True
+        else:
+            fh = path_or_fh
+            self._owns = False
+        if not isinstance(fh, _io.BufferedReader) or not hasattr(fh, "peek"):
+            fh = _io.BufferedReader(fh)
+        self._fh = fh
+        head = self._fh.peek(4)[:4]
+        if is_bam is None:
+            is_bam = head[:2] == b"\x1f\x8b"
+        self.is_bam = is_bam
+        self.header: SamHeader
+        if is_bam:
+            self._init_bam()
+        else:
+            self._init_sam()
+
+    # SAM text ---------------------------------------------------------
+    def _init_sam(self):
+        header_lines = []
+        self._first_record_line: str | None = None
+        while True:
+            line = self._fh.readline()
+            if not line:
+                break
+            text = line.decode()
+            if text.startswith("@"):
+                header_lines.append(text.rstrip("\n"))
+            else:
+                self._first_record_line = text
+                break
+        self.header = SamHeader.parse("\n".join(header_lines))
+
+    def _readline(self) -> bytes | None:
+        line = self._fh.readline()
+        if not line:
+            return None
+        return line
+
+    # BAM --------------------------------------------------------------
+    def _init_bam(self):
+        self._bam_buf = bytearray()
+        self._bam_eof = False
+        data = self._bam_need(4)
+        if data[:4] != b"BAM\x01":
+            raise ValueError("not a BAM file")
+        self._bam_skip(4)
+        (l_text,) = struct.unpack("<i", self._bam_need(4)[:4])
+        self._bam_skip(4)
+        text = self._bam_need(l_text)[:l_text].decode()
+        self._bam_skip(l_text)
+        (n_ref,) = struct.unpack("<i", self._bam_need(4)[:4])
+        self._bam_skip(4)
+        ref_names = []
+        ref_lengths = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._bam_need(4)[:4])
+            self._bam_skip(4)
+            name = self._bam_need(l_name)[:l_name - 1].decode()
+            self._bam_skip(l_name)
+            (l_ref,) = struct.unpack("<i", self._bam_need(4)[:4])
+            self._bam_skip(4)
+            ref_names.append(name)
+            ref_lengths.append(l_ref)
+        self.header = SamHeader.parse(text)
+        # trust the binary reference list if the text header lacks @SQ
+        if not self.header.ref_names:
+            self.header.ref_names = ref_names
+            self.header.ref_lengths = ref_lengths
+            for n, l in zip(ref_names, ref_lengths):
+                self.header.lines.append(f"@SQ\tSN:{n}\tLN:{l}")
+
+    def _bam_fill(self) -> bool:
+        blk = _read_block(self._fh)
+        if blk is None:
+            self._bam_eof = True
+            return False
+        self._bam_buf += blk[0]
+        return True
+
+    def _bam_need(self, n: int) -> bytes:
+        while len(self._bam_buf) < n and not self._bam_eof:
+            self._bam_fill()
+        return bytes(self._bam_buf[:n])
+
+    def _bam_skip(self, n: int) -> None:
+        del self._bam_buf[:n]
+
+    # ------------------------------------------------------------------
+    def __iter__(self):
+        if self.is_bam:
+            while True:
+                head = self._bam_need(4)
+                if len(head) < 4:
+                    break
+                (size,) = struct.unpack("<I", head)
+                rec_buf = self._bam_need(4 + size)[4:4 + size]
+                if len(rec_buf) < size:
+                    raise ValueError("truncated BAM record")
+                self._bam_skip(4 + size)
+                yield _decode_bam_record(rec_buf, self.header)
+        else:
+            if self._first_record_line is not None:
+                yield parse_sam_record(self._first_record_line, self.header)
+                self._first_record_line = None
+            while True:
+                line = self._readline()
+                if line is None:
+                    break
+                text = line.decode()
+                if text.strip():
+                    yield parse_sam_record(text, self.header)
+
+    def close(self):
+        if self._owns:
+            self._fh.close()
+
+
+class SamWriter:
+    """SAM text or BAM writer."""
+
+    def __init__(self, path_or_fh, header: SamHeader, *, bam: bool = False):
+        if isinstance(path_or_fh, str):
+            self._fh = open(path_or_fh, "wb")
+            self._owns = True
+        else:
+            self._fh = path_or_fh
+            self._owns = False
+        self.header = header
+        self.bam = bam
+        if bam:
+            self._bgzf = BgzfWriter(self._fh)
+            text = header.to_text().encode()
+            out = b"BAM\x01" + struct.pack("<i", len(text)) + text
+            out += struct.pack("<i", len(header.ref_names))
+            for name, length in zip(header.ref_names, header.ref_lengths):
+                nb = name.encode() + b"\x00"
+                out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+            self._bgzf.write(out)
+        else:
+            self._fh.write(header.to_text().encode())
+
+    def write(self, rec: SamRecord) -> None:
+        if self.bam:
+            self._bgzf.write(_encode_bam_record(rec))
+        else:
+            self._fh.write(format_sam_record(rec, self.header).encode() + b"\n")
+
+    def close(self) -> None:
+        if self.bam:
+            self._bgzf.close()
+        self._fh.flush()
+        if self._owns:
+            self._fh.close()
