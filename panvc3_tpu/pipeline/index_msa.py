@@ -1,0 +1,159 @@
+"""Build / inspect / query the MSA index.
+
+Reimplements the ``panvc3_index_msa`` tool
+(/root/reference/index-msa/main.cc, input_processor.cc, index_vector_builder.cc):
+
+- ``--sequence-inputs``: TSV of (chr_id, seq_id, path) rows pointing at
+  aligned (gapped) sequence files — raw text or FASTA, optionally piped
+  through a decompression command (``--pipe-input``, e.g. ``bzip2 -d -c``);
+- ``--sequences``: a single A2M FASTA whose headers are ``chr/seq``;
+- optional gap-stripped FASTA output for the aligner (``--output-fasta``
+  with ``--fasta-line-width``);
+- ``--list-contents`` and ``--query`` modes over a saved index.
+
+The gap-scan + bitvector build (index_vector_builder.cc:16-95) becomes a
+vectorised numpy pass in GapBitVector.from_gap_string.
+"""
+
+from __future__ import annotations
+
+import shlex
+import subprocess
+import sys
+
+import numpy as np
+
+from ..bitvec import GapBitVector
+from ..io.fasta import write_fasta
+from ..msa_index import ChrEntry, MsaIndex, SequenceEntry
+
+
+def _read_input_file(path: str, pipe_command: str | None) -> bytes:
+    """Read one aligned-sequence input, optionally via a decompression
+    subprocess (mirrors subprocess_input_handler,
+    /root/reference/index-msa/input_handler.hh:57-66)."""
+    if pipe_command:
+        proc = subprocess.run(
+            shlex.split(pipe_command) + [path], capture_output=True, check=True
+        )
+        return proc.stdout
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _extract_sequence(data: bytes) -> bytes:
+    """Accept both raw aligned text and single-record FASTA; strip newlines."""
+    if data.startswith(b">"):
+        lines = data.split(b"\n")[1:]
+        return b"".join(l.rstrip(b"\r") for l in lines)
+    return data.replace(b"\n", b"").replace(b"\r", b"")
+
+
+def build_index_from_tsv(
+    tsv_path: str,
+    pipe_command: str | None = None,
+    fasta_out=None,
+    fasta_line_width: int = 0,
+    base_index: MsaIndex | None = None,
+) -> MsaIndex:
+    """TSV mode (sequence_list_input_processor,
+    /root/reference/index-msa/input_processor.cc:104-204).  When
+    ``fasta_out`` is given, the gap-stripped sequences are written as FASTA
+    records named ``chr/seq`` in input order."""
+    idx = base_index if base_index is not None else MsaIndex()
+    rows: list[tuple[str, str, str]] = []
+    with open(tsv_path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            chr_id, seq_id, path = line.split("\t")[:3]
+            rows.append((chr_id, seq_id, path))
+
+    for chr_id, seq_id, path in rows:
+        data = _extract_sequence(_read_input_file(path, pipe_command))
+        gaps = GapBitVector.from_gap_string(data)
+        chrom = idx.get_or_add_chr(chr_id)
+        chrom.sequence_entries.append(SequenceEntry(seq_id, gaps))
+        if fasta_out is not None:
+            stripped = data.replace(b"-", b"")
+            write_fasta(fasta_out, f"{chr_id}/{seq_id}", stripped, fasta_line_width)
+    idx.sort()
+    return idx
+
+
+def build_index_from_a2m(
+    a2m_path: str,
+    pipe_command: str | None = None,
+    fasta_out=None,
+    fasta_line_width: int = 0,
+    separator: str = "/",
+    base_index: MsaIndex | None = None,
+) -> MsaIndex:
+    """A2M mode (a2m_input_processor,
+    /root/reference/index-msa/input_processor.cc:207-288): multi-FASTA whose
+    record names are ``chr<sep>seq``."""
+    idx = base_index if base_index is not None else MsaIndex()
+    data = _read_input_file(a2m_path, pipe_command)
+    name = None
+    chunks: list[bytes] = []
+
+    def handle(name: str, seq: bytes) -> None:
+        pos = name.find(separator)
+        if pos < 0:
+            raise ValueError(f"A2M record name {name!r} lacks separator {separator!r}")
+        chr_id, seq_id = name[:pos], name[pos + len(separator):]
+        gaps = GapBitVector.from_gap_string(seq)
+        chrom = idx.get_or_add_chr(chr_id)
+        chrom.sequence_entries.append(SequenceEntry(seq_id, gaps))
+        if fasta_out is not None:
+            write_fasta(fasta_out, name, seq.replace(b"-", b""), fasta_line_width)
+
+    for line in data.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if line.startswith(b">"):
+            if name is not None:
+                handle(name, b"".join(chunks))
+            name = line[1:].split()[0].decode()
+            chunks = []
+        elif line:
+            chunks.append(line)
+    if name is not None:
+        handle(name, b"".join(chunks))
+    idx.sort()
+    return idx
+
+
+def list_contents(index: MsaIndex, out=sys.stdout) -> None:
+    """--list-contents (mirrors /root/reference/index-msa/main.cc:61-86)."""
+    for chrom in index.chr_entries:
+        print(chrom.chr_id, file=out)
+        for entry in chrom.sequence_entries:
+            print(
+                f"\t{entry.seq_id}\t{entry.unaligned_length}\t{entry.aligned_length}",
+                file=out,
+            )
+
+
+def query_positions(
+    index: MsaIndex,
+    chr_id: str,
+    queries: list[tuple[str, str, int]],
+    out=sys.stdout,
+) -> list[int]:
+    """Project positions between sequences of one chromosome (the
+    interactive --query mode, /root/reference/index-msa/main.cc:88-190).
+    Each query is (src_seq_id, dst_seq_id, pos)."""
+    chrom = index.find_chr(chr_id)
+    if chrom is None:
+        raise KeyError(f"chromosome {chr_id!r} not in index")
+    results = []
+    for src_id, dst_id, pos in queries:
+        src = chrom.find(src_id)
+        dst = chrom.find(dst_id)
+        if src is None or dst is None:
+            raise KeyError(f"sequence {src_id!r} or {dst_id!r} not in index")
+        projected = int(src.project_position(pos, dst))
+        results.append(projected)
+        print(f"{src_id}\t{dst_id}\t{pos}\t{projected}", file=out)
+    return results

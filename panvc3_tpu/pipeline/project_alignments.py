@@ -1,0 +1,459 @@
+"""The flagship pipeline: project founder-aligned SAM/BAM records to
+standard-reference coordinates.
+
+Reimplements the semantics of the reference tool ``panvc3_project_alignments``
+(/root/reference/project-alignments/project_alignments.cc):
+
+- header processing splits input RNAMEs (``chr<sep>seq``) and emits one
+  output reference per distinct chr part, optionally honouring a
+  user-supplied output order file (process_headers, :1092-1253);
+- records that are unmapped / QC-fail / duplicate, lack RNAME/POS, or have
+  no sequence are dropped with per-category statistics (:528-572);
+- each remaining record's CIGAR+position are projected via the alignment
+  projector, the mate's RNEXT/PNEXT are projected via project_position
+  (:879-911), and tags are rewritten: only a whitelist of 25 spec tags (plus
+  --preserve-tag additions) survives, the original alignment is appended to
+  OA, original RNAME/POS/RNEXT/PNEXT go to XR/XP/YR/YP (numeric ref ids),
+  realigned query/ref ranges to XB/YB as u32 [start, end) pairs, and the
+  record index to the --record-index-tag (:761-877);
+- realigned reference ranges can be written as a TSV, deduplicated via a
+  sorted union unless --keep-duplicate-ranges (:978-1005).
+
+Batching: records are grouped into fixed-size chunks (CHUNK_SIZE=4 in the
+reference, :52) — kept here because the --record-index-tag value is
+chunk-granular in the reference (:863-869).  The projection engine is
+pluggable: the scalar host oracle, or the batched JAX/Pallas device engine
+(panvc3_tpu.ops.engine.BatchProjector).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..alphabet import decode_phred42
+from ..io.fasta import FastaReader
+from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
+from ..msa_index import MsaIndex, SequenceEntry
+from ..projector import project_alignment
+
+CHUNK_SIZE = 4
+
+# SAM spec tags preserved by the reference
+# (/root/reference/project-alignments/project_alignments.cc:53-87).
+PRESERVED_TAGS = frozenset({
+    "AM", "AS", "BC", "BZ", "CB", "CO", "CR", "CS", "CT", "CY", "E2", "FZ",
+    "LB", "MI", "ML", "MM", "OA", "OQ", "OX", "PG", "PU", "QT", "QX", "RX",
+    "TS",
+})
+
+
+@dataclass
+class TagSpec:
+    original_rname: str | None = "XR"
+    original_pos: str | None = "XP"
+    original_rnext: str | None = "YR"
+    original_pnext: str | None = "YP"
+    realn_query_ranges: str | None = "XB"
+    realn_ref_ranges: str | None = "YB"
+    rec_idx: str | None = None
+
+
+@dataclass
+class ProjectConfig:
+    msa_index_path: str = ""
+    reference_path: str = ""
+    reference_msa_id: str = ""
+    ref_id_separator: str = "_"
+    reference_order_path: str | None = None
+    preserve_tags: tuple[str, ...] = ()
+    tags: TagSpec = field(default_factory=TagSpec)
+    use_read_base_qualities: bool = False
+    gap_opening_cost: int = 0
+    gap_extension_cost: int = -1
+    output_realigned_ranges_path: str | None = None
+    keep_duplicate_ranges: bool = False
+    primary_only: bool = False
+    output_bam: bool = False
+    command_line: str = "panvc3_tpu project_alignments"
+    engine: str = "host"  # "host" or "device"
+
+
+@dataclass
+class ProjectStatistics:
+    flags_not_matched: int = 0
+    ref_id_missing: int = 0
+    seq_missing: int = 0
+    matched_reads: int = 0
+    realigned_range_count: int = 0
+    removed_tag_counts: dict[str, int] = field(default_factory=dict)
+
+
+def split_ref_id(ref_id: str, separator: str) -> tuple[str, str]:
+    """Split ``chr<sep>seq``; the seq part starts one character after the
+    separator match (the reference uses substr(1 + pos),
+    project_alignments.cc:1330-1334 — single-character separators in
+    practice)."""
+    pos = ref_id.find(separator)
+    if pos < 0:
+        raise ValueError(f"separator {separator!r} not found in RNAME {ref_id!r}")
+    return ref_id[:pos], ref_id[pos + 1:]
+
+
+def process_headers(
+    input_header: SamHeader,
+    separator: str,
+    reference_msa_id: str,
+    reference_order_path: str | None,
+) -> tuple[SamHeader, list[int]]:
+    """Build the output header reference set and the input->output reference
+    id mapping (mirrors process_headers,
+    /root/reference/project-alignments/project_alignments.cc:1092-1253)."""
+    input_chr_seq = [split_ref_id(r, separator) for r in input_header.ref_names]
+
+    # Optional user-specified output order.
+    order: dict[str, int] = {}
+    if reference_order_path:
+        unique_chrs = {c for c, _ in input_chr_seq}
+        idx = 0
+        with open(reference_order_path) as fh:
+            for line in fh:
+                name = line.rstrip("\n").split("\t")[0]
+                if not name:
+                    continue
+                if name not in unique_chrs:
+                    print(
+                        f"WARNING: Identifier '{name}' specified in reference "
+                        "name order but does not appear in the alignments.",
+                        file=sys.stderr,
+                    )
+                    continue
+                if name in order:
+                    print(
+                        f"WARNING: Identifier '{name}' specified in reference "
+                        "name order more than once.",
+                        file=sys.stderr,
+                    )
+                    continue
+                order[name] = idx
+                idx += 1
+
+    unique: dict[str, int] = {}
+    ref_id_mapping: list[int] = []
+    next_idx = len(order)
+    out_lengths: dict[int, int] = {}
+    for input_idx, (chr_id, seq_id) in enumerate(input_chr_seq):
+        if chr_id in unique:
+            out_idx = unique[chr_id]
+        elif chr_id in order:
+            out_idx = order[chr_id]
+            unique[chr_id] = out_idx
+        else:
+            out_idx = next_idx
+            next_idx += 1
+            unique[chr_id] = out_idx
+            if order:
+                print(
+                    f"WARNING: Output reference ID '{chr_id}' not found in "
+                    "the output order, placing in the end.",
+                    file=sys.stderr,
+                )
+        ref_id_mapping.append(out_idx)
+        # LN copied from the projection-target founder's input @SQ entry.
+        if seq_id == reference_msa_id:
+            out_lengths[out_idx] = input_header.ref_lengths[input_idx]
+
+    n_out = len(unique)
+    out_names = [""] * n_out
+    for name, i in unique.items():
+        out_names[i] = name
+
+    out_header = SamHeader()
+    out_header.ref_names = out_names
+    out_header.ref_lengths = [out_lengths.get(i, 0) for i in range(n_out)]
+    # Header lines: @HD first (copied or default), then @SQ, then the rest.
+    hd = [l for l in input_header.lines if l.startswith("@HD")]
+    out_header.lines.extend(hd if hd else ["@HD\tVN:1.6"])
+    for name, length in zip(out_header.ref_names, out_header.ref_lengths):
+        out_header.lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+    for line in input_header.lines:
+        if line.startswith(("@RG", "@PG", "@CO")):
+            out_header.lines.append(line)
+    return out_header, ref_id_mapping
+
+
+def fill_sequence_entries(
+    msa_index: MsaIndex,
+    input_ref_names: list[str],
+    n_output_refs: int,
+    separator: str,
+    reference_msa_id: str,
+    ref_id_mapping: list[int],
+) -> tuple[list[SequenceEntry], list[SequenceEntry | None]]:
+    """Per input/output ref-id tables of MSA sequence entries (mirrors
+    fill_sequence_entries,
+    /root/reference/project-alignments/project_alignments.cc:1270-1316)."""
+    src_entries: list[SequenceEntry] = []
+    dst_entries: list[SequenceEntry | None] = [None] * n_output_refs
+    for input_idx, ref_id in enumerate(input_ref_names):
+        chr_id, seq_id = split_ref_id(ref_id, separator)
+        chrom = msa_index.find_chr(chr_id)
+        if chrom is None:
+            raise KeyError(f"no entry for chromosome ID {chr_id!r} in the MSA index")
+        out_idx = ref_id_mapping[input_idx]
+        if dst_entries[out_idx] is None:
+            dst = chrom.find(reference_msa_id)
+            if dst is None:
+                raise KeyError(
+                    f"no entry for sequence ID {reference_msa_id!r} in the MSA index"
+                )
+            dst_entries[out_idx] = dst
+        src = chrom.find(seq_id)
+        if src is None:
+            raise KeyError(f"no entry for sequence ID {seq_id!r} in the MSA index")
+        src_entries.append(src)
+    return src_entries, dst_entries
+
+
+def _project_record(
+    rec: SamRecord,
+    input_ref_names: list[str],
+    src_entries,
+    dst_entries,
+    ref_id_mapping,
+    ref_seqs: dict[int, bytes],
+    cfg: ProjectConfig,
+    stats: ProjectStatistics,
+    rec_idx_value: int | None,
+    realigned_ranges_out: list[tuple[int, int, str]] | None,
+) -> None:
+    """Project one record in place (tag surgery included)."""
+    ref_id = rec.ref_id
+    dst_ref_id = ref_id_mapping[ref_id]
+    src_entry = src_entries[ref_id]
+    dst_entry = dst_entries[dst_ref_id]
+    ref_seq = ref_seqs[dst_ref_id]
+    src_pos = rec.pos
+
+    quals = None
+    if cfg.use_read_base_qualities and rec.qual != "*":
+        quals = decode_phred42(rec.qual)
+
+    res = project_alignment(
+        src_pos,
+        src_entry,
+        dst_entry,
+        ref_seq,
+        rec.seq,
+        rec.cigar,
+        quals if cfg.use_read_base_qualities else None,
+        cfg.gap_opening_cost,
+        cfg.gap_extension_cost,
+    )
+    stats.realigned_range_count += res.num_realignments
+    if realigned_ranges_out is not None:
+        for loc, length in res.realigned_reference_ranges:
+            realigned_ranges_out.append((loc, length, rec.qname))
+
+    # -- tag surgery ------------------------------------------------------
+    tags = rec.tags
+    original_nm = tags.get("NM", (None, None))[1]
+
+    preserved = PRESERVED_TAGS
+    extra = set(cfg.preserve_tags)
+    for tag in list(tags):
+        if tag in preserved or tag in extra:
+            continue
+        del tags[tag]
+        stats.removed_tag_counts[tag] = stats.removed_tag_counts.get(tag, 0) + 1
+
+    # OA: append "RNAME,pos,strand,CIGAR,MAPQ,NM;".  The reference writes the
+    # seqan3 0-based position here (project_alignments.cc:815).
+    oa_parts = [
+        input_ref_names[ref_id],
+        str(src_pos),
+        "-" if rec.is_reverse else "+",
+        "".join(f"{n}{op}" for n, op in rec.cigar),
+        str(rec.mapq),
+        "" if original_nm is None else str(original_nm),
+    ]
+    oa = ",".join(oa_parts) + ";"
+    prev_oa = tags.get("OA", ("Z", ""))[1]
+    tags["OA"] = ("Z", prev_oa + oa)
+
+    t = cfg.tags
+    n_ranges = res.num_realignments
+    if t.realn_query_ranges and n_ranges:
+        vals: list[int] = []
+        for loc, length in res.realigned_query_ranges:
+            vals += [loc, loc + length]
+        tags[t.realn_query_ranges] = ("B", ("I", vals))
+    if t.realn_ref_ranges and n_ranges:
+        vals = []
+        for loc, length in res.realigned_reference_ranges:
+            vals += [loc, loc + length]
+        tags[t.realn_ref_ranges] = ("B", ("I", vals))
+    if t.rec_idx and rec_idx_value is not None and rec_idx_value <= 0x7FFFFFFF:
+        tags[t.rec_idx] = ("i", rec_idx_value)
+    if t.original_rname:
+        tags[t.original_rname] = ("i", ref_id)
+    if t.original_pos:
+        tags[t.original_pos] = ("i", src_pos)
+
+    if rec.mate_ref_id >= 0:
+        mate_ref_id = rec.mate_ref_id
+        dst_mate_ref_id = ref_id_mapping[mate_ref_id]
+        rec.mate_ref_id = dst_mate_ref_id
+        if t.original_rnext:
+            tags[t.original_rnext] = ("i", mate_ref_id)
+        if rec.mate_pos >= 0:
+            mate_pos = rec.mate_pos
+            rec.mate_pos = int(
+                src_entries[mate_ref_id].project_position(
+                    mate_pos, dst_entries[dst_mate_ref_id]
+                )
+            )
+            if t.original_pnext:
+                tags[t.original_pnext] = ("i", mate_pos)
+    else:
+        rec.mate_pos = -1
+
+    rec.pos = res.dst_pos
+    rec.cigar = res.cigar
+    rec.ref_id = dst_ref_id
+
+
+def run_project_alignments(
+    input_path_or_fh,
+    output_path_or_fh,
+    cfg: ProjectConfig,
+    *,
+    version: str = "0.1",
+) -> ProjectStatistics:
+    reader = SamReader(input_path_or_fh)
+    input_header = reader.header
+    out_header, ref_id_mapping = process_headers(
+        input_header, cfg.ref_id_separator, cfg.reference_msa_id, cfg.reference_order_path
+    )
+    out_header.append_program(
+        "panvc3.project-alignments",
+        "PanVC 3 project_alignments",
+        cfg.command_line,
+        version,
+    )
+
+    msa_index = MsaIndex.load(cfg.msa_index_path)
+    src_entries, dst_entries = fill_sequence_entries(
+        msa_index,
+        input_header.ref_names,
+        len(out_header.ref_names),
+        cfg.ref_id_separator,
+        cfg.reference_msa_id,
+        ref_id_mapping,
+    )
+
+    fasta = FastaReader(cfg.reference_path)
+    ref_seqs: dict[int, bytes] = {}
+
+    writer = SamWriter(output_path_or_fh, out_header, bam=cfg.output_bam)
+    stats = ProjectStatistics()
+
+    realigned_ranges: list[tuple[int, int, str]] | None = (
+        [] if cfg.output_realigned_ranges_path else None
+    )
+
+    if cfg.engine == "device":
+        from ..ops.engine import BatchProjector
+
+        batch_engine = BatchProjector(
+            src_entries, dst_entries, cfg.gap_opening_cost, cfg.gap_extension_cost
+        )
+    else:
+        batch_engine = None
+
+    # Chunked processing; the record-index tag is chunk-granular: every
+    # record in a chunk gets (last record's global index) - chunk size + 1
+    # (project_alignments.cc:863-869).
+    chunk: list[tuple[int, SamRecord]] = []
+
+    def flush_chunk():
+        if not chunk:
+            return
+        last_idx = chunk[-1][0]
+        rec_idx_value = last_idx - len(chunk) + 1
+        if batch_engine is not None:
+            batch_engine.project_records(
+                [r for _, r in chunk],
+                ref_id_mapping,
+                ref_seqs,
+                cfg,
+                stats,
+                rec_idx_value,
+                realigned_ranges,
+                input_header.ref_names,
+            )
+        else:
+            for _, rec in chunk:
+                _project_record(
+                    rec,
+                    input_header.ref_names,
+                    src_entries,
+                    dst_entries,
+                    ref_id_mapping,
+                    ref_seqs,
+                    cfg,
+                    stats,
+                    rec_idx_value,
+                    realigned_ranges,
+                )
+        for _, rec in chunk:
+            writer.write(rec)
+        chunk.clear()
+
+    FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
+
+    for rec_idx, rec in enumerate(reader):
+        if rec.flag & FLAG_SKIP:
+            stats.flags_not_matched += 1
+            continue
+        if cfg.primary_only and rec.flag & 0x100:
+            stats.flags_not_matched += 1
+            continue
+        if rec.ref_id < 0:
+            stats.ref_id_missing += 1
+            continue
+        if rec.pos < 0:
+            stats.flags_not_matched += 1
+            continue
+        if not rec.seq or rec.seq == "*":
+            stats.seq_missing += 1
+            continue
+        stats.matched_reads += 1
+
+        dst_ref_id = ref_id_mapping[rec.ref_id]
+        if dst_ref_id not in ref_seqs:
+            name = out_header.ref_names[dst_ref_id]
+            ref_seqs[dst_ref_id] = fasta.read_sequence(name)
+
+        chunk.append((rec_idx, rec))
+        if len(chunk) == CHUNK_SIZE:
+            flush_chunk()
+
+    flush_chunk()
+    writer.close()
+
+    if cfg.output_realigned_ranges_path and realigned_ranges is not None:
+        with open(cfg.output_realigned_ranges_path, "w") as fh:
+            if cfg.keep_duplicate_ranges:
+                fh.write("Location\tLength\n")
+                for loc, length, _q in realigned_ranges:
+                    fh.write(f"{loc}\t{length}\n")
+            else:
+                fh.write("Location\tLength\n")
+                seen = sorted(set((loc, length) for loc, length, _q in realigned_ranges))
+                for loc, length in seen:
+                    fh.write(f"{loc}\t{length}\n")
+
+    return stats
