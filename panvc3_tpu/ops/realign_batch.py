@@ -1,0 +1,268 @@
+"""Batched affine-gap global realignment DP on device.
+
+Device counterpart of :func:`panvc3_tpu.align.align_global` (which mirrors
+the reference's seqan3 align_pairwise usage,
+/root/reference/include/panvc3/align.hh:59-112).  A batch of (ref slice,
+query slice) pairs — the I+D runs found by the indel-run checker — is padded
+to a common (R, Q) shape and aligned in parallel:
+
+- the DP fill is a ``lax.scan`` over query rows; the in-row horizontal-gap
+  recurrence H[j] = max(A[j-1]+open, H[j-1]) + ext is solved row-parallel
+  with ``lax.cummax`` (valid because open <= 0), so each row is pure vector
+  ops and the whole fill vmaps over the batch;
+- trace bits (direction 2b + open flags) are stored per cell, matching the
+  oracle's tie-breaking exactly: diagonal >= vertical > horizontal, and
+  gap-open preferred over extension on ties;
+- traceback is a fixed-trip ``lax.scan`` (R+Q steps) per pair, emitting
+  per-character op codes that the host RLE-collapses.
+
+Scoring: integer hamming (match 0 / mismatch -1) exactly, or the Malde
+base-quality scheme in float32 (the reference computes it in double; the
+float32 fill can in principle flip near-ties — the default pipeline path
+uses the integer scheme, the quality path is opt-in via -q).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cigar import CODE_TO_OP, D, EQ, I, X, Cigar
+
+NEG = jnp.float32(-1e30)
+
+_TR_DIAG = 0
+_TR_VERT = 1
+_TR_HORIZ = 2
+
+
+def _substitution_scores(ref, query, ref_qual, query_qual, use_quality):
+    """s[i, j] for query i vs ref j. ref/query are uint8 (B, R)/(B, Q)."""
+    eq = query[:, :, None] == ref[:, None, :]
+    if not use_quality:
+        return jnp.where(eq, 0.0, -1.0).astype(jnp.float32)
+    e1 = 10.0 ** (-ref_qual.astype(jnp.float32) / 10.0)
+    e2 = 10.0 ** (-query_qual.astype(jnp.float32) / 10.0)
+    ce = e2[:, :, None] + e1[:, None, :] - e2[:, :, None] / 3.0 * e1[:, None, :] * 4.0
+    log2 = jnp.log(jnp.float32(2.0))
+    match_s = 2.0 + jnp.log(1.0 - ce) / log2
+    mismatch_s = 2.0 - jnp.log(jnp.float32(3.0)) / log2 + jnp.log(ce) / log2
+    return jnp.where(eq, match_s, mismatch_s).astype(jnp.float32)
+
+
+def _fill_one(sub, m, n, go, ge, R, Q):
+    """DP fill for one pair.  sub: (Q, R) float32; m/n actual lengths.
+
+    Returns packed trace (Q+1, R+1) uint8:
+    bits 0-1 direction, bit 2 vertical-open, bit 3 horizontal-open.
+    """
+    cols = jnp.arange(R + 1)
+    col_valid = cols <= n
+
+    # row 0: horizontal gaps only
+    best0 = jnp.where(cols == 0, 0.0, go + ge * cols).astype(jnp.float32)
+    best0 = jnp.where(col_valid, best0, NEG)
+    vert0 = jnp.full(R + 1, NEG)
+    tr0 = jnp.where(cols == 0, 0, _TR_HORIZ).astype(jnp.uint8)
+    tr0 = tr0 | jnp.where(cols == 1, jnp.uint8(8), jnp.uint8(0))
+
+    def row_step(carry, row_in):
+        best_prev, vert_prev = carry
+        i, srow = row_in  # i in [1, Q]; srow: (R,) scores vs query[i-1]
+        row_valid = i <= m
+
+        # vertical (gap in ref, consumes query)
+        v_open = best_prev + go + ge
+        v_ext = vert_prev + ge
+        vopen_bit = v_open >= v_ext
+        vert = jnp.maximum(v_open, v_ext)
+
+        # A = best without horizontal
+        diag = jnp.concatenate([jnp.array([NEG]), best_prev[:-1] + srow])
+        diag = jnp.where(cols == 0, NEG, diag)
+        a = jnp.maximum(diag, vert)
+        # col 0 of row i: vertical border gap; value = go + ge*i
+        a = a.at[0].set(go + ge * i)
+        vert = vert.at[0].set(go + ge * i)
+
+        # horizontal via cummax: H[j] = ge*j + max_{k<j}(best[k] + go - ge*k);
+        # best[k] = max(A[k], H[k]) but H[k] + go <= H[k] (go <= 0), so A
+        # suffices for the value.
+        shifted = a + go - ge * cols
+        run = jax.lax.cummax(jnp.concatenate([jnp.array([NEG]), shifted[:-1]]))
+        horiz = run + ge * cols
+        horiz = jnp.where(cols == 0, NEG, horiz)
+        best = jnp.maximum(a, horiz)
+
+        # hopen uses the full best (oracle: best[i][j-1]+go+ge >= H[i][j-1]+ge)
+        h_prev = jnp.concatenate([jnp.array([NEG]), horiz[:-1]])
+        b_prev = jnp.concatenate([jnp.array([NEG]), best[:-1]])
+        hopen_bit = b_prev + go >= h_prev
+
+        tr = jnp.where(diag >= vert, _TR_DIAG, _TR_VERT).astype(jnp.uint8)
+        tr = jnp.where(horiz > a, jnp.uint8(_TR_HORIZ), tr)
+        tr = jnp.where(cols == 0, jnp.uint8(_TR_VERT), tr)
+        packed = (
+            tr
+            | (jnp.where(vopen_bit, 4, 0) | jnp.where(hopen_bit, 8, 0)).astype(jnp.uint8)
+        )
+        best = jnp.where(col_valid, best, NEG)
+        vert = jnp.where(col_valid, vert, NEG)
+
+        best = jnp.where(row_valid, best, best_prev)
+        vert = jnp.where(row_valid, vert, vert_prev)
+        packed = jnp.where(row_valid, packed, jnp.uint8(0))
+        return (best, vert), packed
+
+    rows = jnp.arange(1, Q + 1)
+    (_, _), traces = jax.lax.scan(row_step, (best0, vert0), (rows, sub))
+    return jnp.concatenate([tr0[None, :], traces], axis=0)
+
+
+def _traceback_one(trace, ref, query, m, n, R, Q):
+    """Emit per-char op codes (reversed) for one pair."""
+    max_steps = R + Q
+
+    def step(carry, _):
+        i, j, state, k, ops = carry
+        done = (i == 0) & (j == 0)
+        cell = trace[i, j]
+        tr = cell & 3
+        vopen = (cell >> 2) & 1
+        hopen = (cell >> 3) & 1
+
+        # state 0 = M, 1 = V, 2 = H
+        in_m = state == 0
+        eff = jnp.where(in_m, tr, state)
+        # forced borders
+        eff = jnp.where(in_m & (i == 0) & (j > 0), _TR_HORIZ, eff)
+        eff = jnp.where(in_m & (j == 0) & (i > 0), _TR_VERT, eff)
+
+        is_diag = (eff == _TR_DIAG) & ~done
+        is_vert = (eff == _TR_VERT) & ~done
+        is_horiz = (eff == _TR_HORIZ) & ~done
+
+        qc = query[jnp.maximum(i - 1, 0)]
+        rc = ref[jnp.maximum(j - 1, 0)]
+        op = jnp.where(
+            is_diag,
+            jnp.where(qc == rc, EQ, X),
+            jnp.where(is_vert, I, D),
+        ).astype(jnp.int8)
+
+        ops = jnp.where(done, ops, ops.at[k].set(op))
+        k = jnp.where(done, k, k + 1)
+
+        ni = jnp.where(is_diag | is_vert, i - 1, i)
+        nj = jnp.where(is_diag | is_horiz, j - 1, j)
+        # state transitions: after a vertical step, stay in V unless the
+        # cell's vertical trace said "open"; same for horizontal.
+        ns = jnp.where(
+            is_diag,
+            0,
+            jnp.where(
+                is_vert,
+                jnp.where(vopen == 1, 0, 1),
+                jnp.where(hopen == 1, 0, 2),
+            ),
+        )
+        ns = jnp.where(done, state, ns)
+        ni = jnp.where(done, i, ni)
+        nj = jnp.where(done, j, nj)
+        return (ni, nj, ns, k, ops), None
+
+    ops0 = jnp.full(max_steps, jnp.int8(127))
+    (fi, fj, _, count, ops), _ = jax.lax.scan(
+        step, (m, n, jnp.int32(0), jnp.int32(0), ops0), None, length=max_steps
+    )
+    return ops, count
+
+
+@partial(jax.jit, static_argnames=("use_quality", "R", "Q"))
+def realign_device_kernel(
+    ref: jnp.ndarray,        # uint8[B, R]
+    query: jnp.ndarray,      # uint8[B, Q]
+    ref_len: jnp.ndarray,    # int32[B]
+    query_len: jnp.ndarray,  # int32[B]
+    go: jnp.ndarray,         # float32 scalar
+    ge: jnp.ndarray,         # float32 scalar
+    ref_qual: jnp.ndarray,   # int32[B, R]
+    query_qual: jnp.ndarray,  # int32[B, Q]
+    use_quality: bool,
+    R: int,
+    Q: int,
+):
+    sub = _substitution_scores(ref, query, ref_qual, query_qual, use_quality)
+
+    def one(sub_i, ref_i, query_i, m, n):
+        trace = _fill_one(sub_i, m, n, go, ge, R, Q)
+        return _traceback_one(trace, ref_i, query_i, m, n, R, Q)
+
+    return jax.vmap(one)(sub, ref, query, query_len, ref_len)
+
+
+def realign_batch(
+    refs: list[bytes],
+    queries: list[bytes],
+    gap_opening: int,
+    gap_extension: int,
+    ref_quals: list[np.ndarray] | None = None,
+    query_quals: list[np.ndarray] | None = None,
+    pad_ref: int | None = None,
+    pad_query: int | None = None,
+) -> list[Cigar]:
+    """Align each (ref, query) pair; returns collapsed per-run CIGARs."""
+    b = len(refs)
+    if b == 0:
+        return []
+    R = pad_ref if pad_ref is not None else max(1, max(len(r) for r in refs))
+    Q = pad_query if pad_query is not None else max(1, max(len(q) for q in queries))
+    ref_arr = np.zeros((b, R), dtype=np.uint8)
+    q_arr = np.zeros((b, Q), dtype=np.uint8)
+    rq = np.zeros((b, R), dtype=np.int32)
+    qq = np.zeros((b, Q), dtype=np.int32)
+    rl = np.zeros(b, dtype=np.int32)
+    ql = np.zeros(b, dtype=np.int32)
+    for i, (r, q) in enumerate(zip(refs, queries)):
+        ref_arr[i, :len(r)] = np.frombuffer(r, dtype=np.uint8)
+        q_arr[i, :len(q)] = np.frombuffer(q, dtype=np.uint8)
+        rl[i] = len(r)
+        ql[i] = len(q)
+        if ref_quals is not None:
+            rq[i, :len(r)] = ref_quals[i]
+        if query_quals is not None:
+            qq[i, :len(q)] = query_quals[i]
+
+    use_quality = ref_quals is not None
+    ops, counts = realign_device_kernel(
+        jnp.asarray(ref_arr),
+        jnp.asarray(q_arr),
+        jnp.asarray(rl),
+        jnp.asarray(ql),
+        jnp.float32(gap_opening),
+        jnp.float32(gap_extension),
+        jnp.asarray(rq),
+        jnp.asarray(qq),
+        use_quality,
+        R,
+        Q,
+    )
+    ops = np.asarray(ops)
+    counts = np.asarray(counts)
+
+    out: list[Cigar] = []
+    for i in range(b):
+        k = int(counts[i])
+        rev = ops[i, :k][::-1]
+        cig: Cigar = []
+        for code in rev.tolist():
+            ch = CODE_TO_OP[int(code)]
+            if cig and cig[-1][1] == ch:
+                cig[-1] = (cig[-1][0] + 1, ch)
+            else:
+                cig.append((1, ch))
+        out.append(cig)
+    return out

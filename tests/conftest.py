@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin ignores JAX_PLATFORMS; force via the config API.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest

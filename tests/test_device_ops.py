@@ -1,0 +1,233 @@
+"""Device kernels must match the host oracles exactly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from panvc3_tpu.align import align_global, max_quality_array
+from panvc3_tpu.alphabet import normalise_dna5
+from panvc3_tpu.bitvec import GapBitVector
+from panvc3_tpu.cigar import cigar_ref_length, format_cigar
+from panvc3_tpu.msa_index import SequenceEntry, make_sequence_entry_pair
+from panvc3_tpu.ops.rank_select import DeviceGapIndex
+from panvc3_tpu.ops.realign_batch import realign_batch
+from panvc3_tpu.ops.rewrite_batch import expand_cigars, rewrite_batch
+from panvc3_tpu.rewrite import rewrite_cigar
+
+
+def random_bits(rng, n, p=0.3):
+    bits = (rng.random(n) < p).astype(np.uint8)
+    if bits.all():
+        bits[0] = 0
+    return bits
+
+
+def test_device_rank_select_matches_host():
+    rng = np.random.default_rng(0)
+    vectors = [GapBitVector.from_bits(random_bits(rng, n)) for n in (33, 64, 500, 4097)]
+    idx = DeviceGapIndex.build(vectors)
+    for s, gv in enumerate(vectors):
+        pos = np.arange(gv.n, dtype=np.int32)
+        seq = np.full_like(pos, s)
+        assert np.array_equal(np.asarray(idx.rank0(jnp.asarray(seq), jnp.asarray(pos))), gv.rank0(pos))
+        assert np.array_equal(np.asarray(idx.bit(jnp.asarray(seq), jnp.asarray(pos))), gv.bit_at(pos))
+        ks = np.arange(1, gv.n_zeros + 1, dtype=np.int32)
+        seq2 = np.full_like(ks, s)
+        assert np.array_equal(
+            np.asarray(idx.select0(jnp.asarray(seq2), jnp.asarray(ks))), gv.select0(ks)
+        )
+
+
+def random_msa_pair(rng, n_cols):
+    """Random aligned pair without all-gap columns on the src side."""
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def row():
+        chars = alpha[rng.integers(0, 4, n_cols)]
+        gaps = rng.random(n_cols) < 0.25
+        out = np.where(gaps, ord("-"), chars).astype(np.uint8)
+        return out.tobytes().decode()
+
+    src = row()
+    dst = row()
+    if src.replace("-", "") == "":
+        src = "A" + src[1:]
+    return src, dst
+
+
+def random_alignment(rng, src_gapless_len, max_read=30):
+    """Random (src_pos, cigar, query) consistent with the source length."""
+    ops_ref = ["M", "=", "X", "D", "N"]
+    src_pos = int(rng.integers(0, max(1, src_gapless_len - 10)))
+    budget = src_gapless_len - src_pos
+    cigar = []
+    qlen = 0
+    if rng.random() < 0.3:
+        n = int(rng.integers(1, 4))
+        cigar.append((n, "S"))
+        qlen += n
+    n_ops = int(rng.integers(1, 6))
+    for _ in range(n_ops):
+        kind = rng.random()
+        if kind < 0.55:
+            op = ops_ref[int(rng.integers(0, 3))]
+            n = int(rng.integers(1, min(8, budget) + 1)) if budget else 0
+            if n == 0:
+                continue
+            cigar.append((n, op))
+            qlen += n
+            budget -= n
+        elif kind < 0.75:
+            op = "D" if rng.random() < 0.8 else "N"
+            n = int(rng.integers(1, min(4, budget) + 1)) if budget else 0
+            if n == 0:
+                continue
+            cigar.append((n, op))
+            budget -= n
+        elif kind < 0.9:
+            n = int(rng.integers(1, 5))
+            cigar.append((n, "I"))
+            qlen += n
+        else:
+            cigar.append((int(rng.integers(1, 3)), "H" if rng.random() < 0.5 else "P"))
+    if not any(op in "M=XDN" for _, op in cigar):
+        cigar.append((1, "="))
+        qlen += 1
+    alpha = "ACGT"
+    query = "".join(alpha[int(x)] for x in rng.integers(0, 4, qlen))
+    return src_pos, cigar, query
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_batched_rewrite_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    pairs = [random_msa_pair(rng, int(rng.integers(20, 120))) for _ in range(6)]
+    entries = []
+    vectors = []
+    dst_seqs = []
+    for src, dst in pairs:
+        se, de = make_sequence_entry_pair(src, dst)
+        entries.append((se, de))
+        vectors += [se.gaps, de.gaps]
+        dst_seqs.append(dst.replace("-", "").encode())
+    idx = DeviceGapIndex.build(vectors)
+    ref_flat = np.frombuffer(b"".join(dst_seqs), dtype=np.uint8)
+    ref_offs = np.cumsum([0] + [len(s) for s in dst_seqs[:-1]]).tolist()
+
+    cigars, positions, queries = [], [], []
+    src_ids, dst_ids, rec_ref_offs = [], [], []
+    expected = []
+    for k in range(40):
+        pi = int(rng.integers(0, len(pairs)))
+        se, de = entries[pi]
+        if se.gaps.n_zeros < 12:
+            continue
+        src_pos, cigar, query = random_alignment(rng, se.gaps.n_zeros)
+        qn = normalise_dna5(query)
+        exp_pos, exp_cigar = rewrite_cigar(src_pos, cigar, se, de, qn, dst_seqs[pi])
+        expected.append((exp_pos, exp_cigar))
+        cigars.append(cigar)
+        positions.append(src_pos)
+        queries.append(qn)
+        src_ids.append(2 * pi)
+        dst_ids.append(2 * pi + 1)
+        rec_ref_offs.append(ref_offs[pi])
+
+    batch = expand_cigars(cigars, positions, queries, src_ids, dst_ids, rec_ref_offs)
+    got_pos, got_cigars = rewrite_batch(idx, ref_flat, batch)
+    for i, ((exp_pos, exp_cigar), gp, gc) in enumerate(zip(expected, got_pos, got_cigars)):
+        assert gp == exp_pos, f"record {i}"
+        assert gc == exp_cigar, (
+            f"record {i}: expected {format_cigar(exp_cigar)} got {format_cigar(gc)}"
+        )
+
+
+def random_seq(rng, lo, hi):
+    alpha = "ACGT"
+    n = int(rng.integers(lo, hi))
+    return "".join(alpha[int(x)] for x in rng.integers(0, 4, n)).encode()
+
+
+def _cigar_malde_score(cigar, ref, query, rq, qq, go, ge):
+    """f64 score of an explicit alignment path under the Malde scheme with
+    linear-equivalent affine costs (open added per gap run)."""
+    from panvc3_tpu.align import malde_score
+
+    score = 0.0
+    qpos = rpos = 0
+    prev = None
+    for n, op in cigar:
+        if op in "ID":
+            if prev not in ("I", "D"):
+                score += go
+            score += n * ge
+            if op == "I":
+                qpos += n
+            else:
+                rpos += n
+        else:  # = / X
+            for k in range(n):
+                score += malde_score(
+                    query[qpos + k] == ref[rpos + k], int(rq[rpos + k]), int(qq[qpos + k])
+                )
+            qpos += n
+            rpos += n
+        prev = op
+    return score
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_batched_realign_matches_oracle_hamming(seed):
+    """The default (quality-free, integer-scored) path must match exactly."""
+    rng = np.random.default_rng(seed)
+    refs = [random_seq(rng, 1, 12) for _ in range(30)]
+    queries = [random_seq(rng, 1, 12) for _ in range(30)]
+    got = realign_batch(refs, queries, 0, -1)
+    exp = [align_global(r, q, 0, -1)[1] for r, q in zip(refs, queries)]
+    for i, (g, e) in enumerate(zip(got, exp)):
+        assert g == e, (
+            f"pair {i} ref={refs[i]} q={queries[i]}: "
+            f"expected {format_cigar(e)} got {format_cigar(g)}"
+        )
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_batched_realign_matches_oracle_quality(seed):
+    """The quality path runs in float32 on device; at exact mathematical
+    score ties the chosen co-optimal path may differ from the float64
+    oracle, so equality is asserted up to achieved score."""
+    rng = np.random.default_rng(seed)
+    refs = [random_seq(rng, 1, 12) for _ in range(30)]
+    queries = [random_seq(rng, 1, 12) for _ in range(30)]
+    go, ge = 0, -1
+    rqs = [max_quality_array(len(r)) for r in refs]
+    qqs = [np.asarray(rng.integers(10, 42, len(q)), dtype=np.int32) for q in queries]
+    got = realign_batch(refs, queries, go, ge, rqs, qqs)
+    n_exact = 0
+    for i in range(len(refs)):
+        score_exp, cigar_exp = align_global(
+            refs[i], queries[i], go, ge, quals1=rqs[i], quals2=qqs[i]
+        )
+        if got[i] == cigar_exp:
+            n_exact += 1
+            continue
+        score_got = _cigar_malde_score(got[i], refs[i], queries[i], rqs[i], qqs[i], go, ge)
+        assert abs(score_got - score_exp) < 1e-6, (
+            f"pair {i} ref={refs[i]} q={queries[i]}: "
+            f"expected {format_cigar(cigar_exp)} ({score_exp}) "
+            f"got {format_cigar(got[i])} ({score_got})"
+        )
+    # co-optimal divergence must stay the minority
+    assert n_exact >= int(len(refs) * 0.7)
+
+
+@pytest.mark.parametrize("go,ge", [(0, -1), (-2, -1), (-1, -3)])
+def test_batched_realign_affine_penalties(go, ge):
+    rng = np.random.default_rng(99)
+    refs = [random_seq(rng, 1, 15) for _ in range(20)]
+    queries = [random_seq(rng, 1, 15) for _ in range(20)]
+    got = realign_batch(refs, queries, go, ge)
+    exp = [align_global(r, q, go, ge)[1] for r, q in zip(refs, queries)]
+    for i, (g, e) in enumerate(zip(got, exp)):
+        assert g == e, f"pair {i} ref={refs[i]} q={queries[i]}"

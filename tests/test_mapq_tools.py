@@ -1,0 +1,181 @@
+"""Tests for recalculate_mapq, rewrite_cigar (tool) and subset_alignments."""
+
+import io
+
+from panvc3_tpu.cigar import parse_cigar
+from panvc3_tpu.io.sam import SamReader
+from panvc3_tpu.pipeline.recalculate_mapq import (
+    ALIGNMENT_SCORE_MIN,
+    AlignmentScoring,
+    CigarScorer,
+    calculate_mapq,
+    run_recalculate_mapq,
+)
+from panvc3_tpu.pipeline.rewrite_cigar_tool import (
+    rewrite_alignment_match,
+    rewrite_sequence_match,
+    run_rewrite_cigar,
+)
+from panvc3_tpu.pipeline.subset_alignments import run_subset_alignments
+
+
+# -- calculate_mapq ---------------------------------------------------------
+
+def test_calculate_mapq_values():
+    # paired, 100bp mates: min = 2*(-60.6), range 121.2
+    assert calculate_mapq(100, 100, -20.0, -80.0) == 14
+    # single best with no next: next clamps to min; dq == nq
+    assert calculate_mapq(100, 0, -10.0, ALIGNMENT_SCORE_MIN) == 27
+    # score below minimum
+    assert calculate_mapq(100, 0, -100.0, ALIGNMENT_SCORE_MIN) == 0
+    # tie with next (diff == 0): 1 if nq >= 0.67 else 0
+    assert calculate_mapq(100, 0, -10.0, -10.0) == 1
+    assert calculate_mapq(100, 0, -45.0, -45.0) == 0
+    # perfect paired score, no next: dq = nq = 1.0 -> (0.9, 1.0) -> 39
+    assert calculate_mapq(100, 100, 0.0, ALIGNMENT_SCORE_MIN) == 39
+
+
+def test_cigar_scorer_penalties():
+    scorer = CigarScorer(AlignmentScoring())
+    # q=40 mismatch penalty = 6; q=20 -> int(2 + 0.5*4) = 4; q=0 -> 2
+    assert scorer.mismatch_penalties[40] == 6
+    assert scorer.mismatch_penalties[41] == 6  # cut off at 40
+    assert scorer.mismatch_penalties[20] == 4
+    assert scorer.mismatch_penalties[0] == 2
+
+
+def _sam(records, sq=("ref", 10000)):
+    lines = ["@HD\tVN:1.6", f"@SQ\tSN:{sq[0]}\tLN:{sq[1]}"]
+    lines += records
+    return io.BytesIO(("\n".join(lines) + "\n").encode())
+
+
+def test_recalculate_mapq_paired_group():
+    # Two candidate pairs for one read; pair A scores -10/-10, pair B -40/-40.
+    q = "A" * 100
+    ql = "I" * 100
+    def rec(pos, mpos, as_score, flag):
+        return (
+            f"r1\t{flag}\tref\t{pos}\t0\t100=\t=\t{mpos}\t0\t{q}\t{ql}"
+            f"\tAS:i:{as_score}\tXP:i:{pos - 1}\tXR:i:0\tYP:i:{mpos - 1}\tYR:i:0"
+        )
+
+    sam = _sam([
+        rec(101, 301, -10, 99),
+        rec(301, 101, -10, 147),
+        rec(1001, 1301, -40, 355),
+        rec(1301, 1001, -40, 403),
+    ])
+    out = io.BytesIO()
+    stats = run_recalculate_mapq(sam, out)
+    assert stats.total_alignments == 4
+    out.seek(0)
+    recs = list(SamReader(out))
+    assert [r.mapq for r in recs] == [14, 14, 255, 255]
+
+
+def test_recalculate_mapq_unpaired_best():
+    q = "A" * 100
+    ql = "I" * 100
+    sam = _sam([
+        f"u1\t0\tref\t101\t0\t100=\t*\t0\t0\t{q}\t{ql}\tAS:i:-10\tXP:i:100\tXR:i:0",
+    ])
+    out = io.BytesIO()
+    run_recalculate_mapq(sam, out)
+    out.seek(0)
+    recs = list(SamReader(out))
+    assert recs[0].mapq == 27
+
+
+def test_recalculate_mapq_rescore():
+    q = "A" * 95 + "C" + "A" * 4
+    ql = "I" * 100  # phred 40
+    sam = _sam([
+        f"u1\t0\tref\t101\t0\t95=1X4=\t*\t0\t0\t{q}\t{ql}\tAS:i:-11\tXP:i:100\tXR:i:0",
+    ])
+    out = io.BytesIO()
+    run_recalculate_mapq(sam, out, rescore=True)
+    out.seek(0)
+    recs = list(SamReader(out))
+    r = recs[0]
+    assert r.tags["AS"] == ("i", -6)
+    assert r.tags["XS"] == ("i", -11)
+    assert r.tags["YS"][0] == "f" and float(r.tags["YS"][1]) == -6.0
+
+
+def test_recalculate_mapq_mixed_group_skipped(capsys=None):
+    q = "A" * 10
+    ql = "I" * 10
+    sam = _sam([
+        f"m1\t99\tref\t101\t0\t10=\t=\t201\t0\t{q}\t{ql}\tAS:i:-1\tXP:i:100\tXR:i:0\tYP:i:200\tYR:i:0",
+        f"m1\t0\tref\t501\t0\t10=\t*\t0\t0\t{q}\t{ql}\tAS:i:-1\tXP:i:500\tXR:i:0",
+    ])
+    out = io.BytesIO()
+    stats = run_recalculate_mapq(sam, out)
+    assert stats.reads_with_and_without_mate == 1
+    out.seek(0)
+    assert list(SamReader(out)) == []
+
+
+# -- rewrite_cigar tool -----------------------------------------------------
+
+def test_rewrite_alignment_match():
+    assert rewrite_alignment_match(parse_cigar("3=2X5=")) == parse_cigar("10M")
+    assert rewrite_alignment_match(parse_cigar("2S3=1I2X1H")) == parse_cigar("2S3M1I2M1H")
+
+
+def test_rewrite_sequence_match():
+    #        0123456789
+    ref = b"ACGTNACGTA"
+    #  query aligned at 0 with 4M1M5M -> compare
+    query = "ACGTTACGTA"
+    cigar, xn = rewrite_sequence_match(ref, 0, query, parse_cigar("10M"))
+    # position 4: query T vs ref N -> X
+    assert cigar == parse_cigar("4=1X5=")
+    assert xn == bytes([0b00010000, 0])
+    # runs are NOT merged across op boundaries
+    cigar2, _ = rewrite_sequence_match(ref, 0, query[:8], parse_cigar("2=6M"))
+    assert cigar2 == [(2, "="), (2, "="), (1, "X"), (3, "=")]
+
+
+def test_rewrite_cigar_tool_roundtrip(tmp_path):
+    ref_path = tmp_path / "ref.fa"
+    ref_path.write_bytes(b">ref\nACGTNACGTA\n")
+    sam = _sam(["q\t0\tref\t1\t60\t10M\t*\t0\t0\tACGTTACGTA\tIIIIIIIIII"], sq=("ref", 10))
+    out = io.BytesIO()
+    run_rewrite_cigar(sam, out, mode="sequence-match", reference_path=str(ref_path))
+    out.seek(0)
+    rec = list(SamReader(out))[0]
+    assert rec.cigar == parse_cigar("4=1X5=")
+    assert rec.tags["XN"] == ("B", ("C", [16, 0]))
+
+
+# -- subset_alignments ------------------------------------------------------
+
+def test_subset_by_read_id_and_chr():
+    sam = _sam([
+        "a\t0\tref\t1\t60\t3M\t*\t0\t0\tACG\tIII",
+        "b\t0\tref\t5\t60\t3M\t*\t0\t0\tACG\tIII",
+    ])
+    out = io.BytesIO()
+    mc = run_subset_alignments(sam, out, read_ids=["a"])
+    assert (mc.matches, mc.mismatches) == (1, 1)
+    out.seek(0)
+    assert [r.qname for r in SamReader(out)] == ["a"]
+
+
+def test_subset_best_mapq_pairs():
+    q = "ACG"
+    lines = [
+        f"r\t99\tref\t101\t30\t3M\t=\t201\t0\t{q}\tIII",
+        f"r\t147\tref\t201\t30\t3M\t=\t101\t0\t{q}\tIII",
+        f"r\t355\tref\t501\t12\t3M\t=\t601\t0\t{q}\tIII",
+        f"r\t403\tref\t601\t12\t3M\t=\t501\t0\t{q}\tIII",
+    ]
+    sam = _sam(lines)
+    out = io.BytesIO()
+    run_subset_alignments(sam, out, best_mapq=True)
+    out.seek(0)
+    recs = list(SamReader(out))
+    assert len(recs) == 2
+    assert recs[0].pos == 100 and recs[1].pos == 200
