@@ -1,0 +1,185 @@
+"""The batched projection engine: device rewrite + device realignment.
+
+Drop-in replacement for the scalar per-record projector
+(:func:`panvc3_tpu.projector.project_alignment`): a batch of SAM records is
+expanded on the host, the coordinate math and realignment DP run on device,
+and the results are spliced into per-record ProjectionResults.
+
+Shapes are padded to power-of-two buckets so XLA compiles a bounded number
+of kernel variants regardless of read-length distribution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..alphabet import decode_phred42, normalise_dna5
+from ..align import max_quality_array
+from ..cigar import Cigar, collapse_cigar
+from ..indel_runs import find_indel_runs
+from ..projector import ProjectionResult
+from .rank_select import DeviceGapIndex
+from .realign_batch import realign_batch
+from .rewrite_batch import expand_cigars, rewrite_batch
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class BatchProjector:
+    def __init__(
+        self,
+        src_entries,
+        dst_entries,
+        ref_id_mapping,
+        gap_opening_cost: int,
+        gap_extension_cost: int,
+    ):
+        self.gap_opening_cost = gap_opening_cost
+        self.gap_extension_cost = gap_extension_cost
+        self.ref_id_mapping = ref_id_mapping
+
+        # Deduplicate gap vectors by identity and assign device sequence ids.
+        vectors = []
+        self._dev_id: dict[int, int] = {}
+
+        def dev_id(entry):
+            key = id(entry.gaps)
+            if key not in self._dev_id:
+                self._dev_id[key] = len(vectors)
+                vectors.append(entry.gaps)
+            return self._dev_id[key]
+
+        self.src_dev_ids = [dev_id(e) for e in src_entries]
+        self.dst_dev_ids = [dev_id(e) if e is not None else -1 for e in dst_entries]
+        self.index = DeviceGapIndex.build(vectors)
+
+        # Flat reference buffer; rebuilt when new chromosomes get loaded.
+        self._ref_flat = np.zeros(0, dtype=np.uint8)
+        self._ref_off: dict[int, int] = {}
+
+    def _ensure_refs(self, ref_seqs: dict[int, bytes]) -> None:
+        if set(ref_seqs) == set(self._ref_off):
+            return
+        parts = []
+        off = 0
+        self._ref_off = {}
+        for rid, seq in ref_seqs.items():
+            self._ref_off[rid] = off
+            parts.append(np.frombuffer(seq, dtype=np.uint8))
+            off += len(seq)
+        self._ref_flat = (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+        )
+
+    def project_batch(self, records, ref_seqs: dict[int, bytes], cfg) -> list[ProjectionResult]:
+        self._ensure_refs(ref_seqs)
+        b = len(records)
+        if b == 0:
+            return []
+
+        queries = [normalise_dna5(rec.seq) for rec in records]
+        cigars = [rec.cigar for rec in records]
+        positions = [rec.pos for rec in records]
+        src_ids = [self.src_dev_ids[rec.ref_id] for rec in records]
+        dst_ref_ids = [self.ref_id_mapping[rec.ref_id] for rec in records]
+        dst_ids = [self.dst_dev_ids[r] for r in dst_ref_ids]
+        ref_offs = [self._ref_off[r] for r in dst_ref_ids]
+
+        # unit counts for bucketing
+        max_units = 1
+        max_ref_units = 1
+        for cig in cigars:
+            u = r = 0
+            for n, op in cig:
+                if op in "M=XDN":
+                    u += n
+                    r += n
+                else:
+                    u += 1
+            max_units = max(max_units, u)
+            max_ref_units = max(max_ref_units, r)
+        max_q = max(1, max(len(q) for q in queries))
+
+        batch = expand_cigars(
+            cigars,
+            positions,
+            queries,
+            src_ids,
+            dst_ids,
+            ref_offs,
+            pad_units=_next_pow2(max_units),
+            pad_ref_units=_next_pow2(max_ref_units),
+            pad_query=_next_pow2(max_q),
+        )
+        dst_pos, rewritten = rewrite_batch(self.index, self._ref_flat, batch)
+
+        # Indel runs (host) -> batched realignment (device).
+        use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
+        run_refs: list[bytes] = []
+        run_queries: list[bytes] = []
+        run_ref_quals: list[np.ndarray] | None = [] if use_quality else None
+        run_query_quals: list[np.ndarray] | None = [] if use_quality else None
+        record_runs: list[list] = []
+        for i, rec in enumerate(records):
+            runs = find_indel_runs(rewritten[i], dst_pos[i])
+            record_runs.append(runs)
+            ref_seq = ref_seqs[dst_ref_ids[i]]
+            for run in runs:
+                ref_part = normalise_dna5(
+                    ref_seq[run.ref_start:run.ref_start + run.ref_length]
+                )
+                query_part = queries[i][run.query_start:run.query_start + run.query_length]
+                run_refs.append(ref_part)
+                run_queries.append(query_part)
+                if use_quality:
+                    run_ref_quals.append(max_quality_array(len(ref_part)))
+                    q = decode_phred42(rec.qual) if rec.qual != "*" else None
+                    if q is None:
+                        run_query_quals.append(np.zeros(len(query_part), np.int32))
+                    else:
+                        run_query_quals.append(
+                            np.asarray(
+                                q[run.query_start:run.query_start + run.query_length],
+                                dtype=np.int32,
+                            )
+                        )
+
+        if run_refs:
+            realigned = realign_batch(
+                run_refs,
+                run_queries,
+                self.gap_opening_cost,
+                self.gap_extension_cost,
+                run_ref_quals,
+                run_query_quals,
+                pad_ref=_next_pow2(max(1, max(len(r) for r in run_refs))),
+                pad_query=_next_pow2(max(1, max(len(q) for q in run_queries))),
+            )
+        else:
+            realigned = []
+
+        # Splice.
+        results: list[ProjectionResult] = []
+        run_idx = 0
+        for i in range(b):
+            runs = record_runs[i]
+            res = ProjectionResult(dst_pos=dst_pos[i], cigar=[])
+            out: Cigar = []
+            copy_from = 0
+            for run in runs:
+                out.extend(rewritten[i][copy_from:run.cigar_start])
+                copy_from = run.cigar_end
+                res.realigned_reference_ranges.append((run.checker_ref_pos, run.ref_length))
+                res.realigned_query_ranges.append((run.query_start, run.query_length))
+                res.num_realignments += 1
+                out.extend(realigned[run_idx])
+                run_idx += 1
+            out.extend(rewritten[i][copy_from:])
+            res.cigar = collapse_cigar(out)
+            results.append(res)
+        return results

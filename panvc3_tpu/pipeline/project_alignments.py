@@ -79,6 +79,7 @@ class ProjectConfig:
     output_bam: bool = False
     command_line: str = "panvc3_tpu project_alignments"
     engine: str = "host"  # "host" or "device"
+    device_batch_size: int = 512  # records per device batch (device engine)
 
 
 @dataclass
@@ -229,20 +230,19 @@ def _project_record(
     rec_idx_value: int | None,
     realigned_ranges_out: list[tuple[int, int, str]] | None,
 ) -> None:
-    """Project one record in place (tag surgery included)."""
+    """Project one record in place via the scalar host oracle."""
     ref_id = rec.ref_id
     dst_ref_id = ref_id_mapping[ref_id]
     src_entry = src_entries[ref_id]
     dst_entry = dst_entries[dst_ref_id]
     ref_seq = ref_seqs[dst_ref_id]
-    src_pos = rec.pos
 
     quals = None
     if cfg.use_read_base_qualities and rec.qual != "*":
         quals = decode_phred42(rec.qual)
 
     res = project_alignment(
-        src_pos,
+        rec.pos,
         src_entry,
         dst_entry,
         ref_seq,
@@ -252,6 +252,38 @@ def _project_record(
         cfg.gap_opening_cost,
         cfg.gap_extension_cost,
     )
+    apply_projection_result(
+        rec,
+        res,
+        input_ref_names,
+        src_entries,
+        dst_entries,
+        ref_id_mapping,
+        cfg,
+        stats,
+        rec_idx_value,
+        realigned_ranges_out,
+    )
+
+
+def apply_projection_result(
+    rec: SamRecord,
+    res,
+    input_ref_names: list[str],
+    src_entries,
+    dst_entries,
+    ref_id_mapping,
+    cfg: ProjectConfig,
+    stats: ProjectStatistics,
+    rec_idx_value: int | None,
+    realigned_ranges_out: list[tuple[int, int, str]] | None,
+) -> None:
+    """Apply a computed ProjectionResult to the record: tag surgery, mate
+    projection, field updates (project_alignments.cc:735-918)."""
+    ref_id = rec.ref_id
+    dst_ref_id = ref_id_mapping[ref_id]
+    src_pos = rec.pos
+
     stats.realigned_range_count += res.num_realignments
     if realigned_ranges_out is not None:
         for loc, length in res.realigned_reference_ranges:
@@ -368,46 +400,61 @@ def run_project_alignments(
         from ..ops.engine import BatchProjector
 
         batch_engine = BatchProjector(
-            src_entries, dst_entries, cfg.gap_opening_cost, cfg.gap_extension_cost
+            src_entries,
+            dst_entries,
+            ref_id_mapping,
+            cfg.gap_opening_cost,
+            cfg.gap_extension_cost,
         )
+        batch_size = max(CHUNK_SIZE, (cfg.device_batch_size // CHUNK_SIZE) * CHUNK_SIZE)
     else:
         batch_engine = None
+        batch_size = CHUNK_SIZE
 
-    # Chunked processing; the record-index tag is chunk-granular: every
-    # record in a chunk gets (last record's global index) - chunk size + 1
-    # (project_alignments.cc:863-869).
+    # The record-index tag is granular per CHUNK_SIZE=4 group of valid
+    # records: every record in a group gets (last record's global index) -
+    # group size + 1 (project_alignments.cc:863-869).  The device engine
+    # processes larger batches (a multiple of CHUNK_SIZE) but computes the
+    # tag per 4-group.
     chunk: list[tuple[int, SamRecord]] = []
 
     def flush_chunk():
         if not chunk:
             return
-        last_idx = chunk[-1][0]
-        rec_idx_value = last_idx - len(chunk) + 1
         if batch_engine is not None:
-            batch_engine.project_records(
-                [r for _, r in chunk],
-                ref_id_mapping,
-                ref_seqs,
-                cfg,
-                stats,
-                rec_idx_value,
-                realigned_ranges,
-                input_header.ref_names,
-            )
+            results = batch_engine.project_batch([r for _, r in chunk], ref_seqs, cfg)
         else:
-            for _, rec in chunk:
-                _project_record(
-                    rec,
-                    input_header.ref_names,
-                    src_entries,
-                    dst_entries,
-                    ref_id_mapping,
-                    ref_seqs,
-                    cfg,
-                    stats,
-                    rec_idx_value,
-                    realigned_ranges,
-                )
+            results = None
+        for start in range(0, len(chunk), CHUNK_SIZE):
+            sub = chunk[start:start + CHUNK_SIZE]
+            rec_idx_value = sub[-1][0] - len(sub) + 1
+            for off, (_, rec) in enumerate(sub):
+                if results is not None:
+                    apply_projection_result(
+                        rec,
+                        results[start + off],
+                        input_header.ref_names,
+                        src_entries,
+                        dst_entries,
+                        ref_id_mapping,
+                        cfg,
+                        stats,
+                        rec_idx_value,
+                        realigned_ranges,
+                    )
+                else:
+                    _project_record(
+                        rec,
+                        input_header.ref_names,
+                        src_entries,
+                        dst_entries,
+                        ref_id_mapping,
+                        ref_seqs,
+                        cfg,
+                        stats,
+                        rec_idx_value,
+                        realigned_ranges,
+                    )
         for _, rec in chunk:
             writer.write(rec)
         chunk.clear()
@@ -438,7 +485,7 @@ def run_project_alignments(
             ref_seqs[dst_ref_id] = fasta.read_sequence(name)
 
         chunk.append((rec_idx, rec))
-        if len(chunk) == CHUNK_SIZE:
+        if len(chunk) == batch_size:
             flush_chunk()
 
     flush_chunk()

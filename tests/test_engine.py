@@ -1,0 +1,100 @@
+"""The device engine must produce byte-identical output to the host path."""
+
+import io
+import pathlib
+
+import numpy as np
+import pytest
+
+from panvc3_tpu.pipeline.project_alignments import ProjectConfig, TagSpec, run_project_alignments
+
+from .test_workflow_data import WORKFLOW, founder_seqs, msa_files  # fixtures
+
+pytestmark = pytest.mark.skipif(not WORKFLOW.exists(), reason="toy data absent")
+
+
+def _synthesise_indel_sam(founder_seqs, n_reads=120, read_len=100, seed=7) -> bytes:
+    """Reads sampled from founders, some with extra indels in the CIGAR, so
+    that projection produces I+D runs that trigger realignment."""
+    rng = np.random.default_rng(seed)
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    lines = ["@HD\tVN:1.6"]
+    for sid, s in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(s)}")
+    names = [s for s in stripped if s != "REF"]
+    for i in range(n_reads):
+        sid = names[int(rng.integers(len(names)))]
+        s = stripped[sid]
+        pos = int(rng.integers(0, len(s) - read_len - 20))
+        kind = i % 3
+        if kind == 0:
+            cigar = f"{read_len}="
+            seq = s[pos:pos + read_len]
+        elif kind == 1:
+            # deletion in the middle
+            k = int(rng.integers(1, 6))
+            half = read_len // 2
+            seq = s[pos:pos + half] + s[pos + half + k:pos + half + k + (read_len - half)]
+            cigar = f"{half}={k}D{read_len - half}="
+        else:
+            # adjacent insertion+deletion in the middle -> an I+D run that
+            # the projector realigns
+            k = int(rng.integers(1, 6))
+            j = int(rng.integers(1, 6))
+            half = read_len // 2
+            ins = bytes(rng.choice(list(b"ACGT"), k))
+            seq = (
+                s[pos:pos + half]
+                + ins
+                + s[pos + half + j:pos + half + j + (read_len - half - k)]
+            )
+            cigar = f"{half}={k}I{j}D{read_len - half - k}="
+        q = seq.decode()
+        qual = "".join(chr(33 + int(x)) for x in rng.integers(20, 42, len(q)))
+        flag = 0 if i % 2 == 0 else 16
+        lines.append(
+            f"read{i}\t{flag}\ttest/{sid}\t{pos + 1}\t60\t{cigar}\t*\t0\t0\t{q}\t{qual}\tNM:i:0"
+        )
+    return ("\n".join(lines) + "\n").encode()
+
+
+@pytest.mark.parametrize("use_quality", [False, True])
+def test_device_engine_matches_host(msa_files, founder_seqs, use_quality):
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs)
+
+    outs = {}
+    stats = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            tags=TagSpec(rec_idx="XI"),
+            use_read_base_qualities=use_quality,
+            engine=engine,
+            device_batch_size=64,
+        )
+        out = io.BytesIO()
+        stats[engine] = run_project_alignments(io.BytesIO(sam), out, cfg)
+        outs[engine] = out.getvalue()
+
+    assert stats["host"].matched_reads == stats["device"].matched_reads
+    assert stats["host"].realigned_range_count > 0  # realignment exercised
+    if use_quality:
+        # float32 device DP may pick co-optimal paths at exact score ties;
+        # compare everything except the CIGAR column byte-for-byte
+        h_lines = outs["host"].decode().splitlines()
+        d_lines = outs["device"].decode().splitlines()
+        assert len(h_lines) == len(d_lines)
+        n_diff = 0
+        for h, d in zip(h_lines, d_lines):
+            hf, df = h.split("\t"), d.split("\t")
+            if len(hf) > 5:
+                n_diff += hf[5] != df[5]
+                hf[5] = df[5] = ""
+            assert hf == df
+        assert n_diff <= len(h_lines) // 10
+    else:
+        assert outs["host"] == outs["device"]
