@@ -65,6 +65,8 @@ class BatchProjector:
     def _ensure_refs(self, ref_seqs: dict[int, bytes]) -> None:
         if set(ref_seqs) == set(self._ref_off):
             return
+        import jax
+
         parts = []
         off = 0
         self._ref_off = {}
@@ -72,9 +74,9 @@ class BatchProjector:
             self._ref_off[rid] = off
             parts.append(np.frombuffer(seq, dtype=np.uint8))
             off += len(seq)
-        self._ref_flat = (
-            np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
-        )
+        flat = np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
+        # keep resident on device; rebuilt only when a new chromosome loads
+        self._ref_flat = jax.device_put(flat)
 
     def project_batch(self, records, ref_seqs: dict[int, bytes], cfg) -> list[ProjectionResult]:
         self._ensure_refs(ref_seqs)

@@ -237,21 +237,20 @@ def realign_batch(
             qq[i, :len(q)] = query_quals[i]
 
     use_quality = ref_quals is not None
-    ops, counts = realign_device_kernel(
-        jnp.asarray(ref_arr),
-        jnp.asarray(q_arr),
-        jnp.asarray(rl),
-        jnp.asarray(ql),
-        jnp.float32(gap_opening),
-        jnp.float32(gap_extension),
-        jnp.asarray(rq),
-        jnp.asarray(qq),
+    out = realign_device_kernel(
+        ref_arr,
+        q_arr,
+        rl,
+        ql,
+        np.float32(gap_opening),
+        np.float32(gap_extension),
+        rq,
+        qq,
         use_quality,
         R,
         Q,
     )
-    ops = np.asarray(ops)
-    counts = np.asarray(counts)
+    ops, counts = jax.device_get(out)
 
     out: list[Cigar] = []
     for i in range(b):

@@ -59,6 +59,17 @@ class RewriteBatch:
     n_units: np.ndarray       # int32[B]
 
 
+_IS_REF_OP = np.zeros(9, dtype=bool)
+for _c in (M, EQ, X, D, N):
+    _IS_REF_OP[_c] = True
+_IS_MTYPE_OP = np.zeros(9, dtype=bool)
+for _c in (M, EQ, X):
+    _IS_MTYPE_OP[_c] = True
+_IS_QUERY_OP = np.zeros(9, dtype=bool)
+for _c in (I, S):
+    _IS_QUERY_OP[_c] = True
+
+
 def expand_cigars(
     cigars: list[Cigar],
     src_positions: list[int],
@@ -70,53 +81,67 @@ def expand_cigars(
     pad_ref_units: int | None = None,
     pad_query: int | None = None,
 ) -> RewriteBatch:
-    """Expand CIGARs into padded unit arrays (step 1 above)."""
+    """Expand CIGARs into padded unit arrays (step 1 above).
+
+    Fully vectorised: O(total ops) Python work, O(total units) numpy work.
+    """
     b = len(cigars)
-    unit_ops: list[np.ndarray] = []
-    unit_counts: list[np.ndarray] = []
-    ref_positions: list[np.ndarray] = []
-    ref_mtypes: list[np.ndarray] = []
-    ref_qpositions: list[np.ndarray] = []
-    ref_unit_idxs: list[np.ndarray] = []
 
-    for cigar, src_pos in zip(cigars, src_positions):
-        ops_l: list[int] = []
-        counts_l: list[int] = []
-        rpos_l: list[int] = []
-        rmt_l: list[bool] = []
-        rqp_l: list[int] = []
-        ridx_l: list[int] = []
-        qpos = 0
-        spos = src_pos
-        for count, op_char in cigar:
-            op = OP_TO_CODE[op_char]
-            if op in _REF_OPS:
-                mt = op in _MTYPE
-                for _ in range(count):
-                    rpos_l.append(spos)
-                    rmt_l.append(mt)
-                    rqp_l.append(qpos)
-                    ridx_l.append(len(ops_l))
-                    ops_l.append(op)
-                    counts_l.append(1)
-                    spos += 1
-                    if mt:
-                        qpos += 1
-            else:
-                ops_l.append(op)
-                counts_l.append(count)
-                if op in (I, S):
-                    qpos += count
-        unit_ops.append(np.array(ops_l, dtype=np.int8))
-        unit_counts.append(np.array(counts_l, dtype=np.int32))
-        ref_positions.append(np.array(rpos_l, dtype=np.int32))
-        ref_mtypes.append(np.array(rmt_l, dtype=bool))
-        ref_qpositions.append(np.array(rqp_l, dtype=np.int32))
-        ref_unit_idxs.append(np.array(ridx_l, dtype=np.int32))
+    # flatten (record, count, op) triples — CIGARs are short, this is the
+    # only per-op Python loop
+    n_ops = np.fromiter((len(c) for c in cigars), dtype=np.int64, count=b)
+    total_ops = int(n_ops.sum())
+    ops_flat = np.empty(total_ops, dtype=np.int8)
+    counts_flat = np.empty(total_ops, dtype=np.int64)
+    k = 0
+    for cig in cigars:
+        for count, op_char in cig:
+            ops_flat[k] = OP_TO_CODE[op_char]
+            counts_flat[k] = count
+            k += 1
+    op_rec = np.repeat(np.arange(b), n_ops)
 
-    u = pad_units if pad_units is not None else max((len(x) for x in unit_ops), default=1) or 1
-    r = pad_ref_units if pad_ref_units is not None else max((len(x) for x in ref_positions), default=1) or 1
-    lq = pad_query if pad_query is not None else max((len(q) for q in queries), default=1) or 1
+    is_ref_op = _IS_REF_OP[ops_flat]
+    # expansion: ref-consuming ops produce `count` units, others one unit
+    rep = np.where(is_ref_op, counts_flat, 1)
+    unit_op = np.repeat(ops_flat, rep)
+    unit_rec = np.repeat(op_rec, rep)
+    unit_count = np.repeat(np.where(is_ref_op, 1, counts_flat), rep).astype(np.int32)
+    total_units = len(unit_op)
+
+    # per-record segment bookkeeping
+    units_per_rec = np.bincount(unit_rec, minlength=b)
+    rec_unit_start = np.concatenate([[0], np.cumsum(units_per_rec)[:-1]])
+    unit_idx_in_rec = np.arange(total_units) - rec_unit_start[unit_rec]
+
+    is_ref_unit = _IS_REF_OP[unit_op]
+    is_mtype_unit = _IS_MTYPE_OP[unit_op]
+
+    # reference position per unit: record src_pos + #ref units before it
+    ref_consume = is_ref_unit.astype(np.int64)
+    c_ref = np.cumsum(ref_consume)
+    excl_ref = c_ref - ref_consume
+    ref_before = excl_ref - excl_ref[rec_unit_start][unit_rec]
+    src_pos_arr = np.asarray(src_positions, dtype=np.int64)
+    unit_src_pos = src_pos_arr[unit_rec] + ref_before
+
+    # query position per unit: M-type units consume 1, I/S units their count
+    q_consume = np.where(is_mtype_unit, 1, 0) + np.where(
+        _IS_QUERY_OP[unit_op], unit_count, 0
+    )
+    c_q = np.cumsum(q_consume)
+    excl_q = c_q - q_consume
+    unit_qpos = excl_q - excl_q[rec_unit_start][unit_rec]
+
+    # dense rank of ref units within each record
+    c_rank = np.cumsum(ref_consume)
+    excl_rank = c_rank - ref_consume
+    ref_rank = excl_rank - excl_rank[rec_unit_start][unit_rec]
+
+    u = pad_units if pad_units is not None else max(1, int(units_per_rec.max(initial=0)))
+    ref_per_rec = np.bincount(unit_rec[is_ref_unit], minlength=b)
+    r = pad_ref_units if pad_ref_units is not None else max(1, int(ref_per_rec.max(initial=0)))
+    lq = pad_query if pad_query is not None else max(1, max((len(q) for q in queries), default=1))
 
     batch = RewriteBatch(
         src_seq=np.asarray(src_seq_ids, dtype=np.int32),
@@ -132,21 +157,30 @@ def expand_cigars(
         ref_qpos=np.zeros((b, r), dtype=np.int32),
         ref_valid=np.zeros((b, r), dtype=bool),
         ref_unit_idx=np.zeros((b, r), dtype=np.int32),
-        n_units=np.array([len(x) for x in unit_ops], dtype=np.int32),
+        n_units=units_per_rec.astype(np.int32),
     )
-    for i in range(b):
-        k = len(unit_ops[i])
-        batch.unit_op[i, :k] = unit_ops[i]
-        batch.unit_count[i, :k] = unit_counts[i]
-        batch.unit_valid[i, :k] = True
-        kr = len(ref_positions[i])
-        batch.ref_src_pos[i, :kr] = ref_positions[i]
-        batch.ref_is_mtype[i, :kr] = ref_mtypes[i]
-        batch.ref_qpos[i, :kr] = ref_qpositions[i]
-        batch.ref_valid[i, :kr] = True
-        batch.ref_unit_idx[i, :kr] = ref_unit_idxs[i]
-        q = np.frombuffer(queries[i], dtype=np.uint8)
-        batch.query[i, :len(q)] = q
+
+    batch.unit_op[unit_rec, unit_idx_in_rec] = unit_op
+    batch.unit_count[unit_rec, unit_idx_in_rec] = unit_count
+    batch.unit_valid[unit_rec, unit_idx_in_rec] = True
+
+    rm = is_ref_unit
+    rrec = unit_rec[rm]
+    rcol = ref_rank[rm]
+    batch.ref_src_pos[rrec, rcol] = unit_src_pos[rm]
+    batch.ref_is_mtype[rrec, rcol] = is_mtype_unit[rm]
+    batch.ref_qpos[rrec, rcol] = unit_qpos[rm]
+    batch.ref_valid[rrec, rcol] = True
+    batch.ref_unit_idx[rrec, rcol] = unit_idx_in_rec[rm]
+
+    # queries: pack via a flat buffer
+    qlens = np.fromiter((len(q) for q in queries), dtype=np.int64, count=b)
+    if b and qlens.max(initial=0):
+        qflat = np.frombuffer(b"".join(queries), dtype=np.uint8)
+        qrec = np.repeat(np.arange(b), qlens)
+        qstart = np.concatenate([[0], np.cumsum(qlens)[:-1]])
+        qcol = np.arange(len(qflat)) - qstart[qrec]
+        batch.query[qrec, qcol] = qflat
     return batch
 
 
@@ -203,7 +237,11 @@ def finalize_rewrite(
     main_code: np.ndarray,
     main_len: np.ndarray,
 ) -> tuple[list[int], list[Cigar]]:
-    """Step 3: merge device results into per-record rewritten CIGARs."""
+    """Step 3: merge device results into per-record rewritten CIGARs.
+
+    One flat RLE pass over the whole batch: adjacent equal ops merge within
+    a record, run boundaries break at record boundaries.
+    """
     b, u = batch.unit_op.shape
     out_ops = np.repeat(batch.unit_op[:, :, None], 2, axis=2).astype(np.int16)
     out_lens = np.zeros((b, u, 2), dtype=np.int32)
@@ -220,26 +258,37 @@ def finalize_rewrite(
     out_ops[bidx[rv], ui[rv], 1] = main_code[rv]
     out_lens[bidx[rv], ui[rv], 1] = main_len[rv]
 
-    positions: list[int] = []
+    flat_ops = out_ops.reshape(-1)
+    flat_lens = out_lens.reshape(-1)
+    flat_rec = np.repeat(np.arange(b), 2 * u)
+
+    keep = flat_lens > 0
+    ops_k = flat_ops[keep]
+    lens_k = flat_lens[keep]
+    rec_k = flat_rec[keep]
+
+    positions = [int(p) for p in dst_pos]
+    if len(ops_k) == 0:
+        return positions, [[] for _ in range(b)]
+
+    boundary = np.empty(len(ops_k), dtype=bool)
+    boundary[0] = True
+    np.logical_or(ops_k[1:] != ops_k[:-1], rec_k[1:] != rec_k[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    run_lens = np.add.reduceat(lens_k, starts)
+    run_ops = ops_k[starts]
+    run_rec = rec_k[starts]
+
+    runs_per_rec = np.bincount(run_rec, minlength=b)
+    run_off = np.concatenate([[0], np.cumsum(runs_per_rec)])
+    ops_list = run_ops.tolist()
+    lens_list = run_lens.tolist()
     cigars: list[Cigar] = []
-    flat_ops = out_ops.reshape(b, -1)
-    flat_lens = out_lens.reshape(b, -1)
     for i in range(b):
-        n = int(batch.n_units[i]) * 2
-        ops = flat_ops[i, :n]
-        lens = flat_lens[i, :n]
-        keep = lens > 0
-        ops = ops[keep]
-        lens = lens[keep]
-        cig: Cigar = []
-        for op, ln in zip(ops.tolist(), lens.tolist()):
-            ch = CODE_TO_OP[op]
-            if cig and cig[-1][1] == ch:
-                cig[-1] = (cig[-1][0] + ln, ch)
-            else:
-                cig.append((ln, ch))
-        cigars.append(cig)
-        positions.append(int(dst_pos[i]))
+        lo, hi = run_off[i], run_off[i + 1]
+        cigars.append(
+            [(lens_list[j], CODE_TO_OP[ops_list[j]]) for j in range(lo, hi)]
+        )
     return positions, cigars
 
 
@@ -248,24 +297,23 @@ def rewrite_batch(
     ref_flat: np.ndarray,
     batch: RewriteBatch,
 ) -> tuple[list[int], list[Cigar]]:
-    """Run the full batched rewrite (host expand → device → host RLE)."""
-    dst_pos, d_run, main_code, main_len = rewrite_device_kernel(
+    """Run the full batched rewrite (host expand → device → host RLE).
+
+    numpy arrays are passed straight into the jitted kernel (one dispatch,
+    transfers bundled) and results fetched with a single device_get.
+    """
+    out = rewrite_device_kernel(
         index,
-        jnp.asarray(ref_flat),
-        jnp.asarray(batch.src_seq),
-        jnp.asarray(batch.dst_seq),
-        jnp.asarray(batch.rec_src_pos),
-        jnp.asarray(batch.ref_off),
-        jnp.asarray(batch.ref_src_pos),
-        jnp.asarray(batch.ref_is_mtype),
-        jnp.asarray(batch.ref_qpos),
-        jnp.asarray(batch.ref_valid),
-        jnp.asarray(batch.query),
+        ref_flat,
+        batch.src_seq,
+        batch.dst_seq,
+        batch.rec_src_pos,
+        batch.ref_off,
+        batch.ref_src_pos,
+        batch.ref_is_mtype,
+        batch.ref_qpos,
+        batch.ref_valid,
+        batch.query,
     )
-    return finalize_rewrite(
-        batch,
-        np.asarray(dst_pos),
-        np.asarray(d_run),
-        np.asarray(main_code),
-        np.asarray(main_len),
-    )
+    dst_pos, d_run, main_code, main_len = jax.device_get(out)
+    return finalize_rewrite(batch, dst_pos, d_run, main_code, main_len)

@@ -1,0 +1,164 @@
+"""Tests for split_alignments, alignment_statistics, convert_bed_positions."""
+
+import io
+
+import pytest
+
+from panvc3_tpu.io.sam import SamReader
+from panvc3_tpu.msa_index import MsaIndex, make_sequence_entry_pair
+from panvc3_tpu.pipeline.alignment_statistics import (
+    ExtendedP2,
+    calculate_coverage,
+    calculate_record_length,
+    count_alignments,
+    mapq_box_plot,
+    mapq_histogram,
+)
+from panvc3_tpu.cigar import parse_cigar
+from panvc3_tpu.pipeline.convert_bed_positions import convert_position, run_convert_bed_positions
+from panvc3_tpu.pipeline.split_alignments import (
+    read_reference_names,
+    run_list_reference_names,
+    run_split_alignments,
+)
+
+
+def _sam(records, sqs=(("c1", 100), ("c2", 100))):
+    lines = ["@HD\tVN:1.6"] + [f"@SQ\tSN:{n}\tLN:{l}" for n, l in sqs] + list(records)
+    return io.BytesIO(("\n".join(lines) + "\n").encode())
+
+
+# -- split ------------------------------------------------------------------
+
+def test_reference_names_prefix_free():
+    with pytest.raises(ValueError):
+        read_reference_names(io.StringIO("chr1\nchr10\n"), prefixes=True, rewrite=False)
+    recs = read_reference_names(io.StringIO("b\na\n"), prefixes=False, rewrite=False)
+    assert [r.reference_name for r in recs] == ["a", "b"]
+
+
+def test_split_alignments(tmp_path):
+    sam = _sam([
+        "q1\t0\tc1\t1\t60\t3M\t*\t0\t0\tACG\tIII",
+        "q2\t0\tc2\t1\t60\t3M\t*\t0\t0\tACG\tIII",
+        "q3\t0\tc1\t5\t60\t3M\t*\t0\t0\tACG\tIII",
+    ])
+    out = io.StringIO()
+    counts = run_split_alignments(
+        sam,
+        io.StringIO("c1\nc2\n"),
+        basename=str(tmp_path) + "/",
+        out=out,
+    )
+    assert counts == {"c1": 2, "c2": 1}
+    recs = list(SamReader(str(tmp_path / "c1.bam")))
+    assert [r.qname for r in recs] == ["q1", "q3"]
+    assert "c1\t2" in out.getvalue()
+
+
+def test_list_reference_names():
+    sam = _sam(["q1\t0\tc2\t1\t60\t3M\t*\t0\t0\tACG\tIII"])
+    out = io.StringIO()
+    used = run_list_reference_names(sam, only_used=True, out=out)
+    assert used == ["c2"]
+
+
+# -- statistics -------------------------------------------------------------
+
+def test_record_length_clipping():
+    assert calculate_record_length(parse_cigar("3S5M2D"), False) == 7
+    assert calculate_record_length(parse_cigar("3S5M2D"), True) == 10
+
+
+def test_coverage():
+    sam = _sam([
+        "a\t0\tc1\t1\t60\t4M\t*\t0\t0\tACGT\tIIII",
+        "b\t0\tc1\t3\t60\t4M\t*\t0\t0\tACGT\tIIII",
+    ])
+    out = io.StringIO()
+    calculate_coverage(SamReader(sam), out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "POSITION\tCOVERAGE"
+    cov = dict(tuple(l.split("\t")) for l in lines[1:])
+    # positions 0,1 covered by a only; 2,3 by both; 4,5 by b only
+    assert cov["0"] == "1" and cov["2"] == "2" and cov["5"] == "1"
+
+
+def test_count_and_histogram():
+    records = [
+        "a\t0\tc1\t1\t60\t3M\t*\t0\t0\tACG\tIII",
+        "b\t0\tc2\t1\t42\t3M\t*\t0\t0\tACG\tIII",
+        "c\t0\tc2\t2\t42\t3M\t*\t0\t0\tACG\tIII",
+    ]
+    out = io.StringIO()
+    count_alignments(SamReader(_sam(records)), out)
+    assert "c2\t2" in out.getvalue()
+
+    out2 = io.StringIO()
+    mapq_histogram(SamReader(_sam(records)), out2)
+    assert "42\t2" in out2.getvalue()
+    assert "60\t1" in out2.getvalue()
+
+
+def test_extended_p2_reasonable():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(50, 10, 5000)
+    acc = ExtendedP2([0.1, 0.25, 0.5, 0.75, 0.9])
+    for x in data:
+        acc.add(float(x))
+    est = acc.quantile(0.5)
+    true = float(np.median(data))
+    assert abs(est - true) < 1.0
+    assert acc.minimum == data.min()
+    assert acc.maximum == data.max()
+
+
+def test_mapq_box_plot_runs():
+    sam = _sam([
+        f"r{i}\t0\tc1\t{i + 1}\t{30 + (i % 20)}\t3M\t*\t0\t0\tACG\tIII"
+        for i in range(50)
+    ])
+    out = io.StringIO()
+    mapq_box_plot(SamReader(sam), out, bin_width=100)
+    lines = out.getvalue().splitlines()
+    assert lines[0].startswith("BIN\tMIN")
+    assert len(lines) == 2
+    assert lines[1].split("\t")[-1] == "50"
+
+
+# -- convert_bed_positions --------------------------------------------------
+
+def test_convert_position_boundary():
+    # src: GAT-ACA  dst: GATTACA ; position semantics mirror main.cc:60-73
+    src, dst = make_sequence_entry_pair("GAT-ACA", "GATTACA")
+    assert convert_position(src, dst, 0) == 0
+    assert convert_position(src, dst, 3) == 4  # after dst's extra T
+    # dst -> src across the gap: dst pos 3 (T, aligned col 3) is a gap in
+    # src; +dstc-1 yields the previous src position boundary
+    assert convert_position(dst, src, 3) == 3
+    assert convert_position(dst, src, 4) == 3
+
+
+def test_run_convert_bed_positions(tmp_path):
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import ChrEntry, SequenceEntry
+
+    idx = MsaIndex()
+    chrom = ChrEntry("chrA")
+    chrom.sequence_entries.append(SequenceEntry("s1", GapBitVector.from_gap_string("GAT-ACA")))
+    chrom.sequence_entries.append(SequenceEntry("s2", GapBitVector.from_gap_string("GATTACA")))
+    idx.chr_entries.append(chrom)
+    idx.sort()
+    p = tmp_path / "idx.npz"
+    idx.save(str(p))
+
+    bed = io.StringIO("chrA\t0\t3\nother\t1\t2\n")
+    out = io.StringIO()
+    matches, mismatches = run_convert_bed_positions(
+        str(p), bed, "chrA", "s1", "s2", out=out
+    )
+    assert (matches, mismatches) == (1, 1)
+    # end 3 ('A' after the src gap) lands at dst position 4 past the extra T
+    assert out.getvalue() == "chrA\t0\t4\n"
