@@ -1,0 +1,125 @@
+"""End-to-end CLI tests driving the full pipeline the way the reference's
+test-workflow Snakefile does (/root/reference/test-workflow/Snakefile:30-97):
+index_msa -> project_alignments -> recalculate_mapq."""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+WORKFLOW = pathlib.Path("/root/reference/test-workflow")
+pytestmark = pytest.mark.skipif(not WORKFLOW.exists(), reason="toy data absent")
+
+
+def run(args, **kw):
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin:/usr/local/bin")
+    import os
+
+    env = {**os.environ, **env}
+    return subprocess.run(
+        [sys.executable, "-m", "panvc3_tpu", *args],
+        capture_output=True,
+        cwd="/root/repo",
+        env=env,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    tsv = tmp / "input.tsv"
+    rows = []
+    for line in (WORKFLOW / "index-input/input.tsv").read_text().splitlines():
+        chr_id, seq_id, rel = line.split("\t")
+        rows.append(f"{chr_id}\t{seq_id}\t{WORKFLOW / rel}")
+    tsv.write_text("\n".join(rows) + "\n")
+    index = tmp / "msa-index.npz"
+    r = run(
+        [
+            "index_msa",
+            "--build-index",
+            f"--sequence-inputs={tsv}",
+            f"--msa-index-output={index}",
+            "--output-fasta",
+            "--pipe-input=bzip2 -d -c",
+        ]
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    fasta = tmp / "unaligned.fa"
+    fasta.write_bytes(r.stdout)
+    assert r.stdout.startswith(b">test/REF\n")
+    return tmp, index, fasta
+
+
+def test_cli_list_contents(built_index):
+    tmp, index, _ = built_index
+    r = run(["index_msa", "--list-contents", f"--msa-index-input={index}"])
+    assert r.returncode == 0
+    assert r.stdout.decode().startswith("test\n")
+
+
+def test_cli_full_pipeline(built_index):
+    import io
+
+    import numpy as np
+
+    tmp, index, fasta = built_index
+
+    # synthesise a founder-aligned SAM (paired, with AS tags so that
+    # recalculate_mapq has scores)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_workflow_data import _synthesise_sam  # noqa: E402
+    import bz2
+
+    founders = {}
+    for line in (WORKFLOW / "index-input/input.tsv").read_text().splitlines():
+        chr_id, seq_id, rel = line.split("\t")
+        founders[seq_id] = bz2.open(WORKFLOW / rel, "rb").read()
+    sam_text = _synthesise_sam(founders, n_reads=50)
+    # add AS tags for MAPQ recalculation
+    lines = []
+    for line in sam_text.splitlines():
+        if line.startswith("@"):
+            lines.append(line)
+        else:
+            lines.append(line + "\tAS:i:-5")
+    sam_in = tmp / "founder.sam"
+    sam_in.write_text("\n".join(lines) + "\n")
+
+    projected = tmp / "projected.sam"
+    r = run(
+        [
+            "project_alignments",
+            f"--alignments={sam_in}",
+            f"--msa-index={index}",
+            f"--reference={WORKFLOW}/genome/genome.fa.gz",
+            "--reference-msa-id=REF",
+            "--ref-id-separator=/",
+            "--record-index-tag=XI",
+            "--preserve-tag=XS",
+            "--preserve-tag=YS",
+            f"--output-path={projected}",
+            "--engine=host",
+        ]
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"Matched reads:     50" in r.stderr
+
+    recal = tmp / "recalculated.sam"
+    r2 = run(
+        [
+            "recalculate_mapq",
+            f"--alignments={projected}",
+            f"--output-path={recal}",
+        ]
+    )
+    assert r2.returncode == 0, r2.stderr.decode()
+    text = recal.read_text()
+    assert text.startswith("@")
+    n_records = sum(1 for l in text.splitlines() if not l.startswith("@"))
+    assert n_records == 50
+    # PG chain present from both tools
+    assert "panvc3.project-alignments" in text
+    assert "panvc3.recalculate-mapq" in text
