@@ -92,18 +92,12 @@ class BatchProjector:
         dst_ids = [self.dst_dev_ids[r] for r in dst_ref_ids]
         ref_offs = [self._ref_off[r] for r in dst_ref_ids]
 
-        # unit counts for bucketing
-        max_units = 1
+        # shape buckets (powers of two bound the number of compiled variants)
+        max_ops = 1
         max_ref_units = 1
         for cig in cigars:
-            u = r = 0
-            for n, op in cig:
-                if op in "M=XDN":
-                    u += n
-                    r += n
-                else:
-                    u += 1
-            max_units = max(max_units, u)
+            max_ops = max(max_ops, len(cig))
+            r = sum(n for n, op in cig if op in "M=XDN")
             max_ref_units = max(max_ref_units, r)
         max_q = max(1, max(len(q) for q in queries))
 
@@ -114,7 +108,7 @@ class BatchProjector:
             src_ids,
             dst_ids,
             ref_offs,
-            pad_units=_next_pow2(max_units),
+            pad_ops=_next_pow2(max_ops),
             pad_ref_units=_next_pow2(max_ref_units),
             pad_query=_next_pow2(max_q),
         )

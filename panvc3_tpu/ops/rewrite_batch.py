@@ -2,19 +2,23 @@
 
 The per-character loop of the reference
 (/root/reference/include/panvc3/rewrite_cigar.hh:80-152) becomes a
-fixed-shape, data-parallel pipeline:
+fixed-shape, data-parallel pipeline.  CIGARs never materialise per-base on
+the host: records ship to the device as compact op-level arrays
+(op codes + counts, ~8 ops per read), and the device expands them to
+per-base "reference units" itself with prefix sums + comparisons before
+running the coordinate math (select0/rank0/bit gathers over the HBM-resident
+index plus the query/reference character comparison).
 
-1. host: expand each record's CIGAR into *units* — one unit per base for
-   reference-consuming ops (M/=/X/D/N), one unit per op for the
-   pass-through ops (I/S/H/P); reference-consuming units are additionally
-   packed into a dense (B, R) block, in order;
-2. device: for every reference-consuming unit, compute
-   ``aligned = select0(src, pos+1)``, ``excess = rank0(dst, aligned)``,
-   the destination gap bit, and the query/destination character comparison —
-   pure gathers + popcounts over the HBM-resident index, vmapped over the
-   whole batch;
-3. host: merge the device results back into the unit stream, emit the
-   inter-position deletion runs, and RLE-collapse into final CIGARs.
+Per batch of B records with up to O CIGAR ops and R reference-consuming
+bases each:
+
+- host: flatten CIGARs to (B, O) op/count arrays + a flat unit stream used
+  only for the final RLE merge (numpy, O(total units));
+- device: expand to (B, R) units, compute ``aligned = select0(src, pos+1)``,
+  ``excess = rank0(dst, aligned)``, the destination gap bit, the emitted op
+  per unit and the inter-position deletion run lengths;
+- host: interleave the device results with the pass-through ops and
+  RLE-collapse into final CIGARs (one flat vectorised pass).
 
 The result is bit-identical to :func:`panvc3_tpu.rewrite.rewrite_cigar`.
 """
@@ -35,39 +39,35 @@ _REF_OPS = frozenset((M, EQ, X, D, N))
 _MTYPE = frozenset((M, EQ, X))
 CODE_NONE = 15  # emitted-op code for "nothing"
 
+_IS_REF_OP = np.zeros(16, dtype=bool)
+for _c in (M, EQ, X, D, N):
+    _IS_REF_OP[_c] = True
+_IS_MTYPE_OP = np.zeros(16, dtype=bool)
+for _c in (M, EQ, X):
+    _IS_MTYPE_OP[_c] = True
+_IS_QUERY_OP = np.zeros(16, dtype=bool)
+for _c in (I, S):
+    _IS_QUERY_OP[_c] = True
+
 
 @dataclass
 class RewriteBatch:
     """Host-side staging of one batch of records for the rewrite kernel."""
 
-    # per record
-    src_seq: np.ndarray       # int32[B] sequence id in the device index
+    # per record (shipped to device)
+    src_seq: np.ndarray       # int32[B]
     dst_seq: np.ndarray       # int32[B]
     rec_src_pos: np.ndarray   # int32[B]
     ref_off: np.ndarray       # int32[B] offset of the record's output ref in ref_flat
+    ops: np.ndarray           # int8[B, O] CIGAR op codes (CODE_NONE padding)
+    counts: np.ndarray        # int32[B, O]
     query: np.ndarray         # uint8[B, Lq] dna5-normalised, 0-padded
-    # per unit (full stream, padded)
-    unit_op: np.ndarray       # int8[B, U]
-    unit_count: np.ndarray    # int32[B, U]
-    unit_valid: np.ndarray    # bool[B, U]
-    # reference-consuming units (dense pack, padded)
-    ref_src_pos: np.ndarray   # int32[B, R]
-    ref_is_mtype: np.ndarray  # bool[B, R]
-    ref_qpos: np.ndarray      # int32[B, R]
-    ref_valid: np.ndarray     # bool[B, R]
-    ref_unit_idx: np.ndarray  # int32[B, R] position of this unit in the unit stream
-    n_units: np.ndarray       # int32[B]
-
-
-_IS_REF_OP = np.zeros(9, dtype=bool)
-for _c in (M, EQ, X, D, N):
-    _IS_REF_OP[_c] = True
-_IS_MTYPE_OP = np.zeros(9, dtype=bool)
-for _c in (M, EQ, X):
-    _IS_MTYPE_OP[_c] = True
-_IS_QUERY_OP = np.zeros(9, dtype=bool)
-for _c in (I, S):
-    _IS_QUERY_OP[_c] = True
+    # host-only bookkeeping for the RLE merge
+    n_ref_units: np.ndarray   # int32[B]
+    unit_op: np.ndarray       # int8[total_units] flat unit stream
+    unit_count: np.ndarray    # int32[total_units]
+    unit_rec: np.ndarray      # int32[total_units]
+    pad_ref_units: int        # R
 
 
 def expand_cigars(
@@ -77,18 +77,13 @@ def expand_cigars(
     src_seq_ids: list[int],
     dst_seq_ids: list[int],
     ref_offsets: list[int],
-    pad_units: int | None = None,
+    pad_ops: int | None = None,
     pad_ref_units: int | None = None,
     pad_query: int | None = None,
 ) -> RewriteBatch:
-    """Expand CIGARs into padded unit arrays (step 1 above).
-
-    Fully vectorised: O(total ops) Python work, O(total units) numpy work.
-    """
+    """Stage a batch: op-level device arrays + flat host unit stream."""
     b = len(cigars)
 
-    # flatten (record, count, op) triples — CIGARs are short, this is the
-    # only per-op Python loop
     n_ops = np.fromiter((len(c) for c in cigars), dtype=np.int64, count=b)
     total_ops = int(n_ops.sum())
     ops_flat = np.empty(total_ops, dtype=np.int8)
@@ -102,132 +97,115 @@ def expand_cigars(
     op_rec = np.repeat(np.arange(b), n_ops)
 
     is_ref_op = _IS_REF_OP[ops_flat]
-    # expansion: ref-consuming ops produce `count` units, others one unit
+    ref_per_rec = np.bincount(op_rec, weights=np.where(is_ref_op, counts_flat, 0), minlength=b).astype(np.int64)
+
+    # flat unit stream (one unit per base for ref ops, one per op otherwise)
     rep = np.where(is_ref_op, counts_flat, 1)
     unit_op = np.repeat(ops_flat, rep)
-    unit_rec = np.repeat(op_rec, rep)
+    unit_rec = np.repeat(op_rec, rep).astype(np.int32)
     unit_count = np.repeat(np.where(is_ref_op, 1, counts_flat), rep).astype(np.int32)
-    total_units = len(unit_op)
 
-    # per-record segment bookkeeping
-    units_per_rec = np.bincount(unit_rec, minlength=b)
-    rec_unit_start = np.concatenate([[0], np.cumsum(units_per_rec)[:-1]])
-    unit_idx_in_rec = np.arange(total_units) - rec_unit_start[unit_rec]
-
-    is_ref_unit = _IS_REF_OP[unit_op]
-    is_mtype_unit = _IS_MTYPE_OP[unit_op]
-
-    # reference position per unit: record src_pos + #ref units before it
-    ref_consume = is_ref_unit.astype(np.int64)
-    c_ref = np.cumsum(ref_consume)
-    excl_ref = c_ref - ref_consume
-    ref_before = excl_ref - excl_ref[rec_unit_start][unit_rec]
-    src_pos_arr = np.asarray(src_positions, dtype=np.int64)
-    unit_src_pos = src_pos_arr[unit_rec] + ref_before
-
-    # query position per unit: M-type units consume 1, I/S units their count
-    q_consume = np.where(is_mtype_unit, 1, 0) + np.where(
-        _IS_QUERY_OP[unit_op], unit_count, 0
-    )
-    c_q = np.cumsum(q_consume)
-    excl_q = c_q - q_consume
-    unit_qpos = excl_q - excl_q[rec_unit_start][unit_rec]
-
-    # dense rank of ref units within each record
-    c_rank = np.cumsum(ref_consume)
-    excl_rank = c_rank - ref_consume
-    ref_rank = excl_rank - excl_rank[rec_unit_start][unit_rec]
-
-    u = pad_units if pad_units is not None else max(1, int(units_per_rec.max(initial=0)))
-    ref_per_rec = np.bincount(unit_rec[is_ref_unit], minlength=b)
+    o = pad_ops if pad_ops is not None else max(1, int(n_ops.max(initial=0)))
     r = pad_ref_units if pad_ref_units is not None else max(1, int(ref_per_rec.max(initial=0)))
     lq = pad_query if pad_query is not None else max(1, max((len(q) for q in queries), default=1))
 
-    batch = RewriteBatch(
-        src_seq=np.asarray(src_seq_ids, dtype=np.int32),
-        dst_seq=np.asarray(dst_seq_ids, dtype=np.int32),
-        rec_src_pos=np.asarray(src_positions, dtype=np.int32),
-        ref_off=np.asarray(ref_offsets, dtype=np.int32),
-        query=np.zeros((b, lq), dtype=np.uint8),
-        unit_op=np.zeros((b, u), dtype=np.int8),
-        unit_count=np.zeros((b, u), dtype=np.int32),
-        unit_valid=np.zeros((b, u), dtype=bool),
-        ref_src_pos=np.zeros((b, r), dtype=np.int32),
-        ref_is_mtype=np.zeros((b, r), dtype=bool),
-        ref_qpos=np.zeros((b, r), dtype=np.int32),
-        ref_valid=np.zeros((b, r), dtype=bool),
-        ref_unit_idx=np.zeros((b, r), dtype=np.int32),
-        n_units=units_per_rec.astype(np.int32),
-    )
+    ops_2d = np.full((b, o), CODE_NONE, dtype=np.int8)
+    counts_2d = np.zeros((b, o), dtype=np.int32)
+    op_start = np.concatenate([[0], np.cumsum(n_ops)[:-1]])
+    col = np.arange(total_ops) - op_start[op_rec]
+    ops_2d[op_rec, col] = ops_flat
+    counts_2d[op_rec, col] = counts_flat
 
-    batch.unit_op[unit_rec, unit_idx_in_rec] = unit_op
-    batch.unit_count[unit_rec, unit_idx_in_rec] = unit_count
-    batch.unit_valid[unit_rec, unit_idx_in_rec] = True
-
-    rm = is_ref_unit
-    rrec = unit_rec[rm]
-    rcol = ref_rank[rm]
-    batch.ref_src_pos[rrec, rcol] = unit_src_pos[rm]
-    batch.ref_is_mtype[rrec, rcol] = is_mtype_unit[rm]
-    batch.ref_qpos[rrec, rcol] = unit_qpos[rm]
-    batch.ref_valid[rrec, rcol] = True
-    batch.ref_unit_idx[rrec, rcol] = unit_idx_in_rec[rm]
-
-    # queries: pack via a flat buffer
+    query_2d = np.zeros((b, lq), dtype=np.uint8)
     qlens = np.fromiter((len(q) for q in queries), dtype=np.int64, count=b)
     if b and qlens.max(initial=0):
         qflat = np.frombuffer(b"".join(queries), dtype=np.uint8)
         qrec = np.repeat(np.arange(b), qlens)
         qstart = np.concatenate([[0], np.cumsum(qlens)[:-1]])
         qcol = np.arange(len(qflat)) - qstart[qrec]
-        batch.query[qrec, qcol] = qflat
-    return batch
+        query_2d[qrec, qcol] = qflat
+
+    return RewriteBatch(
+        src_seq=np.asarray(src_seq_ids, dtype=np.int32),
+        dst_seq=np.asarray(dst_seq_ids, dtype=np.int32),
+        rec_src_pos=np.asarray(src_positions, dtype=np.int32),
+        ref_off=np.asarray(ref_offsets, dtype=np.int32),
+        ops=ops_2d,
+        counts=counts_2d,
+        query=query_2d,
+        n_ref_units=ref_per_rec.astype(np.int32),
+        unit_op=unit_op,
+        unit_count=unit_count,
+        unit_rec=unit_rec,
+        pad_ref_units=r,
+    )
 
 
-@partial(jax.jit, static_argnames=())
-def rewrite_device_kernel(
+def rewrite_math(
     index: DeviceGapIndex,
     ref_flat: jnp.ndarray,     # uint8[Nref] concatenated output reference bytes
     src_seq: jnp.ndarray,      # int32[B]
     dst_seq: jnp.ndarray,      # int32[B]
     rec_src_pos: jnp.ndarray,  # int32[B]
     ref_off: jnp.ndarray,      # int32[B]
-    ref_src_pos: jnp.ndarray,  # int32[B, R]
-    ref_is_mtype: jnp.ndarray,  # bool[B, R]
-    ref_qpos: jnp.ndarray,     # int32[B, R]
-    ref_valid: jnp.ndarray,    # bool[B, R]
+    ops: jnp.ndarray,          # int8[B, O]
+    counts: jnp.ndarray,       # int32[B, O]
     query: jnp.ndarray,        # uint8[B, Lq]
+    R: int,
 ):
-    """Step 2: the per-base coordinate math (device)."""
+    """Device-side per-base expansion + coordinate math (traceable body).
+
+    Returns (dst_pos int32[B], d_run int32[B, R], main_code int8[B, R]).
+    """
+    is_ref_op = jnp.asarray(_IS_REF_OP)[ops]
+    is_mtype_op = jnp.asarray(_IS_MTYPE_OP)[ops]
+    is_query_op = jnp.asarray(_IS_QUERY_OP)[ops]
+
+    ref_counts = jnp.where(is_ref_op, counts, 0)
+    pref = jnp.cumsum(ref_counts, axis=1) - ref_counts       # exclusive
+    total_ref = pref[:, -1] + ref_counts[:, -1]
+
+    q_counts = jnp.where(is_mtype_op | is_query_op, counts, 0)
+    qpref = jnp.cumsum(q_counts, axis=1) - q_counts
+
+    r = jnp.arange(R, dtype=jnp.int32)[None, :]              # (1, R)
+    # op containing unit r: last op with exclusive ref prefix <= r
+    op_idx = jnp.sum(pref[:, None, :] <= r[:, :, None], axis=2) - 1  # (B, R)
+    valid = r < total_ref[:, None]
+    op_idx = jnp.clip(op_idx, 0, ops.shape[1] - 1)
+
+    take = lambda a: jnp.take_along_axis(a, op_idx, axis=1)
+    is_mtype = take(is_mtype_op) & valid
+    unit_pref = take(pref)
+    unit_qpref = take(qpref)
+
+    pos = jnp.where(valid, rec_src_pos[:, None] + r, 0)
+    qpos = jnp.where(is_mtype, unit_qpref + (r - unit_pref), 0)
+
     s = src_seq[:, None]
     d = dst_seq[:, None]
-    pos = jnp.where(ref_valid, ref_src_pos, 0)
-
     aligned = index.select0(s, pos + 1)
     excess = index.rank0(d, aligned)
     isgap = index.bit(d, aligned)
-
     initial = index.rank0(dst_seq, index.select0(src_seq, rec_src_pos + 1))
 
-    # consume flag: the unit ended on a destination non-gap
-    nongap = (1 - isgap)
-    prev_excess = jnp.concatenate(
-        [initial[:, None], (excess + nongap)[:, :-1]], axis=1
-    )
-    d_run = jnp.maximum(excess - prev_excess, 0)
+    nongap = 1 - isgap
+    prev_excess = jnp.concatenate([initial[:, None], (excess + nongap)[:, :-1]], axis=1)
+    d_run = jnp.maximum(excess - prev_excess, 0).astype(jnp.int32)
 
     dst_char = ref_flat[ref_off[:, None] + excess]
-    qchar = jnp.take_along_axis(query, jnp.where(ref_valid, ref_qpos, 0), axis=1)
+    qchar = jnp.take_along_axis(query, jnp.clip(qpos, 0, query.shape[1] - 1), axis=1)
     eq = qchar == dst_char
 
     main_code = jnp.where(
-        ref_is_mtype,
+        is_mtype,
         jnp.where(isgap == 1, I, jnp.where(eq, EQ, X)),
         jnp.where(isgap == 1, CODE_NONE, D),
     ).astype(jnp.int8)
-    main_len = jnp.where(main_code == CODE_NONE, 0, 1).astype(jnp.int32)
+    return initial, d_run, main_code
 
-    return initial, d_run.astype(jnp.int32), main_code, main_len
+
+rewrite_device_kernel = jax.jit(rewrite_math, static_argnames=("R",))
 
 
 def finalize_rewrite(
@@ -235,32 +213,35 @@ def finalize_rewrite(
     dst_pos: np.ndarray,
     d_run: np.ndarray,
     main_code: np.ndarray,
-    main_len: np.ndarray,
 ) -> tuple[list[int], list[Cigar]]:
-    """Step 3: merge device results into per-record rewritten CIGARs.
+    """Merge device results into per-record rewritten CIGARs (one flat RLE
+    pass: adjacent equal ops merge within a record, runs break at record
+    boundaries)."""
+    total_units = len(batch.unit_op)
+    b = len(batch.src_seq)
 
-    One flat RLE pass over the whole batch: adjacent equal ops merge within
-    a record, run boundaries break at record boundaries.
-    """
-    b, u = batch.unit_op.shape
-    out_ops = np.repeat(batch.unit_op[:, :, None], 2, axis=2).astype(np.int16)
-    out_lens = np.zeros((b, u, 2), dtype=np.int32)
-    # passthrough units emit their own op in slot 1
-    out_ops[:, :, 0] = CODE_NONE
-    out_lens[:, :, 1] = np.where(batch.unit_valid, batch.unit_count, 0)
+    is_ref = _IS_REF_OP[batch.unit_op]
 
-    # scatter reference-unit results
-    bidx = np.repeat(np.arange(b)[:, None], batch.ref_unit_idx.shape[1], axis=1)
-    rv = batch.ref_valid
-    ui = batch.ref_unit_idx
-    out_ops[bidx[rv], ui[rv], 0] = D
-    out_lens[bidx[rv], ui[rv], 0] = d_run[rv]
-    out_ops[bidx[rv], ui[rv], 1] = main_code[rv]
-    out_lens[bidx[rv], ui[rv], 1] = main_len[rv]
+    # device rows -> flat per-record ref-unit stream (row-major order of the
+    # valid region matches unit order)
+    R = batch.pad_ref_units
+    valid = np.arange(R)[None, :] < batch.n_ref_units[:, None]
+    dev_d = d_run[valid]
+    dev_code = main_code[valid]
+
+    out_ops = np.empty((total_units, 2), dtype=np.int16)
+    out_lens = np.zeros((total_units, 2), dtype=np.int32)
+    out_ops[:, 0] = CODE_NONE
+    out_ops[:, 1] = batch.unit_op
+    out_lens[:, 1] = batch.unit_count
+    out_ops[is_ref, 0] = D
+    out_lens[is_ref, 0] = dev_d
+    out_ops[is_ref, 1] = dev_code
+    out_lens[is_ref, 1] = np.where(dev_code == CODE_NONE, 0, 1)
 
     flat_ops = out_ops.reshape(-1)
     flat_lens = out_lens.reshape(-1)
-    flat_rec = np.repeat(np.arange(b), 2 * u)
+    flat_rec = np.repeat(batch.unit_rec, 2)
 
     keep = flat_lens > 0
     ops_k = flat_ops[keep]
@@ -294,14 +275,10 @@ def finalize_rewrite(
 
 def rewrite_batch(
     index: DeviceGapIndex,
-    ref_flat: np.ndarray,
+    ref_flat,
     batch: RewriteBatch,
 ) -> tuple[list[int], list[Cigar]]:
-    """Run the full batched rewrite (host expand → device → host RLE).
-
-    numpy arrays are passed straight into the jitted kernel (one dispatch,
-    transfers bundled) and results fetched with a single device_get.
-    """
+    """Run the full batched rewrite (host stage -> device -> host RLE)."""
     out = rewrite_device_kernel(
         index,
         ref_flat,
@@ -309,11 +286,10 @@ def rewrite_batch(
         batch.dst_seq,
         batch.rec_src_pos,
         batch.ref_off,
-        batch.ref_src_pos,
-        batch.ref_is_mtype,
-        batch.ref_qpos,
-        batch.ref_valid,
+        batch.ops,
+        batch.counts,
         batch.query,
+        batch.pad_ref_units,
     )
-    dst_pos, d_run, main_code, main_len = jax.device_get(out)
-    return finalize_rewrite(batch, dst_pos, d_run, main_code, main_len)
+    dst_pos, d_run, main_code = jax.device_get(out)
+    return finalize_rewrite(batch, dst_pos, d_run, main_code)
