@@ -1,0 +1,12 @@
+from setuptools import Extension, setup
+
+setup(
+    name="panvc3-native",
+    ext_modules=[
+        Extension(
+            "_panvc3_native",
+            sources=["panvc3_native.c"],
+            extra_compile_args=["-O3", "-march=native"],
+        )
+    ],
+)

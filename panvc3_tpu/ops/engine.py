@@ -15,12 +15,15 @@ import numpy as np
 
 from ..alphabet import decode_phred42, normalise_dna5
 from ..align import max_quality_array
-from ..cigar import Cigar, collapse_cigar
-from ..indel_runs import find_indel_runs
+from ..cigar import CODE_TO_OP, Cigar, collapse_cigar
+from ..indel_runs import IndelRun, find_indel_runs
+from ..native import get_native
 from ..projector import ProjectionResult
 from .rank_select import DeviceGapIndex
 from .realign_batch import realign_batch
-from .rewrite_batch import expand_cigars, rewrite_batch
+from .rewrite_batch import expand_cigars, rewrite_batch, rewrite_device_kernel
+
+import jax
 
 
 def _next_pow2(n: int) -> int:
@@ -112,20 +115,76 @@ class BatchProjector:
             pad_ref_units=_next_pow2(max_ref_units),
             pad_query=_next_pow2(max_q),
         )
-        dst_pos, rewritten = rewrite_batch(self.index, self._ref_flat, batch)
+        native = get_native()
+        if native is not None:
+            out = rewrite_device_kernel(
+                self.index,
+                self._ref_flat,
+                batch.src_seq,
+                batch.dst_seq,
+                batch.rec_src_pos,
+                batch.ref_off,
+                batch.ops,
+                batch.counts,
+                batch.query,
+                batch.pad_ref_units,
+            )
+            dst_pos_a, d_run, main_code = jax.device_get(out)
+            valid = (
+                np.arange(batch.pad_ref_units)[None, :] < batch.n_ref_units[:, None]
+            )
+            n_units = np.bincount(batch.unit_rec, minlength=b).astype(np.int32)
+            run_ops_b, run_lens_b, runs_per_rec_b, indel_rows = native.finalize_rewrite(
+                np.ascontiguousarray(batch.unit_op),
+                np.ascontiguousarray(batch.unit_count),
+                n_units,
+                np.ascontiguousarray(d_run[valid]),
+                np.ascontiguousarray(main_code[valid]),
+                np.ascontiguousarray(dst_pos_a.astype(np.int32)),
+            )
+            run_ops = np.frombuffer(run_ops_b, dtype=np.int8)
+            run_lens = np.frombuffer(run_lens_b, dtype=np.int32)
+            runs_per_rec = np.frombuffer(runs_per_rec_b, dtype=np.int32)
+            run_off = np.concatenate([[0], np.cumsum(runs_per_rec)])
+            ops_l = run_ops.tolist()
+            lens_l = run_lens.tolist()
+            rewritten = [
+                [
+                    (lens_l[j], CODE_TO_OP[ops_l[j]])
+                    for j in range(run_off[i], run_off[i + 1])
+                ]
+                for i in range(b)
+            ]
+            dst_pos = [int(p) for p in dst_pos_a]
+            record_runs = [[] for _ in range(b)]
+            for rec_i, r0, rl, q0, ql, cs, ce, cr, cq in indel_rows:
+                record_runs[rec_i].append(
+                    IndelRun(
+                        ref_start=r0,
+                        ref_length=rl,
+                        query_start=q0,
+                        query_length=ql,
+                        cigar_start=cs,
+                        cigar_end=ce,
+                        checker_ref_pos=cr,
+                        checker_query_pos=cq,
+                    )
+                )
+        else:
+            dst_pos, rewritten = rewrite_batch(self.index, self._ref_flat, batch)
+            record_runs = [
+                find_indel_runs(rewritten[i], dst_pos[i]) for i in range(b)
+            ]
 
-        # Indel runs (host) -> batched realignment (device).
+        # Indel runs -> batched realignment (device).
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
         run_refs: list[bytes] = []
         run_queries: list[bytes] = []
         run_ref_quals: list[np.ndarray] | None = [] if use_quality else None
         run_query_quals: list[np.ndarray] | None = [] if use_quality else None
-        record_runs: list[list] = []
         for i, rec in enumerate(records):
-            runs = find_indel_runs(rewritten[i], dst_pos[i])
-            record_runs.append(runs)
             ref_seq = ref_seqs[dst_ref_ids[i]]
-            for run in runs:
+            for run in record_runs[i]:
                 ref_part = normalise_dna5(
                     ref_seq[run.ref_start:run.ref_start + run.ref_length]
                 )

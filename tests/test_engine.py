@@ -98,3 +98,29 @@ def test_device_engine_matches_host(msa_files, founder_seqs, use_quality):
         assert n_diff <= len(h_lines) // 10
     else:
         assert outs["host"] == outs["device"]
+
+
+def test_engine_python_fallback_matches_native(msa_files, founder_seqs, monkeypatch):
+    """The numpy fallback path must produce the same output as the native
+    finalize path."""
+    import panvc3_tpu.ops.engine as eng
+
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs, n_reads=60)
+
+    outs = {}
+    for use_native in (True, False):
+        if not use_native:
+            monkeypatch.setattr(eng, "get_native", lambda: None)
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine="device",
+            device_batch_size=64,
+        )
+        out = io.BytesIO()
+        run_project_alignments(io.BytesIO(sam), out, cfg)
+        outs[use_native] = out.getvalue()
+    assert outs[True] == outs[False]
