@@ -24,6 +24,21 @@ import time
 
 import numpy as np
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compile over the axon tunnel
+    is slow; later bench runs reuse it."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/panvc3_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 BASELINE_READS_PER_S = 25_000.0
 WORKFLOW = pathlib.Path("/root/reference/test-workflow")
 

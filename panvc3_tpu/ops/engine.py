@@ -81,11 +81,18 @@ class BatchProjector:
         # keep resident on device; rebuilt only when a new chromosome loads
         self._ref_flat = jax.device_put(flat)
 
-    def project_batch(self, records, ref_seqs: dict[int, bytes], cfg) -> list[ProjectionResult]:
+    def start_batch(self, records, ref_seqs: dict[int, bytes], cfg):
+        """Stage a batch and dispatch its rewrite kernel asynchronously.
+
+        Returns an opaque handle for :meth:`finish_batch`.  Keeping one
+        batch in flight while the host post-processes the previous one
+        overlaps tunnel transfers/compute with host work (the role the
+        reference's spsc_queue pipeline plays,
+        /root/reference/project-alignments/project_alignments.cc:484-655).
+        """
         self._ensure_refs(ref_seqs)
-        b = len(records)
-        if b == 0:
-            return []
+        if not records:
+            return None
 
         queries = [normalise_dna5(rec.seq) for rec in records]
         cigars = [rec.cigar for rec in records]
@@ -95,7 +102,6 @@ class BatchProjector:
         dst_ids = [self.dst_dev_ids[r] for r in dst_ref_ids]
         ref_offs = [self._ref_off[r] for r in dst_ref_ids]
 
-        # shape buckets (powers of two bound the number of compiled variants)
         max_ops = 1
         max_ref_units = 1
         for cig in cigars:
@@ -115,21 +121,30 @@ class BatchProjector:
             pad_ref_units=_next_pow2(max_ref_units),
             pad_query=_next_pow2(max_q),
         )
+        out = rewrite_device_kernel(
+            self.index,
+            self._ref_flat,
+            batch.src_seq,
+            batch.dst_seq,
+            batch.rec_src_pos,
+            batch.ref_off,
+            batch.ops,
+            batch.counts,
+            batch.query,
+            batch.pad_ref_units,
+        )
+        return (records, queries, dst_ref_ids, batch, out, ref_seqs, cfg)
+
+    def finish_batch(self, handle) -> list[ProjectionResult]:
+        """Fetch and post-process a batch started with start_batch."""
+        if handle is None:
+            return []
+        records, queries, dst_ref_ids, batch, out, ref_seqs, cfg = handle
+        b = len(records)
+        dst_pos_a, d_run, main_code = jax.device_get(out)
+
         native = get_native()
         if native is not None:
-            out = rewrite_device_kernel(
-                self.index,
-                self._ref_flat,
-                batch.src_seq,
-                batch.dst_seq,
-                batch.rec_src_pos,
-                batch.ref_off,
-                batch.ops,
-                batch.counts,
-                batch.query,
-                batch.pad_ref_units,
-            )
-            dst_pos_a, d_run, main_code = jax.device_get(out)
             valid = (
                 np.arange(batch.pad_ref_units)[None, :] < batch.n_ref_units[:, None]
             )
@@ -156,7 +171,7 @@ class BatchProjector:
                 for i in range(b)
             ]
             dst_pos = [int(p) for p in dst_pos_a]
-            record_runs = [[] for _ in range(b)]
+            record_runs: list[list] = [[] for _ in range(b)]
             for rec_i, r0, rl, q0, ql, cs, ce, cr, cq in indel_rows:
                 record_runs[rec_i].append(
                     IndelRun(
@@ -171,10 +186,27 @@ class BatchProjector:
                     )
                 )
         else:
-            dst_pos, rewritten = rewrite_batch(self.index, self._ref_flat, batch)
+            from .rewrite_batch import finalize_rewrite
+
+            dst_pos, rewritten = finalize_rewrite(batch, dst_pos_a, d_run, main_code)
             record_runs = [
                 find_indel_runs(rewritten[i], dst_pos[i]) for i in range(b)
             ]
+
+        return self._realign_and_splice(
+            records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos, rewritten,
+            record_runs,
+        )
+
+    def project_batch(self, records, ref_seqs: dict[int, bytes], cfg) -> list[ProjectionResult]:
+        """Synchronous convenience wrapper around start/finish."""
+        return self.finish_batch(self.start_batch(records, ref_seqs, cfg))
+
+    def _realign_and_splice(
+        self, records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos, rewritten,
+        record_runs,
+    ) -> list[ProjectionResult]:
+        b = len(records)
 
         # Indel runs -> batched realignment (device).
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))

@@ -415,18 +415,17 @@ def run_project_alignments(
     # records: every record in a group gets (last record's global index) -
     # group size + 1 (project_alignments.cc:863-869).  The device engine
     # processes larger batches (a multiple of CHUNK_SIZE) but computes the
-    # tag per 4-group.
-    chunk: list[tuple[int, SamRecord]] = []
+    # tag per 4-group, and keeps up to two batches in flight so device
+    # work overlaps host post-processing.
+    import collections
 
-    def flush_chunk():
-        if not chunk:
-            return
-        if batch_engine is not None:
-            results = batch_engine.project_batch([r for _, r in chunk], ref_seqs, cfg)
-        else:
-            results = None
-        for start in range(0, len(chunk), CHUNK_SIZE):
-            sub = chunk[start:start + CHUNK_SIZE]
+    chunk: list[tuple[int, SamRecord]] = []
+    in_flight: collections.deque = collections.deque()
+    MAX_IN_FLIGHT = 2
+
+    def apply_batch(batch_records, results):
+        for start in range(0, len(batch_records), CHUNK_SIZE):
+            sub = batch_records[start:start + CHUNK_SIZE]
             rec_idx_value = sub[-1][0] - len(sub) + 1
             for off, (_, rec) in enumerate(sub):
                 if results is not None:
@@ -455,9 +454,26 @@ def run_project_alignments(
                         rec_idx_value,
                         realigned_ranges,
                     )
-        for _, rec in chunk:
+        for _, rec in batch_records:
             writer.write(rec)
-        chunk.clear()
+
+    def drain_one():
+        batch_records, handle = in_flight.popleft()
+        apply_batch(batch_records, batch_engine.finish_batch(handle))
+
+    def flush_chunk():
+        nonlocal chunk
+        if not chunk:
+            return
+        if batch_engine is not None:
+            handle = batch_engine.start_batch([r for _, r in chunk], ref_seqs, cfg)
+            in_flight.append((chunk, handle))
+            chunk = []
+            if len(in_flight) >= MAX_IN_FLIGHT:
+                drain_one()
+        else:
+            apply_batch(chunk, None)
+            chunk = []
 
     FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
 
@@ -489,6 +505,8 @@ def run_project_alignments(
             flush_chunk()
 
     flush_chunk()
+    while in_flight:
+        drain_one()
     writer.close()
 
     if cfg.output_realigned_ranges_path and realigned_ranges is not None:
