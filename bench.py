@@ -31,7 +31,8 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/panvc3_jax_cache")
+        cache_dir = str(pathlib.Path(__file__).parent / ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -41,10 +41,15 @@ class BatchProjector:
         ref_id_mapping,
         gap_opening_cost: int,
         gap_extension_cost: int,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'dp' axis; when given,
+        batches are sharded over it (records data-parallel, index and
+        reference replicated — the scaling design of SURVEY §2.5)."""
         self.gap_opening_cost = gap_opening_cost
         self.gap_extension_cost = gap_extension_cost
         self.ref_id_mapping = ref_id_mapping
+        self.mesh = mesh
 
         # Deduplicate gap vectors by identity and assign device sequence ids.
         vectors = []
@@ -60,6 +65,10 @@ class BatchProjector:
         self.src_dev_ids = [dev_id(e) for e in src_entries]
         self.dst_dev_ids = [dev_id(e) if e is not None else -1 for e in dst_entries]
         self.index = DeviceGapIndex.build(vectors)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.index = replicate(mesh, self.index)
 
         # Flat reference buffer; rebuilt when new chromosomes get loaded.
         self._ref_flat = np.zeros(0, dtype=np.uint8)
@@ -79,7 +88,12 @@ class BatchProjector:
             off += len(seq)
         flat = np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
         # keep resident on device; rebuilt only when a new chromosome loads
-        self._ref_flat = jax.device_put(flat)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self._ref_flat = replicate(self.mesh, jax.numpy.asarray(flat))
+        else:
+            self._ref_flat = jax.device_put(flat)
 
     def start_batch(self, records, ref_seqs: dict[int, bytes], cfg):
         """Stage a batch and dispatch its rewrite kernel asynchronously.
@@ -121,27 +135,53 @@ class BatchProjector:
             pad_ref_units=_next_pow2(max_ref_units),
             pad_query=_next_pow2(max_q),
         )
+        kernel_inputs = dict(
+            src_seq=batch.src_seq,
+            dst_seq=batch.dst_seq,
+            rec_src_pos=batch.rec_src_pos,
+            ref_off=batch.ref_off,
+            ops=batch.ops,
+            counts=batch.counts,
+            query=batch.query,
+        )
+        n_pad = 0
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch_arrays
+
+            n_dev = self.mesh.devices.size
+            b = len(records)
+            n_pad = (-b) % n_dev
+            if n_pad:
+                # pad with copies of the first record's row (discarded later)
+                for k, arr in kernel_inputs.items():
+                    pad = np.repeat(arr[:1], n_pad, axis=0)
+                    kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
+            kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
         out = rewrite_device_kernel(
             self.index,
             self._ref_flat,
-            batch.src_seq,
-            batch.dst_seq,
-            batch.rec_src_pos,
-            batch.ref_off,
-            batch.ops,
-            batch.counts,
-            batch.query,
+            kernel_inputs["src_seq"],
+            kernel_inputs["dst_seq"],
+            kernel_inputs["rec_src_pos"],
+            kernel_inputs["ref_off"],
+            kernel_inputs["ops"],
+            kernel_inputs["counts"],
+            kernel_inputs["query"],
             batch.pad_ref_units,
         )
-        return (records, queries, dst_ref_ids, batch, out, ref_seqs, cfg)
+        return (records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad)
 
     def finish_batch(self, handle) -> list[ProjectionResult]:
         """Fetch and post-process a batch started with start_batch."""
         if handle is None:
             return []
-        records, queries, dst_ref_ids, batch, out, ref_seqs, cfg = handle
+        records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
         b = len(records)
         dst_pos_a, d_run, main_code = jax.device_get(out)
+        if n_pad:
+            dst_pos_a = dst_pos_a[:b]
+            d_run = d_run[:b]
+            main_code = main_code[:b]
 
         native = get_native()
         if native is not None:

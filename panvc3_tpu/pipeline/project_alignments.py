@@ -80,6 +80,9 @@ class ProjectConfig:
     command_line: str = "panvc3_tpu project_alignments"
     engine: str = "host"  # "host" or "device"
     device_batch_size: int = 512  # records per device batch (device engine)
+    # data-parallel sharding over a device mesh: 0 = single device,
+    # -1 = all devices, N = first N devices
+    data_parallel: int = 0
 
 
 @dataclass
@@ -399,12 +402,18 @@ def run_project_alignments(
     if cfg.engine == "device":
         from ..ops.engine import BatchProjector
 
+        mesh = None
+        if cfg.data_parallel:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.data_parallel if cfg.data_parallel > 0 else None)
         batch_engine = BatchProjector(
             src_entries,
             dst_entries,
             ref_id_mapping,
             cfg.gap_opening_cost,
             cfg.gap_extension_cost,
+            mesh=mesh,
         )
         batch_size = max(CHUNK_SIZE, (cfg.device_batch_size // CHUNK_SIZE) * CHUNK_SIZE)
     else:

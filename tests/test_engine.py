@@ -124,3 +124,26 @@ def test_engine_python_fallback_matches_native(msa_files, founder_seqs, monkeypa
         run_project_alignments(io.BytesIO(sam), out, cfg)
         outs[use_native] = out.getvalue()
     assert outs[True] == outs[False]
+
+
+def test_engine_data_parallel_mesh(msa_files, founder_seqs):
+    """dp-sharded execution over the virtual 8-device CPU mesh must be
+    byte-identical to single-device execution."""
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs, n_reads=90)  # not divisible by 8
+
+    outs = {}
+    for dp in (0, -1):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine="device",
+            device_batch_size=64,
+            data_parallel=dp,
+        )
+        out = io.BytesIO()
+        run_project_alignments(io.BytesIO(sam), out, cfg)
+        outs[dp] = out.getvalue()
+    assert outs[0] == outs[-1]
