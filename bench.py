@@ -145,10 +145,18 @@ def main() -> None:
     # warmup (compile)
     engine.project_batch(records[:batch_size], ref_seqs, Cfg())
 
+    # two-deep pipelined measurement (device work overlaps host post-processing)
     t0 = time.perf_counter()
     total = 0
+    pending = []
+    res = None
     for _ in range(n_batches):
-        res = engine.project_batch(records, ref_seqs, Cfg())
+        pending.append(engine.start_batch(records, ref_seqs, Cfg()))
+        if len(pending) >= 2:
+            res = engine.finish_batch(pending.pop(0))
+            total += len(res)
+    while pending:
+        res = engine.finish_batch(pending.pop(0))
         total += len(res)
     dt = time.perf_counter() - t0
     reads_per_s = total / dt

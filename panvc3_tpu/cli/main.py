@@ -136,6 +136,12 @@ def cmd_project_alignments(argv=None) -> int:
     p.add_argument("-e", "--gap-extension-cost", type=int, default=-1)
     p.add_argument("--engine", choices=("host", "device"), default="device")
     p.add_argument("--device-batch-size", type=int, default=512)
+    p.add_argument(
+        "--data-parallel",
+        type=int,
+        default=0,
+        help="shard batches over a device mesh (0=single device, -1=all, N=first N)",
+    )
     p.add_argument("--print-invocation", action="store_true")
     p.add_argument("--print-pid", action="store_true")
     p.add_argument("--debugging-output", action="store_true")
@@ -172,6 +178,7 @@ def cmd_project_alignments(argv=None) -> int:
         command_line=" ".join(sys.argv),
         engine=args.engine,
         device_batch_size=args.device_batch_size,
+        data_parallel=args.data_parallel,
     )
     stats = run_project_alignments(
         _in_stream(args.alignments), _out_stream(args.output_path), cfg,

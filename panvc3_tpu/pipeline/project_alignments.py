@@ -77,6 +77,7 @@ class ProjectConfig:
     keep_duplicate_ranges: bool = False
     primary_only: bool = False
     output_bam: bool = False
+    status_output_interval: int = 5  # minutes; 0 disables
     command_line: str = "panvc3_tpu project_alignments"
     engine: str = "host"  # "host" or "device"
     device_batch_size: int = 512  # records per device batch (device engine)
@@ -486,7 +487,16 @@ def run_project_alignments(
 
     FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
 
+    from ..utils import StatusReporter, log_time
+
+    reporter = StatusReporter(cfg.status_output_interval)
+    reporter.extra_cb = lambda: f"; realigned {stats.realigned_range_count} ranges"
+
+    rec_idx = -1
     for rec_idx, rec in enumerate(reader):
+        if (1 + rec_idx) % 10_000_000 == 0:
+            log_time(f"Processed {1 + rec_idx} alignments…")
+        reporter.tick(rec_idx)
         if rec.flag & FLAG_SKIP:
             stats.flags_not_matched += 1
             continue
