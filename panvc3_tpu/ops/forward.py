@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .rank_select import DeviceGapIndex
-from .realign_batch import _fill_one, _substitution_scores, _traceback_one
+from .realign_batch import _fill_batch, _substitution_scores, _traceback_batch
 from .rewrite_batch import rewrite_math
 
 
@@ -53,13 +53,9 @@ def projection_step(
     )
 
     sub = _substitution_scores(run_ref, run_query, None, None, False)
-
-    def one(sub_i, ref_i, query_i, m, n):
-        trace = _fill_one(sub_i, m, n, go, ge, run_r, run_q)
-        return _traceback_one(trace, ref_i, query_i, m, n, run_r, run_q)
-
-    realign_ops, realign_counts = jax.vmap(one)(
-        sub, run_ref, run_query, run_query_len, run_ref_len
+    trace = _fill_batch(sub, run_query_len, run_ref_len, go, ge, run_r, run_q)
+    realign_ops, realign_counts = _traceback_batch(
+        trace, run_ref, run_query, run_query_len, run_ref_len, run_r, run_q
     )
 
     # global statistics ride a cross-device reduction when sharded

@@ -181,6 +181,140 @@ def _traceback_one(trace, ref, query, m, n, R, Q):
     return ops, count
 
 
+def _fill_batch(sub, m, n, go, ge, R, Q):
+    """Manually-batched DP fill.  sub: (B, Q, R); m/n: (B,) actual lengths.
+
+    Identical recurrences and tie semantics as :func:`_fill_one`, but with
+    an explicit leading batch dimension instead of vmap (the experimental
+    axon backend lowers vmap-of-scan pathologically slowly, and manual
+    batching is also friendlier to the TPU vector unit).
+    Returns packed trace (B, Q+1, R+1) uint8.
+    """
+    B = sub.shape[0]
+    cols = jnp.arange(R + 1)[None, :]                       # (1, R+1)
+    col_valid = cols <= n[:, None]                          # (B, R+1)
+    neg_col = jnp.full((B, 1), NEG)
+
+    best0 = jnp.where(cols == 0, 0.0, go + ge * cols).astype(jnp.float32)
+    best0 = jnp.broadcast_to(best0, (B, R + 1))
+    best0 = jnp.where(col_valid, best0, NEG)
+    vert0 = jnp.full((B, R + 1), NEG)
+    tr0 = jnp.where(cols == 0, 0, _TR_HORIZ).astype(jnp.uint8)
+    tr0 = tr0 | jnp.where(cols == 1, jnp.uint8(8), jnp.uint8(0))
+    tr0 = jnp.broadcast_to(tr0, (B, R + 1))
+
+    def row_step(carry, row_in):
+        best_prev, vert_prev = carry
+        i, srow = row_in  # i scalar in [1, Q]; srow: (B, R)
+        row_valid = (i <= m)[:, None]                       # (B, 1)
+
+        v_open = best_prev + go + ge
+        v_ext = vert_prev + ge
+        vopen_bit = v_open >= v_ext
+        vert = jnp.maximum(v_open, v_ext)
+
+        diag = jnp.concatenate([neg_col, best_prev[:, :-1] + srow], axis=1)
+        diag = jnp.where(cols == 0, NEG, diag)
+        a = jnp.maximum(diag, vert)
+        border = go + ge * i
+        a = a.at[:, 0].set(border)
+        vert = vert.at[:, 0].set(border)
+
+        shifted = a + go - ge * cols
+        run = jax.lax.cummax(
+            jnp.concatenate([neg_col, shifted[:, :-1]], axis=1), axis=1
+        )
+        horiz = run + ge * cols
+        horiz = jnp.where(cols == 0, NEG, horiz)
+        best = jnp.maximum(a, horiz)
+
+        h_prev = jnp.concatenate([neg_col, horiz[:, :-1]], axis=1)
+        b_prev = jnp.concatenate([neg_col, best[:, :-1]], axis=1)
+        hopen_bit = b_prev + go >= h_prev
+
+        tr = jnp.where(diag >= vert, _TR_DIAG, _TR_VERT).astype(jnp.uint8)
+        tr = jnp.where(horiz > a, jnp.uint8(_TR_HORIZ), tr)
+        tr = jnp.where(cols == 0, jnp.uint8(_TR_VERT), tr)
+        packed = (
+            tr
+            | (jnp.where(vopen_bit, 4, 0) | jnp.where(hopen_bit, 8, 0)).astype(jnp.uint8)
+        )
+        best = jnp.where(col_valid, best, NEG)
+        vert = jnp.where(col_valid, vert, NEG)
+
+        best = jnp.where(row_valid, best, best_prev)
+        vert = jnp.where(row_valid, vert, vert_prev)
+        packed = jnp.where(row_valid, packed, jnp.uint8(0))
+        return (best, vert), packed
+
+    rows = jnp.arange(1, Q + 1)
+    (_, _), traces = jax.lax.scan(
+        row_step, (best0, vert0), (rows, jnp.swapaxes(sub, 0, 1))
+    )
+    # traces: (Q, B, R+1) -> (B, Q+1, R+1)
+    return jnp.concatenate([tr0[:, None, :], jnp.swapaxes(traces, 0, 1)], axis=1)
+
+
+def _traceback_batch(trace, ref, query, m, n, R, Q):
+    """Manually-batched traceback.  trace: (B, Q+1, R+1)."""
+    B = trace.shape[0]
+    max_steps = R + Q
+    barange = jnp.arange(B)
+    trace_flat = trace.reshape(B, -1)
+    stride = R + 1
+
+    def step(carry, _):
+        i, j, state, k, ops = carry
+        done = (i == 0) & (j == 0)
+        cell = trace_flat[barange, i * stride + j]
+        tr = cell & 3
+        vopen = (cell >> 2) & 1
+        hopen = (cell >> 3) & 1
+
+        in_m = state == 0
+        eff = jnp.where(in_m, tr, state)
+        eff = jnp.where(in_m & (i == 0) & (j > 0), _TR_HORIZ, eff)
+        eff = jnp.where(in_m & (j == 0) & (i > 0), _TR_VERT, eff)
+
+        is_diag = (eff == _TR_DIAG) & ~done
+        is_vert = (eff == _TR_VERT) & ~done
+        is_horiz = (eff == _TR_HORIZ) & ~done
+
+        qc = query[barange, jnp.maximum(i - 1, 0)]
+        rc = ref[barange, jnp.maximum(j - 1, 0)]
+        op = jnp.where(
+            is_diag,
+            jnp.where(qc == rc, EQ, X),
+            jnp.where(is_vert, I, D),
+        ).astype(jnp.int8)
+
+        ops = ops.at[barange, k].set(jnp.where(done, ops[barange, k], op))
+        k = jnp.where(done, k, k + 1)
+
+        ni = jnp.where(is_diag | is_vert, i - 1, i)
+        nj = jnp.where(is_diag | is_horiz, j - 1, j)
+        ns = jnp.where(
+            is_diag,
+            0,
+            jnp.where(
+                is_vert,
+                jnp.where(vopen == 1, 0, 1),
+                jnp.where(hopen == 1, 0, 2),
+            ),
+        )
+        ns = jnp.where(done, state, ns)
+        ni = jnp.where(done, i, ni)
+        nj = jnp.where(done, j, nj)
+        return (ni, nj, ns, k, ops), None
+
+    ops0 = jnp.full((B, max_steps), jnp.int8(127))
+    zeros = jnp.zeros(B, jnp.int32)
+    (fi, fj, _, count, ops), _ = jax.lax.scan(
+        step, (m, n, zeros, zeros, ops0), None, length=max_steps
+    )
+    return ops, count
+
+
 @partial(jax.jit, static_argnames=("use_quality", "R", "Q"))
 def realign_device_kernel(
     ref: jnp.ndarray,        # uint8[B, R]
@@ -196,12 +330,8 @@ def realign_device_kernel(
     Q: int,
 ):
     sub = _substitution_scores(ref, query, ref_qual, query_qual, use_quality)
-
-    def one(sub_i, ref_i, query_i, m, n):
-        trace = _fill_one(sub_i, m, n, go, ge, R, Q)
-        return _traceback_one(trace, ref_i, query_i, m, n, R, Q)
-
-    return jax.vmap(one)(sub, ref, query, query_len, ref_len)
+    trace = _fill_batch(sub, query_len, ref_len, go, ge, R, Q)
+    return _traceback_batch(trace, ref, query, query_len, ref_len, R, Q)
 
 
 def realign_batch(
