@@ -6,15 +6,16 @@ the reference's seqan3 align_pairwise usage,
 query slice) pairs — the I+D runs found by the indel-run checker — is padded
 to a common (R, Q) shape and aligned in parallel:
 
-- the DP fill is a ``lax.scan`` over query rows; the in-row horizontal-gap
-  recurrence H[j] = max(A[j-1]+open, H[j-1]) + ext is solved row-parallel
-  with ``lax.cummax`` (valid because open <= 0), so each row is pure vector
-  ops and the whole fill vmaps over the batch;
+- the DP fill is a ``lax.scan`` over query rows with an explicit leading
+  batch dimension; the in-row horizontal-gap recurrence
+  H[j] = max(A[j-1]+open, H[j-1]) + ext is solved row-parallel with a
+  log-step doubling prefix max (valid because open <= 0), so each row is
+  pure vector ops over the whole batch;
 - trace bits (direction 2b + open flags) are stored per cell, matching the
   oracle's tie-breaking exactly: diagonal >= vertical > horizontal, and
   gap-open preferred over extension on ties;
-- traceback is a fixed-trip ``lax.scan`` (R+Q steps) per pair, emitting
-  per-character op codes that the host RLE-collapses.
+- traceback is a fixed-trip ``lax.scan`` (R+Q steps), batched the same
+  way, emitting per-character op codes that the host RLE-collapses.
 
 Scoring: integer hamming (match 0 / mismatch -1) exactly, or the Malde
 base-quality scheme in float32 (the reference computes it in double; the
@@ -53,132 +54,21 @@ def _substitution_scores(ref, query, ref_qual, query_qual, use_quality):
     return jnp.where(eq, match_s, mismatch_s).astype(jnp.float32)
 
 
-def _fill_one(sub, m, n, go, ge, R, Q):
-    """DP fill for one pair.  sub: (Q, R) float32; m/n actual lengths.
+def _prefix_max(x, axis_len):
+    """Inclusive prefix maximum along the last axis via log-step doubling.
 
-    Returns packed trace (Q+1, R+1) uint8:
-    bits 0-1 direction, bit 2 vertical-open, bit 3 horizontal-open.
+    Equivalent to jax.lax.cummax but lowers to a handful of pad/shift/max
+    ops (associative_scan's recursive slicing lowers pathologically slowly
+    on the experimental axon backend).  Exact: max has no rounding.
     """
-    cols = jnp.arange(R + 1)
-    col_valid = cols <= n
-
-    # row 0: horizontal gaps only
-    best0 = jnp.where(cols == 0, 0.0, go + ge * cols).astype(jnp.float32)
-    best0 = jnp.where(col_valid, best0, NEG)
-    vert0 = jnp.full(R + 1, NEG)
-    tr0 = jnp.where(cols == 0, 0, _TR_HORIZ).astype(jnp.uint8)
-    tr0 = tr0 | jnp.where(cols == 1, jnp.uint8(8), jnp.uint8(0))
-
-    def row_step(carry, row_in):
-        best_prev, vert_prev = carry
-        i, srow = row_in  # i in [1, Q]; srow: (R,) scores vs query[i-1]
-        row_valid = i <= m
-
-        # vertical (gap in ref, consumes query)
-        v_open = best_prev + go + ge
-        v_ext = vert_prev + ge
-        vopen_bit = v_open >= v_ext
-        vert = jnp.maximum(v_open, v_ext)
-
-        # A = best without horizontal
-        diag = jnp.concatenate([jnp.array([NEG]), best_prev[:-1] + srow])
-        diag = jnp.where(cols == 0, NEG, diag)
-        a = jnp.maximum(diag, vert)
-        # col 0 of row i: vertical border gap; value = go + ge*i
-        a = a.at[0].set(go + ge * i)
-        vert = vert.at[0].set(go + ge * i)
-
-        # horizontal via cummax: H[j] = ge*j + max_{k<j}(best[k] + go - ge*k);
-        # best[k] = max(A[k], H[k]) but H[k] + go <= H[k] (go <= 0), so A
-        # suffices for the value.
-        shifted = a + go - ge * cols
-        run = jax.lax.cummax(jnp.concatenate([jnp.array([NEG]), shifted[:-1]]))
-        horiz = run + ge * cols
-        horiz = jnp.where(cols == 0, NEG, horiz)
-        best = jnp.maximum(a, horiz)
-
-        # hopen uses the full best (oracle: best[i][j-1]+go+ge >= H[i][j-1]+ge)
-        h_prev = jnp.concatenate([jnp.array([NEG]), horiz[:-1]])
-        b_prev = jnp.concatenate([jnp.array([NEG]), best[:-1]])
-        hopen_bit = b_prev + go >= h_prev
-
-        tr = jnp.where(diag >= vert, _TR_DIAG, _TR_VERT).astype(jnp.uint8)
-        tr = jnp.where(horiz > a, jnp.uint8(_TR_HORIZ), tr)
-        tr = jnp.where(cols == 0, jnp.uint8(_TR_VERT), tr)
-        packed = (
-            tr
-            | (jnp.where(vopen_bit, 4, 0) | jnp.where(hopen_bit, 8, 0)).astype(jnp.uint8)
+    k = 1
+    while k < axis_len:
+        shifted = jnp.pad(
+            x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)], constant_values=NEG
         )
-        best = jnp.where(col_valid, best, NEG)
-        vert = jnp.where(col_valid, vert, NEG)
-
-        best = jnp.where(row_valid, best, best_prev)
-        vert = jnp.where(row_valid, vert, vert_prev)
-        packed = jnp.where(row_valid, packed, jnp.uint8(0))
-        return (best, vert), packed
-
-    rows = jnp.arange(1, Q + 1)
-    (_, _), traces = jax.lax.scan(row_step, (best0, vert0), (rows, sub))
-    return jnp.concatenate([tr0[None, :], traces], axis=0)
-
-
-def _traceback_one(trace, ref, query, m, n, R, Q):
-    """Emit per-char op codes (reversed) for one pair."""
-    max_steps = R + Q
-
-    def step(carry, _):
-        i, j, state, k, ops = carry
-        done = (i == 0) & (j == 0)
-        cell = trace[i, j]
-        tr = cell & 3
-        vopen = (cell >> 2) & 1
-        hopen = (cell >> 3) & 1
-
-        # state 0 = M, 1 = V, 2 = H
-        in_m = state == 0
-        eff = jnp.where(in_m, tr, state)
-        # forced borders
-        eff = jnp.where(in_m & (i == 0) & (j > 0), _TR_HORIZ, eff)
-        eff = jnp.where(in_m & (j == 0) & (i > 0), _TR_VERT, eff)
-
-        is_diag = (eff == _TR_DIAG) & ~done
-        is_vert = (eff == _TR_VERT) & ~done
-        is_horiz = (eff == _TR_HORIZ) & ~done
-
-        qc = query[jnp.maximum(i - 1, 0)]
-        rc = ref[jnp.maximum(j - 1, 0)]
-        op = jnp.where(
-            is_diag,
-            jnp.where(qc == rc, EQ, X),
-            jnp.where(is_vert, I, D),
-        ).astype(jnp.int8)
-
-        ops = jnp.where(done, ops, ops.at[k].set(op))
-        k = jnp.where(done, k, k + 1)
-
-        ni = jnp.where(is_diag | is_vert, i - 1, i)
-        nj = jnp.where(is_diag | is_horiz, j - 1, j)
-        # state transitions: after a vertical step, stay in V unless the
-        # cell's vertical trace said "open"; same for horizontal.
-        ns = jnp.where(
-            is_diag,
-            0,
-            jnp.where(
-                is_vert,
-                jnp.where(vopen == 1, 0, 1),
-                jnp.where(hopen == 1, 0, 2),
-            ),
-        )
-        ns = jnp.where(done, state, ns)
-        ni = jnp.where(done, i, ni)
-        nj = jnp.where(done, j, nj)
-        return (ni, nj, ns, k, ops), None
-
-    ops0 = jnp.full(max_steps, jnp.int8(127))
-    (fi, fj, _, count, ops), _ = jax.lax.scan(
-        step, (m, n, jnp.int32(0), jnp.int32(0), ops0), None, length=max_steps
-    )
-    return ops, count
+        x = jnp.maximum(x, shifted)
+        k <<= 1
+    return x
 
 
 def _fill_batch(sub, m, n, go, ge, R, Q):
@@ -221,8 +111,8 @@ def _fill_batch(sub, m, n, go, ge, R, Q):
         vert = vert.at[:, 0].set(border)
 
         shifted = a + go - ge * cols
-        run = jax.lax.cummax(
-            jnp.concatenate([neg_col, shifted[:, :-1]], axis=1), axis=1
+        run = _prefix_max(
+            jnp.concatenate([neg_col, shifted[:, :-1]], axis=1), R + 1
         )
         horiz = run + ge * cols
         horiz = jnp.where(cols == 0, NEG, horiz)

@@ -210,3 +210,32 @@ def test_project_with_mates_and_ranges(msa_files, founder_seqs, tmp_path):
     assert recs[0].tags["YP"] == ("i", 1200)
     assert recs[0].tags["YR"] == ("i", 1)  # input @SQ order: REF=0, 1=1, …
     assert ranges_path.read_text().startswith("Location\tLength\n")
+
+
+def test_a2m_index_matches_tsv(msa_files, founder_seqs, tmp_path):
+    """Building from A2M must give the same index as the TSV path."""
+    from panvc3_tpu.pipeline.index_msa import build_index_from_a2m
+
+    a2m = tmp_path / "input.a2m"
+    with open(a2m, "wb") as fh:
+        for sid, seq in founder_seqs.items():
+            fh.write(f">test/{sid}\n".encode())
+            fh.write(seq + b"\n")
+    fasta_out = io.BytesIO()
+    index = build_index_from_a2m(str(a2m), fasta_out=fasta_out)
+
+    index_path, _, _ = msa_files
+    ref_index = MsaIndex.load(str(index_path))
+    chrom = index.find_chr("test")
+    ref_chrom = ref_index.find_chr("test")
+    assert [e.seq_id for e in chrom.sequence_entries] == [
+        e.seq_id for e in ref_chrom.sequence_entries
+    ]
+    for a, b in zip(chrom.sequence_entries, ref_chrom.sequence_entries):
+        assert a.aligned_length == b.aligned_length
+        assert a.unaligned_length == b.unaligned_length
+        import numpy as np
+
+        pos = np.arange(0, a.aligned_length, 7)
+        assert np.array_equal(a.gaps.rank0(pos), b.gaps.rank0(pos))
+    assert fasta_out.getvalue().startswith(b">test/REF\n")
