@@ -444,6 +444,7 @@ def run_recalculate_mapq(
     tag_spec: MapqTagSpec | None = None,
     output_bam: bool = False,
     verbose: bool = False,
+    status_output_interval: int = 5,
     command_line: str = "panvc3_tpu recalculate_mapq",
     version: str = "0.1",
 ) -> MapqStatistics:
@@ -464,8 +465,16 @@ def run_recalculate_mapq(
     else:
         scorer = MapqScorer(AsTagScorer(), tag_spec)
 
+    from ..utils import StatusReporter, log_time
+
+    reporter = StatusReporter(status_output_interval)
     buffer: list[SamRecord] = []
+    rec_idx = 0
     for rec in reader:
+        rec_idx += 1
+        if rec_idx % 10_000_000 == 0:
+            log_time(f"Processed {rec_idx} alignments…")
+        reporter.tick(rec_idx)
         if rec.flag & 0x4:  # unmapped
             continue
         if buffer and rec.qname != buffer[0].qname:
