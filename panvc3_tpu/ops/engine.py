@@ -21,7 +21,12 @@ from ..native import get_native
 from ..projector import ProjectionResult
 from .rank_select import DeviceGapIndex
 from .realign_batch import realign_batch
-from .rewrite_batch import expand_cigars, rewrite_batch, rewrite_device_kernel
+from .rewrite_batch import (
+    expand_cigars,
+    fetch_rewrite_outputs,
+    rewrite_batch,
+    rewrite_device_kernel_packed,
+)
 
 import jax
 
@@ -157,7 +162,7 @@ class BatchProjector:
                     pad = np.repeat(arr[:1], n_pad, axis=0)
                     kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
             kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
-        out = rewrite_device_kernel(
+        out = rewrite_device_kernel_packed(
             self.index,
             self._ref_flat,
             kernel_inputs["src_seq"],
@@ -177,7 +182,7 @@ class BatchProjector:
             return []
         records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
         b = len(records)
-        dst_pos_a, d_run, main_code = jax.device_get(out)
+        dst_pos_a, d_run, main_code = fetch_rewrite_outputs(out)
         if n_pad:
             dst_pos_a = dst_pos_a[:b]
             d_run = d_run[:b]

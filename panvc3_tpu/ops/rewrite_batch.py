@@ -208,6 +208,35 @@ def rewrite_math(
 rewrite_device_kernel = jax.jit(rewrite_math, static_argnames=("R",))
 
 
+def _rewrite_math_packed(index, ref_flat, src_seq, dst_seq, rec_src_pos,
+                         ref_off, ops, counts, query, R):
+    """rewrite_math with the deletion-run lengths clamped to uint8 for the
+    device->host fetch (d_run >= 255 — a >=255 bp deletion between adjacent
+    read bases — is vanishingly rare; the overflow count triggers a full
+    int32 re-fetch)."""
+    dst_pos, d_run, main_code = rewrite_math(
+        index, ref_flat, src_seq, dst_seq, rec_src_pos, ref_off, ops, counts,
+        query, R,
+    )
+    overflow = jnp.sum(jnp.where(d_run >= 255, 1, 0)).astype(jnp.int32)
+    d8 = jnp.minimum(d_run, 255).astype(jnp.uint8)
+    return dst_pos, d8, main_code, overflow, d_run
+
+
+rewrite_device_kernel_packed = jax.jit(_rewrite_math_packed, static_argnames=("R",))
+
+
+def fetch_rewrite_outputs(out) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fetch (dst_pos, d_run, main_code) from a packed-kernel result,
+    falling back to the int32 deletion runs only on overflow."""
+    dst_pos, d8, main_code, overflow = jax.device_get(out[:4])
+    if int(overflow):
+        d_run = jax.device_get(out[4])
+    else:
+        d_run = d8.astype(np.int32)
+    return dst_pos, d_run, main_code
+
+
 def finalize_rewrite(
     batch: RewriteBatch,
     dst_pos: np.ndarray,
