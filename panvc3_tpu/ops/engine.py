@@ -295,23 +295,29 @@ class BatchProjector:
         else:
             realigned = []
 
-        # Splice.
+        # Splice.  The rewritten CIGARs are already RLE-collapsed, so records
+        # without realignment runs pass through unchanged.
         results: list[ProjectionResult] = []
         run_idx = 0
         for i in range(b):
             runs = record_runs[i]
-            res = ProjectionResult(dst_pos=dst_pos[i], cigar=[])
-            out: Cigar = []
-            copy_from = 0
-            for run in runs:
-                out.extend(rewritten[i][copy_from:run.cigar_start])
-                copy_from = run.cigar_end
-                res.realigned_reference_ranges.append((run.checker_ref_pos, run.ref_length))
-                res.realigned_query_ranges.append((run.query_start, run.query_length))
-                res.num_realignments += 1
-                out.extend(realigned[run_idx])
-                run_idx += 1
-            out.extend(rewritten[i][copy_from:])
-            res.cigar = collapse_cigar(out)
+            res = ProjectionResult(dst_pos=dst_pos[i], cigar=rewritten[i])
+            if runs:
+                out: Cigar = []
+                copy_from = 0
+                for run in runs:
+                    out.extend(rewritten[i][copy_from:run.cigar_start])
+                    copy_from = run.cigar_end
+                    res.realigned_reference_ranges.append(
+                        (run.checker_ref_pos, run.ref_length)
+                    )
+                    res.realigned_query_ranges.append(
+                        (run.query_start, run.query_length)
+                    )
+                    res.num_realignments += 1
+                    out.extend(realigned[run_idx])
+                    run_idx += 1
+                out.extend(rewritten[i][copy_from:])
+                res.cigar = collapse_cigar(out)
             results.append(res)
         return results
