@@ -129,6 +129,18 @@ def synthesise_records(founders, n_reads: int, read_len: int = 100, seed: int = 
 
 
 def main() -> None:
+    # the tunnel to the TPU occasionally drops; retry the whole measurement
+    for attempt in range(3):
+        try:
+            _run()
+            return
+        except Exception as exc:  # noqa: BLE001 — backend flakes surface as JaxRuntimeError
+            print(f"[bench] attempt {attempt + 1} failed: {exc}", file=sys.stderr)
+            time.sleep(20)
+    raise SystemExit("bench failed after 3 attempts")
+
+
+def _run() -> None:
     from panvc3_tpu.ops.engine import BatchProjector
 
     class Cfg:

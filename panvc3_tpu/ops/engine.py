@@ -100,14 +100,22 @@ class BatchProjector:
         else:
             self._ref_flat = jax.device_put(flat)
 
+    # fused-path shape buckets (overflow falls back to the split path)
+    FUSED_MAX_RUNS = 8
+    FUSED_RUN_PAD = 32
+
     def start_batch(self, records, ref_seqs: dict[int, bytes], cfg):
-        """Stage a batch and dispatch its rewrite kernel asynchronously.
+        """Stage a batch and dispatch its device work asynchronously.
 
         Returns an opaque handle for :meth:`finish_batch`.  Keeping one
         batch in flight while the host post-processes the previous one
         overlaps tunnel transfers/compute with host work (the role the
         reference's spsc_queue pipeline plays,
         /root/reference/project-alignments/project_alignments.cc:484-655).
+
+        When quality-aware realignment is off, the fully-fused kernel
+        (ops/fused.py) runs rewrite + run detection + realignment in ONE
+        dispatch; shape-bucket overflows fall back to the split path.
         """
         self._ensure_refs(ref_seqs)
         if not records:
@@ -162,6 +170,34 @@ class BatchProjector:
                     pad = np.repeat(arr[:1], n_pad, axis=0)
                     kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
             kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
+
+        use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
+        use_fused = (
+            not use_quality and self.mesh is None and get_native() is not None
+        )
+        if use_fused:
+            from .fused import fused_projection_kernel
+
+            out = fused_projection_kernel(
+                self.index,
+                self._ref_flat,
+                kernel_inputs["src_seq"],
+                kernel_inputs["dst_seq"],
+                kernel_inputs["rec_src_pos"],
+                kernel_inputs["ref_off"],
+                kernel_inputs["ops"],
+                kernel_inputs["counts"],
+                kernel_inputs["query"],
+                np.float32(self.gap_opening_cost),
+                np.float32(self.gap_extension_cost),
+                batch.pad_ref_units,
+                batch.pad_ref_units + batch.ops.shape[1],
+                self.FUSED_MAX_RUNS,
+                self.FUSED_RUN_PAD,
+                self.FUSED_RUN_PAD,
+            )
+            return ("fused", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg)
+
         out = rewrite_device_kernel_packed(
             self.index,
             self._ref_flat,
@@ -174,13 +210,15 @@ class BatchProjector:
             kernel_inputs["query"],
             batch.pad_ref_units,
         )
-        return (records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad)
+        return ("split", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad)
 
     def finish_batch(self, handle) -> list[ProjectionResult]:
         """Fetch and post-process a batch started with start_batch."""
         if handle is None:
             return []
-        records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
+        if handle[0] == "fused":
+            return self._finish_fused(handle)
+        _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
         b = len(records)
         dst_pos_a, d_run, main_code = fetch_rewrite_outputs(out)
         if n_pad:
@@ -190,46 +228,9 @@ class BatchProjector:
 
         native = get_native()
         if native is not None:
-            valid = (
-                np.arange(batch.pad_ref_units)[None, :] < batch.n_ref_units[:, None]
+            dst_pos, rewritten, record_runs = self._finalize_native(
+                batch, dst_pos_a, d_run, main_code, b
             )
-            n_units = np.bincount(batch.unit_rec, minlength=b).astype(np.int32)
-            run_ops_b, run_lens_b, runs_per_rec_b, indel_rows = native.finalize_rewrite(
-                np.ascontiguousarray(batch.unit_op),
-                np.ascontiguousarray(batch.unit_count),
-                n_units,
-                np.ascontiguousarray(d_run[valid]),
-                np.ascontiguousarray(main_code[valid]),
-                np.ascontiguousarray(dst_pos_a.astype(np.int32)),
-            )
-            run_ops = np.frombuffer(run_ops_b, dtype=np.int8)
-            run_lens = np.frombuffer(run_lens_b, dtype=np.int32)
-            runs_per_rec = np.frombuffer(runs_per_rec_b, dtype=np.int32)
-            run_off = np.concatenate([[0], np.cumsum(runs_per_rec)])
-            ops_l = run_ops.tolist()
-            lens_l = run_lens.tolist()
-            rewritten = [
-                [
-                    (lens_l[j], CODE_TO_OP[ops_l[j]])
-                    for j in range(run_off[i], run_off[i + 1])
-                ]
-                for i in range(b)
-            ]
-            dst_pos = [int(p) for p in dst_pos_a]
-            record_runs: list[list] = [[] for _ in range(b)]
-            for rec_i, r0, rl, q0, ql, cs, ce, cr, cq in indel_rows:
-                record_runs[rec_i].append(
-                    IndelRun(
-                        ref_start=r0,
-                        ref_length=rl,
-                        query_start=q0,
-                        query_length=ql,
-                        cigar_start=cs,
-                        cigar_end=ce,
-                        checker_ref_pos=cr,
-                        checker_query_pos=cq,
-                    )
-                )
         else:
             from .rewrite_batch import finalize_rewrite
 
@@ -295,8 +296,105 @@ class BatchProjector:
         else:
             realigned = []
 
+        return self._splice(records, dst_pos, rewritten, record_runs, realigned)
+
+    def _finish_fused(self, handle) -> list[ProjectionResult]:
+        _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg = handle
+        b = len(records)
+        dst_pos_a, d8, main_code, realign_ops, realign_counts, flags = jax.device_get(
+            out[:6]
+        )
+        if int(flags[0]):
+            # shape-bucket overflow (too many runs per record / pool / run
+            # length): recompute this batch's realignment via the split path
+            d_run = (
+                jax.device_get(out[6]) if int(flags[1]) else d8.astype(np.int32)
+            )
+            dst_pos, rewritten, record_runs = self._finalize_native(
+                batch, dst_pos_a, d_run, main_code, b
+            )
+            return self._realign_and_splice(
+                records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos, rewritten,
+                record_runs,
+            )
+
+        d_run = jax.device_get(out[6]) if int(flags[1]) else d8.astype(np.int32)
+        dst_pos, rewritten, record_runs = self._finalize_native(
+            batch, dst_pos_a, d_run, main_code, b
+        )
+        total_runs = int(flags[2])
+        n_host_runs = sum(len(r) for r in record_runs)
+        if total_runs != n_host_runs:
+            # defensive: device/host run detection disagree — trust the host
+            return self._realign_and_splice(
+                records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos, rewritten,
+                record_runs,
+            )
+
+        realigned: list[Cigar] = []
+        counts_l = realign_counts[:total_runs].tolist()
+        for i in range(total_runs):
+            k = counts_l[i]
+            rev = realign_ops[i, :k][::-1]
+            cig: Cigar = []
+            for code in rev.tolist():
+                ch = CODE_TO_OP[int(code)]
+                if cig and cig[-1][1] == ch:
+                    cig[-1] = (cig[-1][0] + 1, ch)
+                else:
+                    cig.append((1, ch))
+            realigned.append(cig)
+        return self._splice(records, dst_pos, rewritten, record_runs, realigned)
+
+    def _finalize_native(self, batch, dst_pos_a, d_run, main_code, b):
+        """Native merge + indel-run detection (shared by both paths)."""
+        native = get_native()
+        valid = (
+            np.arange(batch.pad_ref_units)[None, :] < batch.n_ref_units[:, None]
+        )
+        n_units = np.bincount(batch.unit_rec, minlength=b).astype(np.int32)
+        run_ops_b, run_lens_b, runs_per_rec_b, indel_rows = native.finalize_rewrite(
+            np.ascontiguousarray(batch.unit_op),
+            np.ascontiguousarray(batch.unit_count),
+            n_units,
+            np.ascontiguousarray(d_run[valid]),
+            np.ascontiguousarray(main_code[valid]),
+            np.ascontiguousarray(dst_pos_a.astype(np.int32)),
+        )
+        run_ops = np.frombuffer(run_ops_b, dtype=np.int8)
+        run_lens = np.frombuffer(run_lens_b, dtype=np.int32)
+        runs_per_rec = np.frombuffer(runs_per_rec_b, dtype=np.int32)
+        run_off = np.concatenate([[0], np.cumsum(runs_per_rec)])
+        ops_l = run_ops.tolist()
+        lens_l = run_lens.tolist()
+        rewritten = [
+            [
+                (lens_l[j], CODE_TO_OP[ops_l[j]])
+                for j in range(run_off[i], run_off[i + 1])
+            ]
+            for i in range(b)
+        ]
+        dst_pos = [int(p) for p in dst_pos_a]
+        record_runs: list[list] = [[] for _ in range(b)]
+        for rec_i, r0, rl, q0, ql, cs, ce, cr, cq in indel_rows:
+            record_runs[rec_i].append(
+                IndelRun(
+                    ref_start=r0,
+                    ref_length=rl,
+                    query_start=q0,
+                    query_length=ql,
+                    cigar_start=cs,
+                    cigar_end=ce,
+                    checker_ref_pos=cr,
+                    checker_query_pos=cq,
+                )
+            )
+        return dst_pos, rewritten, record_runs
+
+    def _splice(self, records, dst_pos, rewritten, record_runs, realigned):
         # Splice.  The rewritten CIGARs are already RLE-collapsed, so records
         # without realignment runs pass through unchanged.
+        b = len(records)
         results: list[ProjectionResult] = []
         run_idx = 0
         for i in range(b):

@@ -147,3 +147,56 @@ def test_engine_data_parallel_mesh(msa_files, founder_seqs):
         run_project_alignments(io.BytesIO(sam), out, cfg)
         outs[dp] = out.getvalue()
     assert outs[0] == outs[-1]
+
+
+def test_fused_overflow_fallback(msa_files, founder_seqs):
+    """Records exceeding the fused kernel's run buckets (many runs / long
+    runs) must fall back to the split path and still match the host."""
+    import numpy as np
+
+    index_path, _, _ = msa_files
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    s = stripped["1"]
+    lines = ["@HD\tVN:1.6"]
+    for sid, fs in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(fs)}")
+    rng = np.random.default_rng(3)
+
+    # read with 12 adjacent I+D runs (> FUSED_MAX_RUNS)
+    pos = 500
+    parts = []
+    cig = []
+    p = pos
+    for k in range(12):
+        parts.append(s[p:p + 5])
+        cig.append("5=")
+        ins = bytes(rng.choice(list(b"ACGT"), 2))
+        parts.append(ins)
+        cig.append("2I2D")
+        p += 7
+    seq1 = b"".join(parts).decode()
+    cigar1 = "".join(cig)
+    lines.append(f"many\t0\ttest/1\t{pos + 1}\t60\t{cigar1}\t*\t0\t0\t{seq1}\t{'I' * len(seq1)}")
+
+    # read with one very long run (> FUSED_RUN_PAD)
+    pos2 = 2000
+    ins2 = bytes(rng.choice(list(b"ACGT"), 40))
+    seq2 = (s[pos2:pos2 + 20] + ins2 + s[pos2 + 60:pos2 + 80]).decode()
+    cigar2 = "20=40I40D20="
+    lines.append(f"long\t0\ttest/1\t{pos2 + 1}\t60\t{cigar2}\t*\t0\t0\t{seq2}\t{'I' * len(seq2)}")
+
+    sam = ("\n".join(lines) + "\n").encode()
+    outs = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 2
+        outs[engine] = out.getvalue()
+    assert outs["host"] == outs["device"]
