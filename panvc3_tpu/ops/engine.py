@@ -173,7 +173,10 @@ class BatchProjector:
 
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
         use_fused = (
-            not use_quality and self.mesh is None and get_native() is not None
+            bool(getattr(cfg, "fused_kernel", False))
+            and not use_quality
+            and self.mesh is None
+            and get_native() is not None
         )
         if use_fused:
             from .fused import fused_projection_kernel

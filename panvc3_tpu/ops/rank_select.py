@@ -22,6 +22,12 @@ import numpy as np
 from ..bitvec import GapBitVector
 
 
+# Above this many total zeros the explicit select table (int32 per
+# unaligned position) is skipped to bound HBM use; select0 then falls back
+# to the block-rank binary search.
+SELECT_TABLE_MAX_ZEROS = 512 * 1024 * 1024
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceGapIndex:
@@ -30,6 +36,12 @@ class DeviceGapIndex:
     Sequences are identified by dense ids (order of construction).  All
     arrays are immutable; the whole structure is a pytree so it can be
     donated/replicated/sharded with jax.device_put or closed over in jit.
+
+    ``zsel`` is an optional explicit select table: the aligned position of
+    every zero, concatenated per sequence — select0 becomes one gather
+    instead of a ~14-step binary search (the searches gather randomly and
+    dominate kernel time otherwise).  It costs 4 bytes per unaligned base
+    per sequence and is dropped above SELECT_TABLE_MAX_ZEROS.
     """
 
     words: jnp.ndarray        # uint32[total_words] packed bits
@@ -38,12 +50,14 @@ class DeviceGapIndex:
     seq_brank_off: jnp.ndarray  # int32[S]
     seq_nwords: jnp.ndarray   # int32[S]
     seq_nzeros: jnp.ndarray   # int32[S]
+    zsel: jnp.ndarray | None  # int32[total_zeros] aligned position of each zero
+    seq_zsel_off: jnp.ndarray  # int32[S]
     search_steps: int         # static: ceil(log2(max nwords + 1))
 
     def tree_flatten(self):
         children = (
             self.words, self.brank, self.seq_word_off, self.seq_brank_off,
-            self.seq_nwords, self.seq_nzeros,
+            self.seq_nwords, self.seq_nzeros, self.zsel, self.seq_zsel_off,
         )
         return children, self.search_steps
 
@@ -52,7 +66,7 @@ class DeviceGapIndex:
         return cls(*children, aux)
 
     @classmethod
-    def build(cls, vectors: list[GapBitVector]) -> "DeviceGapIndex":
+    def build(cls, vectors: list[GapBitVector], with_select_table: bool | None = None) -> "DeviceGapIndex":
         words_parts = []
         brank_parts = []
         word_off = []
@@ -70,6 +84,26 @@ class DeviceGapIndex:
             woff += len(gv.words)
             boff += len(gv.block_rank0)
         max_nwords = max(nwords) if nwords else 1
+
+        total_zeros = sum(nzeros)
+        if with_select_table is None:
+            with_select_table = total_zeros <= SELECT_TABLE_MAX_ZEROS
+        zsel = None
+        zsel_off = np.zeros(max(1, len(vectors)), np.int32)
+        if with_select_table:
+            parts = []
+            zoff = 0
+            for i, gv in enumerate(vectors):
+                zsel_off[i] = zoff
+                bits = None
+                from ..bitvec import unpack_bits
+
+                bits = unpack_bits(gv.words, gv.n)
+                parts.append(np.flatnonzero(bits == 0).astype(np.int32))
+                zoff += gv.n_zeros
+            zsel = jnp.asarray(
+                np.concatenate(parts) if parts else np.zeros(1, np.int32)
+            )
         return cls(
             words=jnp.asarray(np.concatenate(words_parts) if words_parts else np.zeros(1, np.uint32)),
             brank=jnp.asarray(np.concatenate(brank_parts) if brank_parts else np.zeros(1, np.int32)),
@@ -77,6 +111,8 @@ class DeviceGapIndex:
             seq_brank_off=jnp.asarray(np.array(brank_off, np.int32)),
             seq_nwords=jnp.asarray(np.array(nwords, np.int32)),
             seq_nzeros=jnp.asarray(np.array(nzeros, np.int32)),
+            zsel=zsel,
+            seq_zsel_off=jnp.asarray(zsel_off),
             search_steps=max(1, math.ceil(math.log2(max_nwords + 1))),
         )
 
@@ -101,9 +137,16 @@ class DeviceGapIndex:
     def select0(self, seq: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         """Position of the k-th zero (1-based) in sequence ``seq``.
 
-        Per-sequence binary search over the block-rank table (fixed
-        ``search_steps`` trips), then a 5-step in-word popcount search.
+        One gather when the explicit select table is present; otherwise a
+        per-sequence binary search over the block-rank table (fixed
+        ``search_steps`` trips) plus a 5-step in-word popcount search.
         """
+        if self.zsel is not None:
+            k = k.astype(jnp.int32)
+            idx = self.seq_zsel_off[seq] + jnp.clip(
+                k - 1, 0, None
+            )
+            return self.zsel[jnp.clip(idx, 0, self.zsel.shape[0] - 1)]
         k = k.astype(jnp.int32)
         boff = self.seq_brank_off[seq]
         n = self.seq_nwords[seq]

@@ -84,6 +84,10 @@ class ProjectConfig:
     # data-parallel sharding over a device mesh: 0 = single device,
     # -1 = all devices, N = first N devices
     data_parallel: int = 0
+    # single-dispatch fused kernel (rewrite + run detection + realign on
+    # device); currently slower than the pipelined split path on the
+    # tunnelled single-chip setup, so opt-in
+    fused_kernel: bool = False
 
 
 @dataclass

@@ -231,3 +231,19 @@ def test_batched_realign_affine_penalties(go, ge):
     exp = [align_global(r, q, go, ge)[1] for r, q in zip(refs, queries)]
     for i, (g, e) in enumerate(zip(got, exp)):
         assert g == e, f"pair {i} ref={refs[i]} q={queries[i]}"
+
+
+def test_device_select_without_table_matches():
+    """The binary-search fallback (no select table) must agree."""
+    rng = np.random.default_rng(5)
+    vectors = [GapBitVector.from_bits(random_bits(rng, n)) for n in (100, 2048)]
+    with_t = DeviceGapIndex.build(vectors, with_select_table=True)
+    without_t = DeviceGapIndex.build(vectors, with_select_table=False)
+    assert without_t.zsel is None
+    for s, gv in enumerate(vectors):
+        ks = np.arange(1, gv.n_zeros + 1, dtype=np.int32)
+        seq = np.full_like(ks, s)
+        a = np.asarray(with_t.select0(jnp.asarray(seq), jnp.asarray(ks)))
+        b = np.asarray(without_t.select0(jnp.asarray(seq), jnp.asarray(ks)))
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, gv.select0(ks))

@@ -65,7 +65,7 @@ def test_device_engine_matches_host(msa_files, founder_seqs, use_quality):
 
     outs = {}
     stats = {}
-    for engine in ("host", "device"):
+    for engine, fused in (("host", False), ("device", False), ("device", True)):
         cfg = ProjectConfig(
             msa_index_path=str(index_path),
             reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
@@ -75,7 +75,9 @@ def test_device_engine_matches_host(msa_files, founder_seqs, use_quality):
             use_read_base_qualities=use_quality,
             engine=engine,
             device_batch_size=64,
+            fused_kernel=fused,
         )
+        engine = f"{engine}-fused" if fused else engine
         out = io.BytesIO()
         stats[engine] = run_project_alignments(io.BytesIO(sam), out, cfg)
         outs[engine] = out.getvalue()
