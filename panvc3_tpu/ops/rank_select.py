@@ -52,12 +52,15 @@ class DeviceGapIndex:
     seq_nzeros: jnp.ndarray   # int32[S]
     zsel: jnp.ndarray | None  # int32[total_zeros] aligned position of each zero
     seq_zsel_off: jnp.ndarray  # int32[S]
+    rtab: jnp.ndarray | None  # int32[total_cols+S] dense rank0 per aligned position (len n+1 per seq)
+    seq_rtab_off: jnp.ndarray  # int32[S]
     search_steps: int         # static: ceil(log2(max nwords + 1))
 
     def tree_flatten(self):
         children = (
             self.words, self.brank, self.seq_word_off, self.seq_brank_off,
             self.seq_nwords, self.seq_nzeros, self.zsel, self.seq_zsel_off,
+            self.rtab, self.seq_rtab_off,
         )
         return children, self.search_steps
 
@@ -66,7 +69,8 @@ class DeviceGapIndex:
         return cls(*children, aux)
 
     @classmethod
-    def build(cls, vectors: list[GapBitVector], with_select_table: bool | None = None) -> "DeviceGapIndex":
+    def build(cls, vectors: list[GapBitVector], with_select_table: bool | None = None,
+              with_rank_table: bool | None = None) -> "DeviceGapIndex":
         words_parts = []
         brank_parts = []
         word_off = []
@@ -86,8 +90,13 @@ class DeviceGapIndex:
         max_nwords = max(nwords) if nwords else 1
 
         total_zeros = sum(nzeros)
+        total_cols = sum(gv.n for gv in vectors)
         if with_select_table is None:
             with_select_table = total_zeros <= SELECT_TABLE_MAX_ZEROS
+        if with_rank_table is None:
+            with_rank_table = total_cols <= SELECT_TABLE_MAX_ZEROS
+        from ..bitvec import unpack_bits
+
         zsel = None
         zsel_off = np.zeros(max(1, len(vectors)), np.int32)
         if with_select_table:
@@ -95,13 +104,26 @@ class DeviceGapIndex:
             zoff = 0
             for i, gv in enumerate(vectors):
                 zsel_off[i] = zoff
-                bits = None
-                from ..bitvec import unpack_bits
-
                 bits = unpack_bits(gv.words, gv.n)
                 parts.append(np.flatnonzero(bits == 0).astype(np.int32))
                 zoff += gv.n_zeros
             zsel = jnp.asarray(
+                np.concatenate(parts) if parts else np.zeros(1, np.int32)
+            )
+
+        rtab = None
+        rtab_off = np.zeros(max(1, len(vectors)), np.int32)
+        if with_rank_table:
+            parts = []
+            roff = 0
+            for i, gv in enumerate(vectors):
+                rtab_off[i] = roff
+                bits = unpack_bits(gv.words, gv.n)
+                r = np.zeros(gv.n + 1, np.int32)
+                np.cumsum(bits == 0, out=r[1:])
+                parts.append(r)
+                roff += gv.n + 1
+            rtab = jnp.asarray(
                 np.concatenate(parts) if parts else np.zeros(1, np.int32)
             )
         return cls(
@@ -113,14 +135,22 @@ class DeviceGapIndex:
             seq_nzeros=jnp.asarray(np.array(nzeros, np.int32)),
             zsel=zsel,
             seq_zsel_off=jnp.asarray(zsel_off),
+            rtab=rtab,
+            seq_rtab_off=jnp.asarray(rtab_off),
             search_steps=max(1, math.ceil(math.log2(max_nwords + 1))),
         )
 
     # -- queries (all element-wise over same-shaped int32 arrays) ----------
 
     def rank0(self, seq: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-        """Zeros strictly before ``pos`` in sequence ``seq``."""
+        """Zeros strictly before ``pos`` in sequence ``seq``.
+
+        One gather with the dense rank table; two gathers + popcount over
+        the block-rank structure otherwise."""
         pos = pos.astype(jnp.int32)
+        if self.rtab is not None:
+            idx = self.seq_rtab_off[seq] + pos
+            return self.rtab[jnp.clip(idx, 0, self.rtab.shape[0] - 1)]
         wi = pos >> 5
         bi = (pos & 31).astype(jnp.uint32)
         base = self.brank[self.seq_brank_off[seq] + wi]
@@ -131,6 +161,11 @@ class DeviceGapIndex:
 
     def bit(self, seq: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         pos = pos.astype(jnp.int32)
+        if self.rtab is not None:
+            # pos is a gap iff rank0 does not increase across it
+            idx = self.seq_rtab_off[seq] + pos
+            idx = jnp.clip(idx, 0, self.rtab.shape[0] - 2)
+            return (1 - (self.rtab[idx + 1] - self.rtab[idx])).astype(jnp.int32)
         w = self.words[self.seq_word_off[seq] + (pos >> 5)]
         return ((w >> (pos & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
 

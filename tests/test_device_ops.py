@@ -247,3 +247,20 @@ def test_device_select_without_table_matches():
         b = np.asarray(without_t.select0(jnp.asarray(seq), jnp.asarray(ks)))
         assert np.array_equal(a, b)
         assert np.array_equal(a, gv.select0(ks))
+
+
+def test_device_rank_without_table_matches():
+    rng = np.random.default_rng(6)
+    vectors = [GapBitVector.from_bits(random_bits(rng, n)) for n in (77, 1024)]
+    with_t = DeviceGapIndex.build(vectors, with_rank_table=True)
+    without_t = DeviceGapIndex.build(vectors, with_rank_table=False)
+    assert without_t.rtab is None
+    for s, gv in enumerate(vectors):
+        pos = np.arange(gv.n, dtype=np.int32)
+        seq = np.full_like(pos, s)
+        a = np.asarray(with_t.rank0(jnp.asarray(seq), jnp.asarray(pos)))
+        b = np.asarray(without_t.rank0(jnp.asarray(seq), jnp.asarray(pos)))
+        assert np.array_equal(a, b)
+        assert np.array_equal(
+            np.asarray(with_t.bit(jnp.asarray(seq), jnp.asarray(pos))), gv.bit_at(pos)
+        )
