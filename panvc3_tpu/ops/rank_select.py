@@ -169,6 +169,25 @@ class DeviceGapIndex:
         w = self.words[self.seq_word_off[seq] + (pos >> 5)]
         return ((w >> (pos & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
 
+    def rank0_and_bit(self, seq: jnp.ndarray, pos: jnp.ndarray):
+        """(rank0(pos), bit(pos)) sharing gathers: two adjacent rank-table
+        loads, or one word gather + block rank with the fallback."""
+        pos = pos.astype(jnp.int32)
+        if self.rtab is not None:
+            idx = self.seq_rtab_off[seq] + pos
+            idx = jnp.clip(idx, 0, self.rtab.shape[0] - 2)
+            r1 = self.rtab[idx]
+            r2 = self.rtab[idx + 1]
+            return r1, (1 - (r2 - r1)).astype(jnp.int32)
+        wi = pos >> 5
+        bi = (pos & 31).astype(jnp.uint32)
+        base = self.brank[self.seq_brank_off[seq] + wi]
+        w = self.words[self.seq_word_off[seq] + wi]
+        mask = ((jnp.uint32(1) << bi) - jnp.uint32(1)).astype(jnp.uint32)
+        inword = jax.lax.population_count((~w) & mask).astype(jnp.int32)
+        bit = ((w >> bi) & jnp.uint32(1)).astype(jnp.int32)
+        return base + inword, bit
+
     def select0(self, seq: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
         """Position of the k-th zero (1-based) in sequence ``seq``.
 

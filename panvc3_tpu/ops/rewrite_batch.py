@@ -185,8 +185,7 @@ def rewrite_math(
     s = src_seq[:, None]
     d = dst_seq[:, None]
     aligned = index.select0(s, pos + 1)
-    excess = index.rank0(d, aligned)
-    isgap = index.bit(d, aligned)
+    excess, isgap = index.rank0_and_bit(d, aligned)
     initial = index.rank0(dst_seq, index.select0(src_seq, rec_src_pos + 1))
 
     nongap = 1 - isgap

@@ -1,0 +1,128 @@
+"""Property-style randomized tests (the role of the reference's rapidcheck
+suite, /root/reference/tests/rewrite_cigar_arbitrary.cc and
+indel_run_checker_arbitrary.cc): construct random MSAs and alignments whose
+expected projections are known from the construction itself."""
+
+import numpy as np
+import pytest
+
+from panvc3_tpu.cigar import (
+    cigar_eq,
+    cigar_query_length,
+    cigar_ref_length,
+    format_cigar,
+)
+from panvc3_tpu.indel_runs import find_indel_runs
+from panvc3_tpu.msa_index import make_sequence_entry_pair
+from panvc3_tpu.rewrite import rewrite_cigar
+
+
+def _random_identical_msa(rng, n):
+    """src == dst except for gap placement: projecting a read sampled from
+    src must reproduce an equivalent alignment on dst."""
+    base = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, n))
+    # insert gaps independently into both rows over a common spine
+    src_parts = []
+    dst_parts = []
+    for c in base:
+        if rng.random() < 0.15:
+            src_parts.append("-")
+            dst_parts.append(c)
+        elif rng.random() < 0.15:
+            src_parts.append(c)
+            dst_parts.append("-")
+        else:
+            src_parts.append(c)
+            dst_parts.append(c)
+    return "".join(src_parts), "".join(dst_parts)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_rewrite_preserves_query_and_consistency(seed):
+    rng = np.random.default_rng(seed)
+    src, dst = _random_identical_msa(rng, 120)
+    se, de = make_sequence_entry_pair(src, dst)
+    src_gapless = src.replace("-", "")
+    dst_gapless = dst.replace("-", "")
+    if len(src_gapless) < 30:
+        pytest.skip("degenerate")
+
+    for _ in range(10):
+        read_len = int(rng.integers(5, 25))
+        pos = int(rng.integers(0, len(src_gapless) - read_len))
+        query = src_gapless[pos:pos + read_len]
+        dst_pos, out = rewrite_cigar(
+            pos, [(read_len, "=")], se, de, query, dst_gapless
+        )
+        # invariants: query fully consumed; ref span within dst; all
+        # non-indel ops are matches (the read IS the source row, and the
+        # rows share their non-gap spine)
+        assert cigar_query_length(out) == read_len
+        assert dst_pos + cigar_ref_length(out) <= len(dst_gapless)
+        assert all(op in "=IDX" for _, op in out), format_cigar(out)
+        # characters at '=' positions really match
+        qpos, rpos = 0, dst_pos
+        for n, op in out:
+            if op == "=":
+                assert query[qpos:qpos + n] == dst_gapless[rpos:rpos + n]
+            if op in "=X":
+                qpos += n
+                rpos += n
+            elif op == "I":
+                qpos += n
+            elif op == "D":
+                rpos += n
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_indel_run_checker_reports_exactly_the_ID_runs(seed):
+    """Mirror of indel_run_checker_arbitrary.cc: generate random op
+    sequences; the checker must report exactly the maximal runs containing
+    both I and D."""
+    rng = np.random.default_rng(100 + seed)
+    ops = []
+    for _ in range(int(rng.integers(1, 20))):
+        op = "MIDNS=XHP"[int(rng.integers(0, 9))]
+        ops.append((int(rng.integers(1, 5)), op))
+
+    runs = find_indel_runs(ops, 0)
+
+    # recompute expected runs naively
+    expected = []
+    cur = set()
+    start = None
+    for i, (n, op) in enumerate(ops):
+        if op in "ID":
+            if start is None:
+                start = i
+            cur.add(op)
+        else:
+            if start is not None and cur == {"I", "D"}:
+                expected.append((start, i))
+            start = None
+            cur = set()
+    if start is not None and cur == {"I", "D"}:
+        expected.append((start, len(ops)))
+
+    assert [(r.cigar_start, r.cigar_end) for r in runs] == expected
+
+    # ranges consistent with op spans
+    for r in runs:
+        seg = ops[r.cigar_start:r.cigar_end]
+        assert r.ref_length == sum(n for n, op in seg if op == "D")
+        assert r.query_length == sum(n for n, op in seg if op == "I")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_cigar_eq_run_permutation_property(seed):
+    """cigar_eq must be invariant under permuting ops inside an indel run."""
+    rng = np.random.default_rng(200 + seed)
+    base = [(3, "="), (2, "I"), (1, "D"), (2, "I"), (4, "="), (1, "X")]
+    run = [(2, "I"), (1, "D"), (2, "I")]
+    for _ in range(5):
+        perm = list(run)
+        rng.shuffle(perm)
+        other = [(3, "=")] + perm + [(4, "="), (1, "X")]
+        assert cigar_eq(base, other)
+    # changing counts breaks it
+    assert not cigar_eq(base, [(3, "="), (5, "I"), (4, "="), (1, "X")])
