@@ -101,7 +101,6 @@ class BatchProjector:
             self._ref_flat = jax.device_put(flat)
 
     # fused-path shape buckets (overflow falls back to the split path)
-    FUSED_MAX_RUNS = 8
     FUSED_RUN_PAD = 32
 
     def start_batch(self, records, ref_seqs: dict[int, bytes], cfg):
@@ -195,7 +194,6 @@ class BatchProjector:
                 np.float32(self.gap_extension_cost),
                 batch.pad_ref_units,
                 batch.pad_ref_units + batch.ops.shape[1],
-                self.FUSED_MAX_RUNS,
                 self.FUSED_RUN_PAD,
                 self.FUSED_RUN_PAD,
             )

@@ -7,9 +7,12 @@ path.  This kernel keeps everything on device:
 
 1. rewrite math over (B, R) reference units (ops/rewrite_batch.rewrite_math);
 2. indel-run detection with the checker semantics
-   (/root/reference/libpanvc3/indel_run_checker.cc:31-121) as a lax.scan
-   over the full unit stream (reference units + pass-through ops, expanded
-   on device the same way as the rewrite);
+   (/root/reference/libpanvc3/indel_run_checker.cc:31-121), fully
+   vectorised: the emitted op stream is modelled as a token array
+   (B, 2U+1) — each unit contributes its inter-position deletion run and
+   its main op, plus one synthetic end-of-CIGAR break — and runs are
+   recovered with prefix sums / prefix max over the token axis (a maximal
+   I/D stretch between breaks is a run iff it contains both op kinds);
 3. run compaction into a fixed pool of slots (prefix-sum scatter; overflow
    reported so the host can fall back);
 4. gather of the run's reference/query slices (reference bytes
@@ -36,12 +39,44 @@ from ..alphabet import DNA5_NORMALISE
 from ..cigar import D, EQ, H, I, N, P, S, X
 from .rank_select import DeviceGapIndex
 from .realign_batch import NEG, _fill_batch, _traceback_batch
-from .rewrite_batch import CODE_NONE, _IS_MTYPE_OP, _IS_QUERY_OP, _IS_REF_OP, rewrite_math
+from .rewrite_batch import CODE_NONE, _IS_REF_OP, rewrite_math
 
 _DNA5_LUT = jnp.asarray(DNA5_NORMALISE)
 
+# emitted-op classification tables (codes 0..15; emitted stream contains
+# D/I/EQ/X from ref units and I/S/H/P pass-through ops)
+_CONS_REF = np.zeros(16, np.int32)
+for _c in (0, EQ, X, D, N):
+    _CONS_REF[_c] = 1
+_CONS_QUERY = np.zeros(16, np.int32)
+for _c in (0, EQ, X, I, S):
+    _CONS_QUERY[_c] = 1
 
-@partial(jax.jit, static_argnames=("R", "U", "max_runs", "run_r", "run_q"))
+
+def _prefix_sum(x, axis_len):
+    """Inclusive prefix sum along the last axis via log-step doubling
+    (jnp.cumsum lowers through reduce_window fine, but keep the same
+    doubling shape as _prefix_max for predictable lowering)."""
+    k = 1
+    while k < axis_len:
+        shifted = jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
+        x = x + shifted
+        k <<= 1
+    return x
+
+
+def _prefix_max_i(x, axis_len, fill):
+    k = 1
+    while k < axis_len:
+        shifted = jnp.pad(
+            x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)], constant_values=fill
+        )
+        x = jnp.maximum(x, shifted)
+        k <<= 1
+    return x
+
+
+@partial(jax.jit, static_argnames=("R", "U", "run_r", "run_q"))
 def fused_projection_kernel(
     index: DeviceGapIndex,
     ref_flat: jnp.ndarray,     # uint8[Nref]
@@ -56,7 +91,6 @@ def fused_projection_kernel(
     ge: jnp.ndarray,           # float32
     R: int,                    # max reference units
     U: int,                    # max total units (ref units + pass-through ops)
-    max_runs: int,             # run-slot pool size
     run_r: int,                # max run ref length (pad)
     run_q: int,                # max run query length (pad)
 ):
@@ -83,157 +117,95 @@ def fused_projection_kernel(
     u_valid = u < total_units[:, None]
 
     take = lambda a: jnp.take_along_axis(a, op_idx, axis=1)
-    u_op = take(ops)
     u_is_ref = take(is_ref_op) & u_valid
     u_count = take(counts)
-    u_ref_idx = take(ref_pref) + (u - take(unit_pref))  # ref-unit index r
+    u_ref_idx = take(ref_pref) + (u - take(unit_pref))
 
     gather_r = jnp.clip(u_ref_idx, 0, R - 1)
-    u_d = jnp.where(
-        u_is_ref, jnp.take_along_axis(d_run, gather_r, axis=1), 0
-    )
+    u_d = jnp.where(u_is_ref, jnp.take_along_axis(d_run, gather_r, axis=1), 0)
     u_main = jnp.where(
         u_is_ref,
-        jnp.take_along_axis(main_code, gather_r, axis=1),
-        u_op,
-    ).astype(jnp.int32)
-    # pass-through op emitted length
+        jnp.take_along_axis(main_code, gather_r, axis=1).astype(jnp.int32),
+        take(ops).astype(jnp.int32),
+    )
     u_main_len = jnp.where(
-        u_is_ref,
-        jnp.where(u_main == CODE_NONE, 0, 1),
-        u_count,
+        u_is_ref, jnp.where(u_main == CODE_NONE, 0, 1), u_count
     )
     u_main = jnp.where(u_valid, u_main, CODE_NONE)
     u_d = jnp.where(u_valid, u_d, 0)
     u_main_len = jnp.where(u_valid, u_main_len, 0)
 
-    # per-emitted-op consumption
-    def consumption(code, length):
-        cons_ref = jnp.where(
-            (code == D) | (code == N) | (code == EQ) | (code == X) | (code == 0),
-            length,
-            0,
-        )
-        cons_query = jnp.where(
-            (code == I) | (code == S) | (code == EQ) | (code == X) | (code == 0),
-            length,
-            0,
-        )
-        return cons_ref, cons_query
-
-    # ---- indel-run checker scan over units -------------------------------
-    # state per record: run_type(2b), ref_pos, query_pos, run_start_ref,
-    # run_start_query, n_runs, per-run outputs scattered to (B, max_runs)
-    HAS_I, HAS_D, BOTH = 1, 2, 3
-
-    def emit_op(state, code, length):
-        """Feed one emitted op (possibly zero-length) through the checker."""
-        (run_type, ref_pos, query_pos, start_ref, start_query,
-         n_runs, runs_sr, runs_rl, runs_sq, runs_ql, runs_cr, runs_cq) = state
-        active = length > 0
-        cons_ref, cons_query = consumption(code, length)
-
-        # run starts lazily when run_type == 0
-        fresh = active & (run_type == 0)
-        start_ref = jnp.where(fresh, ref_pos, start_ref)
-        start_query = jnp.where(fresh, query_pos, start_query)
-
-        is_i = active & (code == I)
-        is_d = active & (code == D)
-        breaking = active & ~is_i & ~is_d
-
-        report = breaking & (run_type == BOTH)
-        slot = jnp.minimum(n_runs, max_runs - 1)
-        bidx = jnp.arange(B)
-
-        def scatter(buf, val):
-            return buf.at[bidx, slot].set(jnp.where(report, val, buf[bidx, slot]))
-
-        new_ref_pos = ref_pos + cons_ref
-        new_query_pos = query_pos + cons_query
-        runs_sr = scatter(runs_sr, start_ref)
-        runs_rl = scatter(runs_rl, ref_pos - start_ref)
-        runs_sq = scatter(runs_sq, start_query)
-        runs_ql = scatter(runs_ql, query_pos - start_query)
-        runs_cr = scatter(runs_cr, new_ref_pos)
-        runs_cq = scatter(runs_cq, new_query_pos)
-        n_runs = n_runs + jnp.where(report, 1, 0)
-
-        run_type = jnp.where(
-            breaking,
-            0,
-            run_type | jnp.where(is_i, HAS_I, 0) | jnp.where(is_d, HAS_D, 0),
-        )
-        # a breaking op resets the lazy start to AFTER itself (the next
-        # fresh op re-captures positions), matching the checker
-        return (run_type, new_ref_pos, new_query_pos, start_ref, start_query,
-                n_runs, runs_sr, runs_rl, runs_sq, runs_ql, runs_cr, runs_cq)
-
-    zeros_i = jnp.zeros(B, jnp.int32)
-    runs_shape = (B, max_runs)
-    state0 = (
-        zeros_i, dst_pos.astype(jnp.int32), zeros_i,
-        dst_pos.astype(jnp.int32), zeros_i, zeros_i,
-        jnp.zeros(runs_shape, jnp.int32), jnp.zeros(runs_shape, jnp.int32),
-        jnp.zeros(runs_shape, jnp.int32), jnp.zeros(runs_shape, jnp.int32),
-        jnp.zeros(runs_shape, jnp.int32), jnp.zeros(runs_shape, jnp.int32),
+    # ---- token stream: [D-run, main] per unit + synthetic final break ----
+    T = 2 * U + 1
+    tok_code = jnp.concatenate(
+        [
+            jnp.stack(
+                [jnp.full((B, U), D, jnp.int32), u_main], axis=2
+            ).reshape(B, 2 * U),
+            jnp.full((B, 1), CODE_NONE, jnp.int32),
+        ],
+        axis=1,
+    )
+    tok_len = jnp.concatenate(
+        [
+            jnp.stack([u_d, u_main_len], axis=2).reshape(B, 2 * U),
+            jnp.zeros((B, 1), jnp.int32),
+        ],
+        axis=1,
     )
 
-    def unit_step(state, xs):
-        d_len, code, length = xs
-        state = emit_op(state, jnp.full(B, D), d_len)   # the inter-position D run
-        state = emit_op(state, code, length)            # the unit's own op
-        return state, None
+    real = tok_len > 0
+    is_i = real & (tok_code == I)
+    is_d = real & (tok_code == D)
+    is_break = real & ~is_i & ~is_d
+    # synthetic end-of-CIGAR break (consumes nothing, always breaks)
+    is_break = is_break.at[:, -1].set(True)
 
-    xs = (
-        jnp.swapaxes(u_d, 0, 1),
-        jnp.swapaxes(u_main, 0, 1),
-        jnp.swapaxes(u_main_len, 0, 1),
+    cons_ref = jnp.asarray(_CONS_REF)[tok_code] * tok_len
+    cons_query = jnp.asarray(_CONS_QUERY)[tok_code] * tok_len
+    incl_ref = jnp.cumsum(cons_ref, axis=1)
+    incl_query = jnp.cumsum(cons_query, axis=1)
+    incl_i = jnp.cumsum(is_i.astype(jnp.int32), axis=1)
+    incl_d_cnt = jnp.cumsum(is_d.astype(jnp.int32), axis=1)
+
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    # index of the previous break strictly before each token
+    brk_iota = jnp.where(is_break, t_idx, -1)
+    pb = _prefix_max_i(
+        jnp.pad(brk_iota[:, :-1], ((0, 0), (1, 0)), constant_values=-1), T, -1
     )
-    state, _ = jax.lax.scan(unit_step, state0, xs)
-    (run_type, ref_pos_f, query_pos_f, start_ref, start_query,
-     n_runs, runs_sr, runs_rl, runs_sq, runs_ql, runs_cr, runs_cq) = state
 
-    # final run at CIGAR end
-    final_report = run_type == BOTH
-    slot = jnp.minimum(n_runs, max_runs - 1)
-    bidx = jnp.arange(B)
+    def g(arr, idx):
+        safe = jnp.clip(idx, 0, T - 1)
+        return jnp.where(idx >= 0, jnp.take_along_axis(arr, safe, axis=1), 0)
 
-    def fscatter(buf, val):
-        return buf.at[bidx, slot].set(jnp.where(final_report, val, buf[bidx, slot]))
+    seg_i = incl_i - g(incl_i, pb)
+    seg_d = incl_d_cnt - g(incl_d_cnt, pb)
+    report = is_break & (seg_i > 0) & (seg_d > 0)
 
-    runs_sr = fscatter(runs_sr, start_ref)
-    runs_rl = fscatter(runs_rl, ref_pos_f - start_ref)
-    runs_sq = fscatter(runs_sq, start_query)
-    runs_ql = fscatter(runs_ql, query_pos_f - start_query)
-    runs_cr = fscatter(runs_cr, ref_pos_f)
-    runs_cq = fscatter(runs_cq, query_pos_f)
-    n_runs = n_runs + jnp.where(final_report, 1, 0)
-
-    overflow = jnp.sum(jnp.where(n_runs > max_runs, 1, 0)).astype(jnp.int32)
-    n_runs = jnp.minimum(n_runs, max_runs)
+    run_start_ref = dst_pos[:, None] + g(incl_ref, pb)
+    run_ref_len = (incl_ref - cons_ref) - g(incl_ref, pb)
+    run_start_query = g(incl_query, pb)
+    run_query_len = (incl_query - cons_query) - g(incl_query, pb)
 
     # ---- compact runs into a global slot pool ----------------------------
-    run_off = jnp.cumsum(n_runs) - n_runs              # (B,) global offsets
-    total_runs = run_off[-1] + n_runs[-1]
-    slot_pool = B  # pool size: one run per record on average is generous
+    slot_pool = B
+    flat_report = report.reshape(-1)
+    gslot_incl = jnp.cumsum(flat_report.astype(jnp.int32))
+    total_runs = gslot_incl[-1]
+    gslot = gslot_incl - 1
     pool_overflow = jnp.where(total_runs > slot_pool, 1, 0).astype(jnp.int32)
+    scatter_idx = jnp.where(flat_report, jnp.clip(gslot, 0, slot_pool - 1), slot_pool)
 
-    j = jnp.arange(max_runs, dtype=jnp.int32)[None, :]
-    valid_run = j < n_runs[:, None]
-    gslot = jnp.clip(run_off[:, None] + j, 0, slot_pool - 1)
-    # only scatter valid runs: send invalid ones to a dummy slot via drop
-    gslot_flat = jnp.where(valid_run, gslot, slot_pool).reshape(-1)
-
-    def compact2(buf):
+    def compact(buf):
         out = jnp.zeros(slot_pool, jnp.int32)
-        return out.at[gslot_flat].set(buf.reshape(-1), mode="drop")
+        return out.at[scatter_idx].set(buf.reshape(-1), mode="drop")
 
-    c_sr = compact2(runs_sr)
-    c_rl = compact2(runs_rl)
-    c_sq = compact2(runs_sq)
-    c_ql = compact2(runs_ql)
-    c_rec = compact2(jnp.broadcast_to(jnp.arange(B)[:, None], (B, max_runs)))
+    c_sr = compact(run_start_ref)
+    c_rl = compact(run_ref_len)
+    c_sq = compact(run_start_query)
+    c_ql = compact(run_query_len)
+    c_rec = compact(jnp.broadcast_to(jnp.arange(B)[:, None], (B, T)))
 
     # ---- gather run slices ----------------------------------------------
     rr = jnp.arange(run_r, dtype=jnp.int32)[None, :]
@@ -262,5 +234,5 @@ def fused_projection_kernel(
 
     d8 = jnp.minimum(d_run, 255).astype(jnp.uint8)
     d_overflow = jnp.sum(jnp.where(d_run >= 255, 1, 0)).astype(jnp.int32)
-    flags = jnp.stack([overflow + pool_overflow + len_overflow, d_overflow, total_runs])
+    flags = jnp.stack([pool_overflow + len_overflow, d_overflow, total_runs])
     return dst_pos, d8, main_code, realign_ops, realign_counts, flags, d_run
