@@ -101,7 +101,7 @@ class BatchProjector:
             self._ref_flat = jax.device_put(flat)
 
     # fused-path shape buckets (overflow falls back to the split path)
-    FUSED_RUN_PAD = 32
+    FUSED_RUN_PAD = 16
 
     def start_batch(self, records, ref_seqs: dict[int, bytes], cfg):
         """Stage a batch and dispatch its device work asynchronously.
@@ -196,6 +196,7 @@ class BatchProjector:
                 batch.pad_ref_units + batch.ops.shape[1],
                 self.FUSED_RUN_PAD,
                 self.FUSED_RUN_PAD,
+                max(256, len(records) // 2),
             )
             return ("fused", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg)
 

@@ -76,7 +76,7 @@ def _prefix_max_i(x, axis_len, fill):
     return x
 
 
-@partial(jax.jit, static_argnames=("R", "U", "run_r", "run_q"))
+@partial(jax.jit, static_argnames=("R", "U", "run_r", "run_q", "slot_pool"))
 def fused_projection_kernel(
     index: DeviceGapIndex,
     ref_flat: jnp.ndarray,     # uint8[Nref]
@@ -93,6 +93,7 @@ def fused_projection_kernel(
     U: int,                    # max total units (ref units + pass-through ops)
     run_r: int,                # max run ref length (pad)
     run_q: int,                # max run query length (pad)
+    slot_pool: int = 0,        # run-slot pool size (0 -> B)
 ):
     B = src_seq.shape[0]
     O = ops.shape[1]
@@ -189,7 +190,8 @@ def fused_projection_kernel(
     run_query_len = (incl_query - cons_query) - g(incl_query, pb)
 
     # ---- compact runs into a global slot pool ----------------------------
-    slot_pool = B
+    if not slot_pool:
+        slot_pool = B
     flat_report = report.reshape(-1)
     gslot_incl = jnp.cumsum(flat_report.astype(jnp.int32))
     total_runs = gslot_incl[-1]
