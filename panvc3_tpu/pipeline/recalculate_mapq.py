@@ -167,6 +167,59 @@ class CigarScorer:
         self.n_penalties = [scoring.n_penalty] * 256
 
     def calculate(self, rec: SamRecord, ref_n_positions: list[int]) -> int:
+        """Vectorised when numpy pays off; exact integer semantics either
+        way (mirrors cigar_alignment_scorer::calculate_score)."""
+        import numpy as np
+
+        s = self.scoring
+        query = rec.seq
+        if len(query) >= 64 and not ref_n_positions:
+            # fast path: no reference-N bitmask
+            q = np.frombuffer(query.encode("latin1"), dtype=np.uint8)
+            quals_a = (
+                np.frombuffer(rec.qual.encode("latin1"), dtype=np.uint8).astype(np.int64) - 33
+                if rec.qual != "*"
+                else np.zeros(len(query), np.int64)
+            )
+            mismatch_tab = np.asarray(self.mismatch_penalties, dtype=np.int64)
+            is_n = (q == ord("N")) | (q == ord("n"))
+            score = 0
+            qpos = 0
+            prev_op = ""
+            for count, op in rec.cigar:
+                if op in ("H", "P", "N"):
+                    pass
+                elif op in ("I", "D"):
+                    if prev_op not in ("I", "D"):
+                        score -= s.gap_opening_penalty
+                    score -= count * s.gap_extension_penalty
+                    if op == "I":
+                        qpos += count
+                    prev_op = op
+                elif op == "S":
+                    qpos += count
+                    prev_op = op
+                elif op == "=":
+                    score -= int(is_n[qpos:qpos + count].sum()) * s.n_penalty
+                    qpos += count
+                    prev_op = op
+                elif op == "X":
+                    sl = slice(qpos, qpos + count)
+                    nmask = is_n[sl]
+                    pen = np.where(
+                        nmask, s.n_penalty, mismatch_tab[quals_a[sl]]
+                    )
+                    score -= int(pen.sum())
+                    qpos += count
+                    prev_op = op
+                else:
+                    raise ValueError(
+                        f"unexpected CIGAR operation {op!r} (rescoring requires =/X CIGARs)"
+                    )
+            return score
+        return self._calculate_scalar(rec, ref_n_positions)
+
+    def _calculate_scalar(self, rec: SamRecord, ref_n_positions: list[int]) -> int:
         s = self.scoring
         query = rec.seq
         quals = [ord(c) - 33 for c in rec.qual] if rec.qual != "*" else [0] * len(query)
