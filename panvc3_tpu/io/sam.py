@@ -430,6 +430,7 @@ class SamReader:
     """Streaming reader over SAM text or BAM (auto-detected)."""
 
     def __init__(self, path_or_fh, *, is_bam: bool | None = None):
+        import gzip as _gzip
         import io as _io
 
         if isinstance(path_or_fh, str):
@@ -442,8 +443,21 @@ class SamReader:
             fh = _io.BufferedReader(fh)
         self._fh = fh
         head = self._fh.peek(4)[:4]
+        if is_bam is None and head[:2] == b"\x1f\x8b":
+            # gzip container: BAM (BGZF with a BAM\1 payload) or gzipped SAM
+            # text — peek at the decompressed head to tell them apart
+            probe = _gzip.GzipFile(fileobj=_io.BytesIO(self._fh.peek(65536)))
+            try:
+                inner = probe.read(4)
+            except (OSError, EOFError):
+                inner = b""
+            if inner == b"BAM\x01":
+                is_bam = True
+            else:
+                is_bam = False
+                self._fh = _io.BufferedReader(_gzip.GzipFile(fileobj=self._fh))
         if is_bam is None:
-            is_bam = head[:2] == b"\x1f\x8b"
+            is_bam = False
         self.is_bam = is_bam
         self.header: SamHeader
         if is_bam:

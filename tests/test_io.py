@@ -116,3 +116,16 @@ def test_sam_reader_from_text_stream():
     recs = list(rd)
     assert len(recs) == 1
     assert recs[0].cigar == [(3, "M")]
+
+
+def test_sam_gz_autodetect(tmp_path):
+    import gzip
+
+    text = "@SQ\tSN:c\tLN:10\nq\t0\tc\t1\t60\t3M\t*\t0\t0\tACG\tIII\n"
+    p = tmp_path / "x.sam.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(text.encode())
+    rd = SamReader(str(p))
+    assert not rd.is_bam
+    recs = list(rd)
+    assert len(recs) == 1 and recs[0].qname == "q"
