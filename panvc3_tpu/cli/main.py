@@ -17,6 +17,15 @@ import sys
 from .. import __version__
 
 
+def _debug_flags(args) -> None:
+    if getattr(args, "print_invocation", False):
+        print("Invocation: " + " ".join(sys.argv), file=sys.stderr)
+    if getattr(args, "print_pid", False):
+        import os
+
+        print(f"PID: {os.getpid()}", file=sys.stderr)
+
+
 def _in_stream(path: str | None):
     if path:
         return path
@@ -146,6 +155,7 @@ def cmd_project_alignments(argv=None) -> int:
     p.add_argument("--print-pid", action="store_true")
     p.add_argument("--debugging-output", action="store_true")
     args = p.parse_args(argv)
+    _debug_flags(args)
 
     from ..pipeline.project_alignments import (
         ProjectConfig,
@@ -227,6 +237,7 @@ def cmd_recalculate_mapq(argv=None) -> int:
     p.add_argument("--print-pid", action="store_true")
     p.add_argument("--print-reference-names", action="store_true")
     args = p.parse_args(argv)
+    _debug_flags(args)
 
     from ..pipeline.recalculate_mapq import (
         AlignmentScoring,
