@@ -540,4 +540,12 @@ def main(argv=None) -> int:
     if tool not in TOOLS:
         print(f"unknown tool {tool!r}", file=sys.stderr)
         return 2
-    return TOOLS[tool](argv[1:])
+    try:
+        return TOOLS[tool](argv[1:])
+    except (ValueError, KeyError, FileNotFoundError) as exc:
+        # input/config errors exit cleanly like the reference tools
+        msg = exc.args[0] if exc.args else exc
+        print(f"ERROR: {msg}", file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0
