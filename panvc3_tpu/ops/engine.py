@@ -24,6 +24,7 @@ from .realign_batch import realign_batch
 from .rewrite_batch import (
     expand_cigars,
     fetch_rewrite_outputs,
+    pack_query,
     rewrite_batch,
     rewrite_device_kernel_packed,
 )
@@ -144,8 +145,8 @@ class BatchProjector:
             dst_ids,
             ref_offs,
             pad_ops=_next_pow2(max_ops),
-            pad_ref_units=_next_pow2(max_ref_units),
-            pad_query=_next_pow2(max_q),
+            pad_ref_units=max(2, _next_pow2(max_ref_units)),
+            pad_query=max(2, _next_pow2(max_q)),
         )
         kernel_inputs = dict(
             src_seq=batch.src_seq,
@@ -209,8 +210,9 @@ class BatchProjector:
             kernel_inputs["ref_off"],
             kernel_inputs["ops"],
             kernel_inputs["counts"],
-            kernel_inputs["query"],
+            pack_query(np.asarray(kernel_inputs["query"])),
             batch.pad_ref_units,
+            batch.query.shape[1],
         )
         return ("split", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad)
 
@@ -222,7 +224,7 @@ class BatchProjector:
             return self._finish_fused(handle)
         _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
         b = len(records)
-        dst_pos_a, d_run, main_code = fetch_rewrite_outputs(out)
+        dst_pos_a, d_run, main_code = fetch_rewrite_outputs(out, batch.pad_ref_units)
         if n_pad:
             dst_pos_a = dst_pos_a[:b]
             d_run = d_run[:b]

@@ -206,33 +206,103 @@ def rewrite_math(
 
 rewrite_device_kernel = jax.jit(rewrite_math, static_argnames=("R",))
 
+# ---------------------------------------------------------------------------
+# Tunnel-friendly packing: the link to the (remote) chip moves ~15 MB/s, so
+# bytes on the wire dominate the batch time.  Queries ship as 4-bit dna5
+# codes; the result arrays come back as nibble-packed op codes plus a sparse
+# list of the (rare) non-zero deletion-run lengths.
+# ---------------------------------------------------------------------------
+
+_QUERY_CODE = np.full(256, 5, dtype=np.uint8)  # 5 == padding / other
+for _i, _c in enumerate(b"ACGTN"):
+    _QUERY_CODE[_c] = _i
+_QUERY_DECODE = jnp.asarray(
+    np.array([65, 67, 71, 84, 78, 0, 0, 0], dtype=np.uint8)  # "ACGTN" + pad
+)
+
+D_SPARSE_SLOTS = 16  # non-zero deletion runs per record (overflow -> refetch)
+
+
+def pack_query(query: np.ndarray) -> np.ndarray:
+    """uint8 (B, Lq) query bytes -> 4-bit codes packed (B, Lq/2)."""
+    codes = _QUERY_CODE[query]
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_query(packed: jnp.ndarray, lq: int) -> jnp.ndarray:
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    codes = jnp.stack([lo, hi], axis=2).reshape(packed.shape[0], lq)
+    return _QUERY_DECODE[codes]
+
 
 def _rewrite_math_packed(index, ref_flat, src_seq, dst_seq, rec_src_pos,
-                         ref_off, ops, counts, query, R):
-    """rewrite_math with the deletion-run lengths clamped to uint8 for the
-    device->host fetch (d_run >= 255 — a >=255 bp deletion between adjacent
-    read bases — is vanishingly rare; the overflow count triggers a full
-    int32 re-fetch)."""
+                         ref_off, ops, counts, query_packed, R, Lq):
+    """rewrite_math with wire-packed inputs/outputs.
+
+    Returns (dst_pos, code_packed (B, R/2) u8 nibbles, d_vals (B, K) u8,
+    d_pos (B, K) u8 unit indices, d_n (B,) i32, overflow i32, d_run full).
+    overflow counts records whose sparse slots or u8 value range ran out;
+    the host then re-fetches the full int32 d_run.
+    """
+    query = _unpack_query(query_packed, Lq)
     dst_pos, d_run, main_code = rewrite_math(
         index, ref_flat, src_seq, dst_seq, rec_src_pos, ref_off, ops, counts,
         query, R,
     )
-    overflow = jnp.sum(jnp.where(d_run >= 255, 1, 0)).astype(jnp.int32)
-    d8 = jnp.minimum(d_run, 255).astype(jnp.uint8)
-    return dst_pos, d8, main_code, overflow, d_run
+    code_packed = (
+        (main_code[:, 0::2].astype(jnp.uint8) & 0xF)
+        | ((main_code[:, 1::2].astype(jnp.uint8) & 0xF) << 4)
+    )
+
+    nz = d_run > 0
+    slot = jnp.cumsum(nz.astype(jnp.int32), axis=1) - 1
+    d_n = jnp.sum(nz, axis=1).astype(jnp.int32)
+    K = D_SPARSE_SLOTS
+    scatter_to = jnp.where(nz, jnp.clip(slot, 0, K - 1), K)
+    B = d_run.shape[0]
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], d_run.shape)
+    d_vals = jnp.zeros((B, K), jnp.uint8).at[
+        bidx.reshape(-1), scatter_to.reshape(-1)
+    ].set(jnp.minimum(d_run, 255).astype(jnp.uint8).reshape(-1), mode="drop")
+    d_pos = jnp.zeros((B, K), jnp.uint8).at[
+        bidx.reshape(-1), scatter_to.reshape(-1)
+    ].set(
+        jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None, :], d_run.shape
+        ).astype(jnp.uint8).reshape(-1),
+        mode="drop",
+    )
+    overflow = (
+        jnp.sum(jnp.where(d_n > K, 1, 0))
+        + jnp.sum(jnp.where(d_run >= 255, 1, 0))
+        + jnp.where(R > 255, 1, 0)
+    ).astype(jnp.int32)
+    return dst_pos, code_packed, d_vals, d_pos, d_n, overflow, d_run
 
 
-rewrite_device_kernel_packed = jax.jit(_rewrite_math_packed, static_argnames=("R",))
+rewrite_device_kernel_packed = jax.jit(
+    _rewrite_math_packed, static_argnames=("R", "Lq")
+)
 
 
-def fetch_rewrite_outputs(out) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def fetch_rewrite_outputs(out, R: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fetch (dst_pos, d_run, main_code) from a packed-kernel result,
-    falling back to the int32 deletion runs only on overflow."""
-    dst_pos, d8, main_code, overflow = jax.device_get(out[:4])
+    falling back to the full int32 deletion runs only on overflow."""
+    dst_pos, code_packed, d_vals, d_pos, d_n, overflow = jax.device_get(out[:6])
+    b = dst_pos.shape[0]
+    main_code = np.empty((b, R), dtype=np.int8)
+    main_code[:, 0::2] = code_packed & 0xF
+    main_code[:, 1::2] = (code_packed >> 4) & 0xF
+    # nibble 15 is CODE_NONE (already 15 = 0xF, fits); codes are 0..15
     if int(overflow):
-        d_run = jax.device_get(out[4])
+        d_run = jax.device_get(out[6])
     else:
-        d_run = d8.astype(np.int32)
+        d_run = np.zeros((b, R), dtype=np.int32)
+        k = np.arange(D_SPARSE_SLOTS)[None, :]
+        valid = k < d_n[:, None]
+        rows = np.broadcast_to(np.arange(b)[:, None], valid.shape)[valid]
+        d_run[rows, d_pos[valid].astype(np.int64)] = d_vals[valid]
     return dst_pos, d_run, main_code
 
 
