@@ -17,7 +17,6 @@ observable output:
 from __future__ import annotations
 
 import struct
-import zlib
 from dataclasses import dataclass, field
 
 from .bgzf import BgzfWriter, _read_block
@@ -85,11 +84,6 @@ class SamHeader:
             return self.ref_names.index(name)
         except ValueError:
             return -1
-
-    def copy_without_sq(self) -> "SamHeader":
-        hdr = SamHeader()
-        hdr.lines = [l for l in self.lines if not l.startswith("@SQ")]
-        return hdr
 
     def to_text(self) -> str:
         return "".join(line + "\n" for line in self.lines)
@@ -189,8 +183,7 @@ def format_float(v: float) -> str:
 
     f = np.float32(v)
     if f == int(f) and abs(f) < 1e16:
-        # to_chars prints integral floats without a trailing ".0"... it
-        # actually prints e.g. "1" for 1.0f? No: to_chars(1.0f) gives "1".
+        # std::to_chars prints integral floats without a decimal point
         return str(int(f))
     s = repr(float(f))
     # prefer the shortest of positional/scientific float32 round-trips

@@ -17,8 +17,6 @@ sorted vectors + transparent comparators of the reference.
 
 from __future__ import annotations
 
-import io
-import zipfile
 from dataclasses import dataclass, field
 
 import numpy as np

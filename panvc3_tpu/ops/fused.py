@@ -38,7 +38,7 @@ import numpy as np
 from ..alphabet import DNA5_NORMALISE
 from ..cigar import D, EQ, H, I, N, P, S, X
 from .rank_select import DeviceGapIndex
-from .realign_batch import NEG, _fill_batch, _traceback_batch
+from .realign_batch import _fill_batch, _traceback_batch
 from .rewrite_batch import CODE_NONE, _IS_REF_OP, rewrite_math
 
 _DNA5_LUT = jnp.asarray(DNA5_NORMALISE)

@@ -26,7 +26,6 @@ The result is bit-identical to :func:`panvc3_tpu.rewrite.rewrite_cigar`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,9 @@ from __future__ import annotations
 
 import heapq
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from ..io.sam import SamReader, SamRecord
+from ..io.sam import SamReader
 
 
 @dataclass

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..bitvec import GapBitVector
 from ..io.fasta import write_fasta
-from ..msa_index import ChrEntry, MsaIndex, SequenceEntry
+from ..msa_index import MsaIndex, SequenceEntry
 
 
 def _read_input_file(path: str, pipe_command: str | None) -> bytes:

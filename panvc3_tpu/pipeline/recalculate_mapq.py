@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import bisect
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from ..cigar import Cigar, CigarBuffer
 from ..io.fasta import FastaReader
-from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
+from ..io.sam import SamHeader, SamReader, SamWriter
 
 
 def rewrite_alignment_match(cigar: Cigar) -> Cigar:
