@@ -264,3 +264,22 @@ def test_device_rank_without_table_matches():
         assert np.array_equal(
             np.asarray(with_t.bit(jnp.asarray(seq), jnp.asarray(pos))), gv.bit_at(pos)
         )
+
+
+def test_pallas_fill_matches_xla():
+    """The Pallas DP-fill kernel (interpret mode on CPU) must emit
+    bit-identical trace bytes to the XLA fill."""
+    from panvc3_tpu.ops.realign_batch import _fill_batch
+    from panvc3_tpu.ops.realign_pallas import fill_batch_pallas
+
+    rng = np.random.default_rng(42)
+    for B, Q, R in ((7, 8, 8), (130, 16, 16), (64, 32, 16)):
+        sub = jnp.asarray(
+            np.where(rng.random((B, Q, R)) < 0.3, 0.0, -1.0).astype(np.float32)
+        )
+        m = jnp.asarray(rng.integers(0, Q + 1, B).astype(np.int32))
+        n = jnp.asarray(rng.integers(0, R + 1, B).astype(np.int32))
+        go, ge = jnp.float32(0), jnp.float32(-1)
+        a = _fill_batch(sub, m, n, go, ge, R, Q)
+        b = fill_batch_pallas(sub, m, n, go, ge, R, Q, interpret=True)
+        assert jnp.array_equal(a, b), (B, Q, R)
