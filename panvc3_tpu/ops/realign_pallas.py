@@ -35,9 +35,13 @@ _TR_HORIZ = 2
 
 
 def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_s):
-    """One batch tile: sub (TB, Q, R) -> trace (TB, Q+1, R+1)."""
-    TB, Q, R = sub_ref.shape
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TB, R + 1), 1)
+    """One batch tile: sub (TB, Q, W) -> trace (TB, Q+1, W).
+
+    W is the lane-padded working width (>= R+1, multiple of 128); columns
+    beyond R+1 are inert (masked to NEG / zero trace)."""
+    TB, Q, W = sub_ref.shape
+    R = W  # recurrences run over the full padded width; n masks validity
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
     go = go_ref[0]
     ge = ge_ref[0]
     n = n_ref[...]  # (TB,)
@@ -50,7 +54,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
     tr0 = tr0 | jnp.where(cols == 1, jnp.uint8(8), jnp.uint8(0))
     trace_ref[:, 0, :] = tr0
     best_s[...] = best0
-    vert_s[...] = jnp.full((TB, R + 1), NEG)
+    vert_s[...] = jnp.full((TB, W), NEG)
 
     def shift_right(x, k, fill):
         rolled = pltpu.roll(x, k, axis=1)
@@ -59,7 +63,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
     def row_body(i, _):
         best_prev = best_s[...]
         vert_prev = vert_s[...]
-        srow = sub_ref[:, i - 1, :]  # (TB, R)
+        srow = sub_ref[:, i - 1, :]  # (TB, W); col j holds s(query i-1, ref j-1) shifted below
         row_valid = (i <= m)[:, None]
 
         v_open = best_prev + go + ge
@@ -68,9 +72,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
         vert = jnp.maximum(v_open, v_ext)
 
         diag_shift = shift_right(best_prev, 1, NEG)
-        srow_pad = jnp.concatenate(
-            [jnp.zeros((TB, 1), jnp.float32), srow], axis=1
-        )
+        srow_pad = shift_right(srow, 1, np.float32(0.0))
         diag = jnp.where(cols == 0, NEG, diag_shift + srow_pad)
         a = jnp.maximum(diag, vert)
         border = go + ge * i.astype(jnp.float32)
@@ -80,7 +82,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
         shifted = a + go - ge * cols.astype(jnp.float32)
         run = shift_right(shifted, 1, NEG)
         k = 1
-        while k < R + 1:
+        while k < W:
             run = jnp.maximum(run, shift_right(run, k, NEG))
             k <<= 1
         horiz = run + ge * cols.astype(jnp.float32)
@@ -115,14 +117,20 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
 
 @partial(jax.jit, static_argnames=("R", "Q", "interpret"))
 def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False):
-    """Drop-in for realign_batch._fill_batch backed by the Pallas kernel."""
+    """Drop-in for realign_batch._fill_batch backed by the Pallas kernel.
+
+    The kernel works at a 128-lane-aligned width W >= R+1; the substitution
+    scores are pre-shifted into cols [1, R] of a (B, Q, W) buffer and the
+    trace is sliced back to (B, Q+1, R+1).
+    """
     B = sub.shape[0]
     TB = min(B, 128)
     n_tiles = pl.cdiv(B, TB)
-    # pad batch to a multiple of TB
+    W = max(128, -(-(R + 1) // 128) * 128)
     pad = n_tiles * TB - B
+    sub_w = jnp.zeros((n_tiles * TB, sub.shape[1], W), jnp.float32)
+    sub_w = sub_w.at[:B, :, :R].set(sub)
     if pad:
-        sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
         m = jnp.pad(m, (0, pad))
         n = jnp.pad(n, (0, pad))
 
@@ -134,15 +142,15 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
             pl.BlockSpec((TB,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TB, Q, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, sub.shape[1], W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, Q + 1, R + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TB, Q + 1, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TB, Q + 1, R + 1), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TB, Q + 1, W), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((TB, R + 1), jnp.float32),
-            pltpu.VMEM((TB, R + 1), jnp.float32),
+            pltpu.VMEM((TB, W), jnp.float32),
+            pltpu.VMEM((TB, W), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -150,6 +158,6 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
         n.astype(jnp.int32),
         jnp.asarray([go], jnp.float32),
         jnp.asarray([ge], jnp.float32),
-        sub,
+        sub_w,
     )
-    return trace[:B]
+    return trace[:B, :, :R + 1]
