@@ -64,7 +64,9 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
         best_prev = best_s[...]
         vert_prev = vert_s[...]
         srow = sub_ref[:, i - 1, :]  # (TB, W); col j holds s(query i-1, ref j-1) shifted below
-        row_valid = (i <= m)[:, None]
+        # reshape the int32 before comparing: Mosaic cannot insert a
+        # minor dim on 1-bit vectors
+        row_valid = i <= m[:, None]
 
         v_open = best_prev + go + ge
         v_ext = vert_prev + ge
