@@ -35,12 +35,14 @@ _TR_HORIZ = 2
 
 
 def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_s):
-    """One batch tile: sub (TB, Q, W) -> trace (TB, Q+1, W).
+    """One batch tile: sub (Q, TB, W) -> trace (Q+1, TB, W).
 
-    W is the lane-padded working width (>= R+1, multiple of 128); columns
-    beyond R+1 are inert (masked to NEG / zero trace)."""
-    TB, Q, W = sub_ref.shape
-    R = W  # recurrences run over the full padded width; n masks validity
+    The DP row index is the leading (untiled) dimension so the per-row
+    loads/stores use a dynamic leading offset (Mosaic cannot prove
+    alignment for dynamic indices into the tiled sublane dimension).  W is
+    the lane-padded working width (>= R+1, multiple of 128); columns beyond
+    R+1 are inert (masked to NEG / zero trace)."""
+    Q, TB, W = sub_ref.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
     go = go_ref[0]
     ge = ge_ref[0]
@@ -52,7 +54,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
     best0 = jnp.where(col_valid, best0, NEG)
     tr0 = jnp.where(cols == 0, 0, _TR_HORIZ).astype(jnp.uint8)
     tr0 = tr0 | jnp.where(cols == 1, jnp.uint8(8), jnp.uint8(0))
-    trace_ref[:, 0, :] = tr0
+    trace_ref[0] = tr0
     best_s[...] = best0
     vert_s[...] = jnp.full((TB, W), NEG)
 
@@ -63,7 +65,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
     def row_body(i, _):
         best_prev = best_s[...]
         vert_prev = vert_s[...]
-        srow = sub_ref[:, i - 1, :]  # (TB, W); col j holds s(query i-1, ref j-1) shifted below
+        srow = sub_ref[i - 1]  # (TB, W); col j holds s(query i-1, ref j-1) shifted below
         # reshape the int32 before comparing: Mosaic cannot insert a
         # minor dim on 1-bit vectors
         row_valid = i <= m[:, None]
@@ -109,7 +111,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
         vert = jnp.where(row_valid, vert, vert_prev)
         packed = jnp.where(row_valid, packed, jnp.uint8(0))
 
-        trace_ref[:, i, :] = packed
+        trace_ref[i] = packed
         best_s[...] = best
         vert_s[...] = vert
         return 0
@@ -130,8 +132,8 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
     n_tiles = pl.cdiv(B, TB)
     W = max(128, -(-(R + 1) // 128) * 128)
     pad = n_tiles * TB - B
-    sub_w = jnp.zeros((n_tiles * TB, sub.shape[1], W), jnp.float32)
-    sub_w = sub_w.at[:B, :, :R].set(sub)
+    sub_w = jnp.zeros((sub.shape[1], n_tiles * TB, W), jnp.float32)
+    sub_w = sub_w.at[:, :B, :R].set(jnp.swapaxes(sub, 0, 1))
     if pad:
         m = jnp.pad(m, (0, pad))
         n = jnp.pad(n, (0, pad))
@@ -144,12 +146,12 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
             pl.BlockSpec((TB,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TB, sub.shape[1], W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub.shape[1], TB, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, Q + 1, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (Q + 1, TB, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TB, Q + 1, W), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((Q + 1, n_tiles * TB, W), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((TB, W), jnp.float32),
             pltpu.VMEM((TB, W), jnp.float32),
@@ -162,4 +164,4 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
         jnp.asarray([ge], jnp.float32),
         sub_w,
     )
-    return trace[:B, :, :R + 1]
+    return jnp.swapaxes(trace, 0, 1)[:B, :, :R + 1]
