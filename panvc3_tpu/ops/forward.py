@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .rank_select import DeviceGapIndex
-from .realign_batch import _fill_batch, _substitution_scores, _traceback_batch
+from .realign_batch import _substitution_scores, _traceback_batch, fill_dispatch
 from .rewrite_batch import rewrite_math
 
 
@@ -53,7 +53,7 @@ def projection_step(
     )
 
     sub = _substitution_scores(run_ref, run_query, None, None, False)
-    trace = _fill_batch(sub, run_query_len, run_ref_len, go, ge, run_r, run_q)
+    trace = fill_dispatch(sub, run_query_len, run_ref_len, go, ge, run_r, run_q)
     realign_ops, realign_counts = _traceback_batch(
         trace, run_ref, run_query, run_query_len, run_ref_len, run_r, run_q
     )

@@ -38,7 +38,7 @@ import numpy as np
 from ..alphabet import DNA5_NORMALISE
 from ..cigar import D, EQ, H, I, N, P, S, X
 from .rank_select import DeviceGapIndex
-from .realign_batch import _fill_batch, _traceback_batch
+from .realign_batch import _traceback_batch, fill_dispatch
 from .rewrite_batch import CODE_NONE, _IS_REF_OP, rewrite_math
 
 _DNA5_LUT = jnp.asarray(DNA5_NORMALISE)
@@ -229,7 +229,7 @@ def fused_projection_kernel(
     # ---- batched DP ------------------------------------------------------
     eq_m = q_slice[:, :, None] == ref_slice[:, None, :]
     sub = jnp.where(eq_m, 0.0, -1.0).astype(jnp.float32)
-    trace = _fill_batch(sub, query_len, ref_len, go, ge, run_r, run_q)
+    trace = fill_dispatch(sub, query_len, ref_len, go, ge, run_r, run_q)
     realign_ops, realign_counts = _traceback_batch(
         trace, ref_slice, q_slice, query_len, ref_len, run_r, run_q
     )

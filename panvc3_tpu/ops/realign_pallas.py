@@ -46,15 +46,15 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
     cols = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
     go = go_ref[0]
     ge = ge_ref[0]
-    n = n_ref[...]  # (TB,)
-    m = m_ref[...]
-    col_valid = cols <= n[:, None]
+    n = n_ref[...]  # (TB, 1) column vectors: 1-D int operands hit XLA/Mosaic
+    m = m_ref[...]  # layout mismatches, so lengths ship 2-D
+    col_valid = cols <= n
 
     best0 = jnp.where(cols == 0, 0.0, go + ge * cols.astype(jnp.float32))
     best0 = jnp.where(col_valid, best0, NEG)
-    tr0 = jnp.where(cols == 0, 0, _TR_HORIZ).astype(jnp.uint8)
-    tr0 = tr0 | jnp.where(cols == 1, jnp.uint8(8), jnp.uint8(0))
-    trace_ref[0] = tr0
+    tr0 = jnp.where(cols == 0, 0, _TR_HORIZ)
+    tr0 = tr0 | jnp.where(cols == 1, 8, 0)
+    trace_ref[0] = tr0.astype(jnp.uint8)
     best_s[...] = best0
     vert_s[...] = jnp.full((TB, W), NEG)
 
@@ -66,9 +66,7 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
         best_prev = best_s[...]
         vert_prev = vert_s[...]
         srow = sub_ref[i - 1]  # (TB, W); col j holds s(query i-1, ref j-1) shifted below
-        # reshape the int32 before comparing: Mosaic cannot insert a
-        # minor dim on 1-bit vectors
-        row_valid = i <= m[:, None]
+        row_valid = i <= m
 
         v_open = best_prev + go + ge
         v_ext = vert_prev + ge
@@ -97,21 +95,20 @@ def _fill_kernel(m_ref, n_ref, go_ref, ge_ref, sub_ref, trace_ref, best_s, vert_
         b_prev = shift_right(best, 1, NEG)
         hopen_bit = b_prev + go >= h_prev
 
-        tr = jnp.where(diag >= vert, _TR_DIAG, _TR_VERT).astype(jnp.uint8)
-        tr = jnp.where(horiz > a, jnp.uint8(_TR_HORIZ), tr)
-        tr = jnp.where(cols == 0, jnp.uint8(_TR_VERT), tr)
-        packed = (
-            tr
-            | (jnp.where(vopen_bit, 4, 0) | jnp.where(hopen_bit, 8, 0)).astype(jnp.uint8)
-        )
+        # trace math in int32 (8-bit vector masks force unsupported
+        # relayouts in Mosaic); cast at the store
+        tr = jnp.where(diag >= vert, _TR_DIAG, _TR_VERT)
+        tr = jnp.where(horiz > a, _TR_HORIZ, tr)
+        tr = jnp.where(cols == 0, _TR_VERT, tr)
+        packed = tr | jnp.where(vopen_bit, 4, 0) | jnp.where(hopen_bit, 8, 0)
         best = jnp.where(col_valid, best, NEG)
         vert = jnp.where(col_valid, vert, NEG)
 
         best = jnp.where(row_valid, best, best_prev)
         vert = jnp.where(row_valid, vert, vert_prev)
-        packed = jnp.where(row_valid, packed, jnp.uint8(0))
+        packed = jnp.where(row_valid, packed, 0)
 
-        trace_ref[i] = packed
+        trace_ref[i] = packed.astype(jnp.uint8)
         best_s[...] = best
         vert_s[...] = vert
         return 0
@@ -142,8 +139,8 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
         _fill_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TB,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((sub.shape[1], TB, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -158,8 +155,8 @@ def fill_batch_pallas(sub, m, n, go, ge, R: int, Q: int, interpret: bool = False
         ],
         interpret=interpret,
     )(
-        m.astype(jnp.int32),
-        n.astype(jnp.int32),
+        m.astype(jnp.int32)[:, None],
+        n.astype(jnp.int32)[:, None],
         jnp.asarray([go], jnp.float32),
         jnp.asarray([ge], jnp.float32),
         sub_w,
