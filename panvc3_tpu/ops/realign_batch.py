@@ -206,10 +206,17 @@ def _traceback_batch(trace, ref, query, m, n, R, Q):
 
 
 def fill_dispatch(sub, m, n, go, ge, R, Q):
-    """DP fill: the Pallas VMEM-resident kernel on real TPU backends (~30x
-    the XLA scan's throughput), the XLA path elsewhere.  Both emit
-    bit-identical trace bytes (tests assert it)."""
-    if jax.default_backend() == "tpu":
+    """DP fill: bit-identical Pallas and XLA implementations.
+
+    Standalone, the Pallas VMEM-resident kernel is ~28x faster than the XLA
+    scan on a v5e ((2048,16,16): 26 ms vs 747 ms per fill), but embedding
+    the pallas_call inside the combined realign jit stalls compilation on
+    the experimental axon backend, so it is opt-in via
+    PANVC3_PALLAS_FILL=1 until that backend matures.
+    """
+    import os
+
+    if os.environ.get("PANVC3_PALLAS_FILL") == "1" and jax.default_backend() == "tpu":
         from .realign_pallas import fill_batch_pallas
 
         return fill_batch_pallas(sub, m, n, go, ge, R, Q)

@@ -80,7 +80,7 @@ class ProjectConfig:
     status_output_interval: int = 5  # minutes; 0 disables
     command_line: str = "panvc3_tpu project_alignments"
     engine: str = "host"  # "host" or "device"
-    device_batch_size: int = 512  # records per device batch (device engine)
+    device_batch_size: int = 4096  # records per device batch (device engine)
     # data-parallel sharding over a device mesh: 0 = single device,
     # -1 = all devices, N = first N devices
     data_parallel: int = 0
