@@ -13,11 +13,12 @@ import pytest
 WORKER = r"""
 import os, sys
 pid = int(sys.argv[1])
+port = sys.argv[2]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="localhost:12421",
+    coordinator_address=f"localhost:{port}",
     num_processes=2,
     process_id=pid,
 )
@@ -60,9 +61,10 @@ def test_two_process_distributed(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    port = str(12400 + os.getpid() % 1000)  # avoid cross-run collisions
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid)],
+            [sys.executable, str(script), str(pid), port],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
