@@ -1,0 +1,116 @@
+"""Multi-chromosome projection through the device engine.
+
+All other engine tests use the single-chromosome toy MSA; this one builds a
+two-chromosome index with different founder sets and verifies that the
+batched engine routes per-record sequence ids and reference offsets
+correctly (byte-identical to the host oracle)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from panvc3_tpu.bitvec import GapBitVector
+from panvc3_tpu.io.sam import SamReader
+from panvc3_tpu.msa_index import ChrEntry, MsaIndex, SequenceEntry
+from panvc3_tpu.pipeline.project_alignments import (
+    ProjectConfig,
+    run_project_alignments,
+)
+
+
+def _random_chr(rng, n_cols, n_founders):
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n_cols)
+    rows = {}
+    ref = base.copy()
+    ref_gaps = rng.random(n_cols) < 0.05
+    ref[ref_gaps] = ord("-")
+    rows["REF"] = ref.tobytes()
+    for k in range(n_founders):
+        f = base.copy()
+        # substitutions
+        subs = rng.random(n_cols) < 0.03
+        f[subs] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), int(subs.sum()))
+        gaps = rng.random(n_cols) < 0.05
+        f[gaps] = ord("-")
+        rows[str(k + 1)] = f.tobytes()
+    return rows
+
+
+@pytest.fixture(scope="module")
+def two_chr_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multichr")
+    rng = np.random.default_rng(11)
+    chrs = {"chrA": _random_chr(rng, 3000, 2), "chrB": _random_chr(rng, 5000, 3)}
+
+    index = MsaIndex()
+    for chr_id, rows in chrs.items():
+        ce = ChrEntry(chr_id)
+        for seq_id, aligned in rows.items():
+            ce.sequence_entries.append(
+                SequenceEntry(seq_id, GapBitVector.from_gap_string(aligned))
+            )
+        index.chr_entries.append(ce)
+    index.sort()
+    index_path = tmp / "idx.npz"
+    index.save(str(index_path))
+
+    fasta_path = tmp / "ref.fa"
+    with open(fasta_path, "wb") as fh:
+        for chr_id, rows in chrs.items():
+            fh.write(f">{chr_id}\n".encode())
+            fh.write(rows["REF"].replace(b"-", b"") + b"\n")
+    return index_path, fasta_path, chrs
+
+
+def test_multichr_device_matches_host(two_chr_setup):
+    index_path, fasta_path, chrs = two_chr_setup
+    rng = np.random.default_rng(5)
+
+    lines = ["@HD\tVN:1.6"]
+    stripped = {}
+    for chr_id, rows in chrs.items():
+        for seq_id, aligned in rows.items():
+            name = f"{chr_id}/{seq_id}"
+            stripped[name] = aligned.replace(b"-", b"")
+            lines.append(f"@SQ\tSN:{name}\tLN:{len(stripped[name])}")
+    names = [n for n in stripped if not n.endswith("/REF")]
+    for i in range(150):
+        name = names[int(rng.integers(len(names)))]
+        s = stripped[name]
+        read_len = 60
+        pos = int(rng.integers(0, len(s) - read_len - 10))
+        kind = i % 2
+        if kind == 0:
+            seq = s[pos:pos + read_len]
+            cigar = f"{read_len}="
+        else:
+            ins = bytes(rng.choice(list(b"ACGT"), 3))
+            seq = s[pos:pos + 30] + ins + s[pos + 32:pos + 32 + (read_len - 33)]
+            cigar = f"30=3I2D{read_len - 33}="
+        lines.append(
+            f"mc{i}\t0\t{name}\t{pos + 1}\t60\t{cigar}\t*\t0\t0\t{seq.decode()}\t{'I' * len(seq)}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    outs = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(fasta_path),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+            device_batch_size=64,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 150
+        outs[engine] = out.getvalue()
+
+    assert outs["host"] == outs["device"]
+    out0 = io.BytesIO(outs["host"])
+    rd = SamReader(out0)
+    assert rd.header.ref_names == ["chrA", "chrB"]
+    recs = list(rd)
+    assert {rd.header.ref_names[r.ref_id] for r in recs} == {"chrA", "chrB"}
