@@ -157,20 +157,6 @@ class BatchProjector:
             counts=batch.counts,
             query=batch.query,
         )
-        n_pad = 0
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_batch_arrays
-
-            n_dev = self.mesh.devices.size
-            b = len(records)
-            n_pad = (-b) % n_dev
-            if n_pad:
-                # pad with copies of the first record's row (discarded later)
-                for k, arr in kernel_inputs.items():
-                    pad = np.repeat(arr[:1], n_pad, axis=0)
-                    kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
-            kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
-
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
         use_fused = (
             bool(getattr(cfg, "fused_kernel", False))
@@ -178,6 +164,30 @@ class BatchProjector:
             and self.mesh is None
             and get_native() is not None
         )
+
+        # Bucket the batch dimension so a short final batch reuses the
+        # steady-state compiled kernel instead of triggering a fresh
+        # (tunnel-slow) compile: pad to the configured batch size, or the
+        # next power of two below it.  (The fused kernel's run detection
+        # would count the padding rows' runs, so it keeps the exact size.)
+        b = len(records)
+        n_pad = 0
+        if not use_fused:
+            target = int(getattr(cfg, "device_batch_size", 0)) or b
+            bucket = min(target, _next_pow2(b))
+            n_pad = bucket - b if b < bucket else 0
+            if self.mesh is not None:
+                n_pad += (-(b + n_pad)) % self.mesh.devices.size
+            if n_pad:
+                # pad with copies of the first record's row (results sliced off)
+                for k, arr in kernel_inputs.items():
+                    pad = np.repeat(arr[:1], n_pad, axis=0)
+                    kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch_arrays
+
+                kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
+
         if use_fused:
             from .fused import fused_projection_kernel
 
