@@ -141,44 +141,82 @@ def main() -> None:
 
 
 def _run() -> None:
-    from panvc3_tpu.ops.engine import BatchProjector
+    """Tool-level measurement: SAM text in -> projected SAM out through the
+    full panvc3_project_alignments pipeline (parse, device projection, tag
+    surgery, formatting) — the same scope as the reference's own
+    µs/record status counter (project_alignments.cc:446-481)."""
+    import io
 
-    class Cfg:
-        use_read_base_qualities = False
+    from panvc3_tpu.cigar import format_cigar
+    from panvc3_tpu.pipeline.project_alignments import (
+        ProjectConfig,
+        TagSpec,
+        run_project_alignments,
+    )
 
     src_entries, dst_entries, ref_id_mapping, ref_seq, founders = build_index_entries()
-    engine = BatchProjector(src_entries, dst_entries, ref_id_mapping, 0, -1)
-    ref_seqs = {0: ref_seq}
+
+    from panvc3_tpu.msa_index import ChrEntry, MsaIndex
+
+    index = MsaIndex()
+    ce = ChrEntry("test")
+    ce.sequence_entries = sorted(
+        {id(e.gaps): e for e in src_entries + dst_entries}.values(),
+        key=lambda e: e.seq_id,
+    )
+    index.chr_entries.append(ce)
+    index.sort()
+    index_path = "/tmp/panvc3_bench_index.npz"
+    index.save(index_path)
+    ref_path = "/tmp/panvc3_bench_ref.fa"
+    with open(ref_path, "wb") as fh:
+        fh.write(b">test\n" + ref_seq + b"\n")
 
     batch_size = 4096
-    n_batches = 8
-    records = synthesise_records(founders, batch_size)
+    n = 12 * batch_size
+    records = synthesise_records(founders, n)
+    lines = ["@HD\tVN:1.6"]
+    names = {}
+    for i, e in enumerate(src_entries):
+        names[i] = f"test/{e.seq_id}"
+    for i in sorted(set(r.ref_id for r in records)):
+        # founder @SQ lengths
+        length = src_entries[i].unaligned_length
+        lines.append(f"@SQ\tSN:{names[i]}\tLN:{length}")
+    for rec in records:
+        lines.append(
+            f"{rec.qname}\t0\t{names[rec.ref_id]}\t{rec.pos + 1}\t60\t"
+            f"{format_cigar(rec.cigar)}\t*\t0\t0\t{rec.seq}\t{rec.qual}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
 
-    # warmup (compile)
-    engine.project_batch(records[:batch_size], ref_seqs, Cfg())
-
-    # two-deep pipelined measurement (device work overlaps host post-processing)
-    t0 = time.perf_counter()
-    total = 0
-    pending = []
-    res = None
-    for _ in range(n_batches):
-        pending.append(engine.start_batch(records, ref_seqs, Cfg()))
-        if len(pending) >= 2:
-            res = engine.finish_batch(pending.pop(0))
-            total += len(res)
-    while pending:
-        res = engine.finish_batch(pending.pop(0))
-        total += len(res)
-    dt = time.perf_counter() - t0
-    reads_per_s = total / dt
-
-    n_realn = sum(r.num_realignments for r in res)
-    print(
-        f"[bench] {total} reads in {dt:.3f}s, {n_realn} realignments/batch, "
-        f"batch={batch_size}",
-        file=sys.stderr,
+    cfg = ProjectConfig(
+        msa_index_path=index_path,
+        reference_path=ref_path,
+        reference_msa_id="REF",
+        ref_id_separator="/",
+        tags=TagSpec(rec_idx="XI"),
+        engine="device",
+        device_batch_size=batch_size,
+        status_output_interval=0,
     )
+
+    # warmup pass (compiles; first scan lowering on the axon tunnel is slow)
+    run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
+
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stats = run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
+        dt = time.perf_counter() - t0
+        best = max(best, n / dt)
+        print(
+            f"[bench] {n} reads end-to-end in {dt:.2f}s "
+            f"({stats.realigned_range_count} realignments)",
+            file=sys.stderr,
+        )
+    reads_per_s = best
+
     print(
         json.dumps(
             {
