@@ -17,7 +17,9 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <errno.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* op codes follow the BAM encoding MIDNSHP=X (panvc3_tpu.cigar) */
@@ -392,6 +394,596 @@ fail:
 }
 
 /* ------------------------------------------------------------------ */
+/* score_cigar(cigar, seq, qual_or_None, ref_n_bytes,
+ *             min_mismatch, max_mismatch, n_penalty, gap_open, gap_ext)
+ *   -> int score
+ *
+ * Exact C version of CigarScorer.calculate
+ * (pipeline/recalculate_mapq.py; reference main.cc:183-321): =/X CIGAR
+ * rescoring with Phred-scaled mismatch penalties and an optional XN
+ * reference-N bitmask.                                                */
+static PyObject *score_cigar(PyObject *self, PyObject *args)
+{
+    PyObject *cigar, *qual_obj;
+    const char *seq;
+    Py_ssize_t seq_len;
+    Py_buffer ref_n;
+    int min_mm, max_mm, n_pen, gap_open, gap_ext;
+    if (!PyArg_ParseTuple(args, "O!s#Oy*iiiii", &PyList_Type, &cigar,
+                          &seq, &seq_len, &qual_obj, &ref_n,
+                          &min_mm, &max_mm, &n_pen, &gap_open, &gap_ext))
+        return NULL;
+
+    const char *qual = NULL;
+    Py_ssize_t qual_len = 0;
+    if (qual_obj != Py_None) {
+        qual = PyUnicode_AsUTF8AndSize(qual_obj, &qual_len);
+        if (!qual) {
+            PyBuffer_Release(&ref_n);
+            return NULL;
+        }
+    }
+    const uint8_t *refn = (const uint8_t *)ref_n.buf;
+    Py_ssize_t refn_len = ref_n.len;
+
+    int penalties[256];
+    for (int q = 0; q < 256; ++q) {
+        int qc = q < 40 ? q : 40;
+        penalties[q] = (int)((double)qc / 40.0 * (max_mm - min_mm) + min_mm);
+    }
+
+    long score = 0;
+    Py_ssize_t qpos = 0, rpos = 0;
+    int prev_gap = 0; /* previous op was I or D */
+    Py_ssize_t n_ops = PyList_GET_SIZE(cigar);
+    for (Py_ssize_t k = 0; k < n_ops; ++k) {
+        PyObject *item = PyList_GET_ITEM(cigar, k);
+        if (!PyTuple_Check(item) || PyTuple_GET_SIZE(item) != 2)
+            goto bad_cigar;
+        long count = PyLong_AsLong(PyTuple_GET_ITEM(item, 0));
+        if (count == -1 && PyErr_Occurred())
+            goto fail;
+        PyObject *op_obj = PyTuple_GET_ITEM(item, 1);
+        if (!PyUnicode_Check(op_obj) || PyUnicode_GET_LENGTH(op_obj) != 1)
+            goto bad_cigar;
+        Py_UCS4 op = PyUnicode_READ_CHAR(op_obj, 0);
+
+        switch (op) {
+        case 'H':
+        case 'P':
+            break;
+        case 'N':
+            rpos += count;
+            break;
+        case 'I':
+        case 'D':
+            if (!prev_gap)
+                score -= gap_open;
+            score -= count * gap_ext;
+            if (op == 'I')
+                qpos += count;
+            else
+                rpos += count;
+            prev_gap = 1;
+            break;
+        case 'S':
+            qpos += count;
+            prev_gap = 0;
+            break;
+        case '=':
+            if (qpos + count > seq_len)
+                goto overrun;
+            for (long i = 0; i < count; ++i) {
+                char c = seq[qpos + i];
+                if (c == 'N' || c == 'n')
+                    score -= n_pen;
+            }
+            qpos += count;
+            rpos += count;
+            prev_gap = 0;
+            break;
+        case 'X':
+            if (qpos + count > seq_len)
+                goto overrun;
+            for (long i = 0; i < count; ++i) {
+                Py_ssize_t qp = qpos + i, rp = rpos + i;
+                int q = 0;
+                if (qual) {
+                    if (qp >= qual_len)
+                        goto overrun;
+                    q = (uint8_t)qual[qp] - 33;
+                    if (q < 0)
+                        q = 0;
+                    else if (q > 255)
+                        q = 255;
+                }
+                int ref_is_n = 0;
+                if (refn_len > 0) {
+                    if (rp / 8 >= refn_len) {
+                        PyErr_SetString(
+                            PyExc_ValueError,
+                            "XN bitmask shorter than the alignment");
+                        goto fail;
+                    }
+                    ref_is_n = (refn[rp / 8] >> (rp % 8)) & 1;
+                }
+                char c = seq[qp];
+                if (c == 'N' || c == 'n' || ref_is_n)
+                    score -= n_pen;
+                else
+                    score -= penalties[q];
+            }
+            qpos += count;
+            rpos += count;
+            prev_gap = 0;
+            break;
+        default:
+            PyErr_Format(PyExc_ValueError,
+                         "unexpected CIGAR operation '%c' (rescoring "
+                         "requires =/X CIGARs)", (int)op);
+            goto fail;
+        }
+    }
+    PyBuffer_Release(&ref_n);
+    return PyLong_FromLong(score);
+
+overrun:
+    PyErr_SetString(PyExc_ValueError, "CIGAR overruns the sequence");
+    goto fail;
+bad_cigar:
+    PyErr_SetString(PyExc_ValueError, "cigar must be a list of (int, str)");
+fail:
+    PyBuffer_Release(&ref_n);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* parse_sam_line(str) ->
+ *   (qname, flag, rname, pos0, mapq, cigar, rnext, pnext0, tlen,
+ *    seq, qual, tags)
+ *
+ * Single-pass parse of one SAM alignment line (io/sam.py
+ * parse_sam_record semantics; reference uses seqan3's SAM reader,
+ * SURVEY §2).  rname/rnext are returned raw ("*", "=", or a name) for
+ * the caller to map through the header; pos/pnext are 0-based; cigar is
+ * a list of (count, op) tuples; tags is {tag: (type, value)}.         */
+
+static int sam_parse_long(const char *s, const char *end, long *out)
+{
+    char *stop;
+    errno = 0;
+    long v = strtol(s, &stop, 10);
+    if (stop != end || s == end || errno != 0)
+        return -1;
+    *out = v;
+    return 0;
+}
+
+static PyObject *sam_parse_tag_value(const char *s, const char *end,
+                                     char typ)
+{
+    switch (typ) {
+    case 'i': {
+        long v;
+        if (sam_parse_long(s, end, &v) != 0)
+            break;
+        return PyLong_FromLong(v);
+    }
+    case 'f': {
+        char *stop;
+        errno = 0;
+        double v = strtod(s, &stop);
+        if (stop != end || s == end || errno != 0)
+            break;
+        return PyFloat_FromDouble(v);
+    }
+    case 'A':
+    case 'Z':
+    case 'H':
+        return PyUnicode_DecodeUTF8(s, end - s, "strict");
+    case 'B': {
+        if (s >= end)
+            break;
+        char sub = *s++;
+        int is_float = (sub == 'f' || sub == 'F');
+        PyObject *items = PyList_New(0);
+        if (!items)
+            return NULL;
+        const char *p = s;
+        while (p < end) {
+            const char *q = memchr(p, ',', end - p);
+            const char *stop_at = q ? q : end;
+            if (stop_at > p) { /* "" entries are skipped */
+                PyObject *num;
+                if (is_float) {
+                    char *stop;
+                    errno = 0;
+                    double v = strtod(p, &stop);
+                    if (stop != stop_at || errno != 0)
+                        goto b_bad;
+                    num = PyFloat_FromDouble(v);
+                } else {
+                    long v;
+                    if (sam_parse_long(p, stop_at, &v) != 0)
+                        goto b_bad;
+                    num = PyLong_FromLong(v);
+                }
+                if (!num || PyList_Append(items, num) < 0) {
+                    Py_XDECREF(num);
+                    Py_DECREF(items);
+                    return NULL;
+                }
+                Py_DECREF(num);
+            }
+            p = q ? q + 1 : end;
+        }
+        PyObject *res = Py_BuildValue("(C N)", (int)sub, items);
+        return res;
+    b_bad:
+        Py_DECREF(items);
+        break;
+    }
+    default:
+        PyErr_Format(PyExc_ValueError, "unknown tag type '%c'", (int)typ);
+        return NULL;
+    }
+    PyErr_Format(PyExc_ValueError, "malformed tag value for type '%c'",
+                 (int)typ);
+    return NULL;
+}
+
+static PyObject *parse_sam_line(PyObject *self, PyObject *args)
+{
+    const char *line;
+    Py_ssize_t line_len;
+    if (!PyArg_ParseTuple(args, "s#", &line, &line_len))
+        return NULL;
+
+    while (line_len > 0 && line[line_len - 1] == '\n')
+        --line_len;
+
+    /* split into fields */
+    const char *fields[12];
+    Py_ssize_t flens[12];
+    int n_fields = 0;
+    const char *p = line, *end = line + line_len;
+    while (n_fields < 11) {
+        const char *tab = memchr(p, '\t', end - p);
+        fields[n_fields] = p;
+        flens[n_fields] = (tab ? tab : end) - p;
+        ++n_fields;
+        if (!tab) {
+            p = end;
+            break;
+        }
+        p = tab + 1;
+    }
+    if (n_fields < 11) {
+        PyErr_Format(PyExc_ValueError, "truncated SAM record: %.100s", line);
+        return NULL;
+    }
+
+    long flag, pos, mapq, pnext, tlen;
+    if (sam_parse_long(fields[1], fields[1] + flens[1], &flag) != 0 ||
+        sam_parse_long(fields[3], fields[3] + flens[3], &pos) != 0 ||
+        sam_parse_long(fields[4], fields[4] + flens[4], &mapq) != 0 ||
+        sam_parse_long(fields[7], fields[7] + flens[7], &pnext) != 0 ||
+        sam_parse_long(fields[8], fields[8] + flens[8], &tlen) != 0) {
+        PyErr_Format(PyExc_ValueError, "malformed SAM record: %.100s", line);
+        return NULL;
+    }
+
+    /* CIGAR */
+    PyObject *cigar = PyList_New(0);
+    if (!cigar)
+        return NULL;
+    {
+        const char *c = fields[5], *cend = c + flens[5];
+        if (!(flens[5] == 1 && *c == '*')) {
+            while (c < cend) {
+                long count = 0;
+                const char *d0 = c;
+                while (c < cend && *c >= '0' && *c <= '9')
+                    count = count * 10 + (*c++ - '0');
+                if (c == d0 || c == cend ||
+                    !strchr("MIDNSHP=X", *c)) {
+                    Py_DECREF(cigar);
+                    PyErr_Format(PyExc_ValueError, "invalid CIGAR: '%.50s'",
+                                 fields[5]);
+                    return NULL;
+                }
+                PyObject *t = Py_BuildValue("(l C)", count, (int)*c);
+                ++c;
+                if (!t || PyList_Append(cigar, t) < 0) {
+                    Py_XDECREF(t);
+                    Py_DECREF(cigar);
+                    return NULL;
+                }
+                Py_DECREF(t);
+            }
+        }
+    }
+
+    /* tags */
+    PyObject *tags = PyDict_New();
+    if (!tags) {
+        Py_DECREF(cigar);
+        return NULL;
+    }
+    while (p < end) {
+        const char *tab = memchr(p, '\t', end - p);
+        const char *fend = tab ? tab : end;
+        /* TAG:T:VALUE — tag up to the first ':', 1-char type, value */
+        const char *c1 = memchr(p, ':', fend - p);
+        if (!c1 || c1 + 2 > fend || c1[2] != ':') {
+            PyErr_Format(PyExc_ValueError, "malformed tag field: %.50s", p);
+            goto tag_fail;
+        }
+        char typ = c1[1];
+        PyObject *val = sam_parse_tag_value(c1 + 3, fend, typ);
+        if (!val)
+            goto tag_fail;
+        PyObject *key = PyUnicode_DecodeUTF8(p, c1 - p, "strict");
+        PyObject *tv = key ? Py_BuildValue("(C N)", (int)typ, val) : NULL;
+        if (!key || !tv || PyDict_SetItem(tags, key, tv) < 0) {
+            Py_XDECREF(key);
+            if (tv)
+                Py_DECREF(tv);
+            else
+                Py_DECREF(val);
+            goto tag_fail;
+        }
+        Py_DECREF(key);
+        Py_DECREF(tv);
+        p = tab ? tab + 1 : end;
+    }
+
+    return Py_BuildValue(
+        "(s# l s# l l N s# l l s# s# N)",
+        fields[0], flens[0], flag, fields[2], flens[2], pos - 1, mapq,
+        cigar, fields[6], flens[6], pnext - 1, tlen,
+        fields[9], flens[9], fields[10], flens[10], tags);
+
+tag_fail:
+    Py_DECREF(cigar);
+    Py_DECREF(tags);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* format_sam_line(qname, flag, rname, pos0, mapq, cigar, rnext,
+ *                 pnext0, tlen, seq, qual, tags, float_fmt) -> str
+ *
+ * Mirror of io/sam.py format_sam_record's field/tag layout: tags are
+ * emitted sorted by name; float values go through the Python
+ * float_fmt callable so the std::to_chars-compatible formatting stays
+ * byte-identical with the pure-Python path.                           */
+
+typedef struct {
+    char *buf;
+    size_t len, cap;
+} strbuf;
+
+static int sb_reserve(strbuf *sb, size_t extra)
+{
+    if (sb->len + extra <= sb->cap)
+        return 0;
+    size_t cap = sb->cap ? sb->cap : 256;
+    while (cap < sb->len + extra)
+        cap *= 2;
+    char *nb = realloc(sb->buf, cap);
+    if (!nb)
+        return -1;
+    sb->buf = nb;
+    sb->cap = cap;
+    return 0;
+}
+
+static int sb_put(strbuf *sb, const char *s, size_t n)
+{
+    if (sb_reserve(sb, n) < 0)
+        return -1;
+    memcpy(sb->buf + sb->len, s, n);
+    sb->len += n;
+    return 0;
+}
+
+static int sb_putc(strbuf *sb, char c)
+{
+    return sb_put(sb, &c, 1);
+}
+
+static int sb_put_long(strbuf *sb, long v)
+{
+    char tmp[24];
+    int n = snprintf(tmp, sizeof tmp, "%ld", v);
+    return sb_put(sb, tmp, (size_t)n);
+}
+
+static int sb_put_str(strbuf *sb, PyObject *s)
+{
+    Py_ssize_t n;
+    const char *p = PyUnicode_AsUTF8AndSize(s, &n);
+    if (!p)
+        return -1;
+    return sb_put(sb, p, (size_t)n);
+}
+
+/* append int(val) for a possibly-numpy integer */
+static int sb_put_int_obj(strbuf *sb, PyObject *val)
+{
+    long v = PyLong_AsLong(val);
+    if (v == -1 && PyErr_Occurred()) {
+        PyErr_Clear();
+        PyObject *l = PyNumber_Long(val);
+        if (!l)
+            return -1;
+        v = PyLong_AsLong(l);
+        Py_DECREF(l);
+        if (v == -1 && PyErr_Occurred())
+            return -1;
+    }
+    return sb_put_long(sb, v);
+}
+
+static int sb_put_float_obj(strbuf *sb, PyObject *val, PyObject *float_fmt)
+{
+    PyObject *s = PyObject_CallFunctionObjArgs(float_fmt, val, NULL);
+    if (!s)
+        return -1;
+    int rc = sb_put_str(sb, s);
+    Py_DECREF(s);
+    return rc;
+}
+
+static PyObject *format_sam_line(PyObject *self, PyObject *args)
+{
+    PyObject *qname, *rname, *cigar, *rnext, *seq, *qual, *tags, *float_fmt;
+    long flag, pos0, mapq, pnext0, tlen;
+    if (!PyArg_ParseTuple(args, "UlUllO!UllUUO!O",
+                          &qname, &flag, &rname, &pos0, &mapq,
+                          &PyList_Type, &cigar, &rnext, &pnext0, &tlen,
+                          &seq, &qual, &PyDict_Type, &tags, &float_fmt))
+        return NULL;
+
+    strbuf sb = {NULL, 0, 0};
+    PyObject *keys = NULL;
+
+    if (sb_put_str(&sb, qname) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_long(&sb, flag) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_str(&sb, rname) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_long(&sb, pos0 + 1) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_long(&sb, mapq) < 0 || sb_putc(&sb, '\t') < 0)
+        goto fail;
+
+    Py_ssize_t n_ops = PyList_GET_SIZE(cigar);
+    if (n_ops == 0) {
+        if (sb_putc(&sb, '*') < 0)
+            goto fail;
+    } else {
+        for (Py_ssize_t k = 0; k < n_ops; ++k) {
+            PyObject *item = PyList_GET_ITEM(cigar, k);
+            if (!PyTuple_Check(item) || PyTuple_GET_SIZE(item) != 2) {
+                PyErr_SetString(PyExc_ValueError,
+                                "cigar must be a list of (int, str)");
+                goto fail;
+            }
+            if (sb_put_int_obj(&sb, PyTuple_GET_ITEM(item, 0)) < 0)
+                goto fail;
+            PyObject *op = PyTuple_GET_ITEM(item, 1);
+            if (!PyUnicode_Check(op) || sb_put_str(&sb, op) < 0)
+                goto fail;
+        }
+    }
+
+    if (sb_putc(&sb, '\t') < 0 ||
+        sb_put_str(&sb, rnext) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_long(&sb, pnext0 + 1) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_long(&sb, tlen) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_str(&sb, seq) < 0 || sb_putc(&sb, '\t') < 0 ||
+        sb_put_str(&sb, qual) < 0)
+        goto fail;
+
+    keys = PyDict_Keys(tags);
+    if (!keys || PyList_Sort(keys) < 0)
+        goto fail;
+    for (Py_ssize_t k = 0; k < PyList_GET_SIZE(keys); ++k) {
+        PyObject *tag = PyList_GET_ITEM(keys, k);
+        PyObject *tv = PyDict_GetItem(tags, tag); /* borrowed */
+        if (!tv || !PyTuple_Check(tv) || PyTuple_GET_SIZE(tv) != 2) {
+            PyErr_SetString(PyExc_ValueError,
+                            "tags must map to (type, value)");
+            goto fail;
+        }
+        PyObject *typ_obj = PyTuple_GET_ITEM(tv, 0);
+        PyObject *val = PyTuple_GET_ITEM(tv, 1);
+        if (!PyUnicode_Check(typ_obj) || PyUnicode_GET_LENGTH(typ_obj) != 1) {
+            PyErr_SetString(PyExc_ValueError, "tag type must be a 1-char str");
+            goto fail;
+        }
+        Py_UCS4 typ = PyUnicode_READ_CHAR(typ_obj, 0);
+        if (sb_putc(&sb, '\t') < 0 || sb_put_str(&sb, tag) < 0 ||
+            sb_putc(&sb, ':') < 0 || sb_putc(&sb, (char)typ) < 0 ||
+            sb_putc(&sb, ':') < 0)
+            goto fail;
+        switch (typ) {
+        case 'i':
+            if (sb_put_int_obj(&sb, val) < 0)
+                goto fail;
+            break;
+        case 'f':
+            if (sb_put_float_obj(&sb, val, float_fmt) < 0)
+                goto fail;
+            break;
+        case 'A':
+        case 'Z':
+        case 'H':
+            if (!PyUnicode_Check(val)) {
+                PyObject *s = PyObject_Str(val);
+                if (!s || sb_put_str(&sb, s) < 0) {
+                    Py_XDECREF(s);
+                    goto fail;
+                }
+                Py_DECREF(s);
+            } else if (sb_put_str(&sb, val) < 0)
+                goto fail;
+            break;
+        case 'B': {
+            if (!PyTuple_Check(val) || PyTuple_GET_SIZE(val) != 2) {
+                PyErr_SetString(PyExc_ValueError,
+                                "B tag value must be (subtype, items)");
+                goto fail;
+            }
+            PyObject *sub = PyTuple_GET_ITEM(val, 0);
+            PyObject *items = PyTuple_GET_ITEM(val, 1);
+            if (!PyUnicode_Check(sub) || PyUnicode_GET_LENGTH(sub) != 1) {
+                PyErr_SetString(PyExc_ValueError,
+                                "B subtype must be a 1-char str");
+                goto fail;
+            }
+            Py_UCS4 sc = PyUnicode_READ_CHAR(sub, 0);
+            if (sb_putc(&sb, (char)sc) < 0)
+                goto fail;
+            PyObject *fast = PySequence_Fast(items, "B tag items");
+            if (!fast)
+                goto fail;
+            Py_ssize_t n_items = PySequence_Fast_GET_SIZE(fast);
+            int is_float = (sc == 'f' || sc == 'F');
+            for (Py_ssize_t j = 0; j < n_items; ++j) {
+                PyObject *it = PySequence_Fast_GET_ITEM(fast, j);
+                int rc = sb_putc(&sb, ',');
+                if (rc == 0)
+                    rc = is_float ? sb_put_float_obj(&sb, it, float_fmt)
+                                  : sb_put_int_obj(&sb, it);
+                if (rc < 0) {
+                    Py_DECREF(fast);
+                    goto fail;
+                }
+            }
+            Py_DECREF(fast);
+            break;
+        }
+        default:
+            PyErr_Format(PyExc_ValueError, "unknown tag type '%c'",
+                         (int)typ);
+            goto fail;
+        }
+    }
+
+    Py_DECREF(keys);
+    {
+        PyObject *res = PyUnicode_DecodeUTF8(sb.buf, sb.len, "strict");
+        free(sb.buf);
+        return res;
+    }
+
+fail:
+    Py_XDECREF(keys);
+    free(sb.buf);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
 static PyMethodDef methods[] = {
     {"parse_cigars", parse_cigars, METH_VARARGS,
      "Parse a list of CIGAR byte strings into flat op/count arrays."},
@@ -400,6 +992,12 @@ static PyMethodDef methods[] = {
      "detect indel runs."},
     {"format_cigars", format_cigars, METH_VARARGS,
      "Format flat run arrays into CIGAR byte strings."},
+    {"score_cigar", score_cigar, METH_VARARGS,
+     "Rescore an =/X CIGAR alignment with Phred-scaled penalties."},
+    {"parse_sam_line", parse_sam_line, METH_VARARGS,
+     "Parse one SAM alignment line into its fields."},
+    {"format_sam_line", format_sam_line, METH_VARARGS,
+     "Format SAM record fields into one text line."},
     {NULL, NULL, 0, NULL},
 };
 

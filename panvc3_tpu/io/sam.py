@@ -213,6 +213,35 @@ def _format_tag_text(tag: str, typ: str, val: object) -> str:
 # -- SAM text ---------------------------------------------------------------
 
 def parse_sam_record(line: str, header: SamHeader) -> SamRecord:
+    from ..native import get_native
+
+    nat = get_native()
+    if nat is not None:
+        (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
+         qual, tags) = nat.parse_sam_line(line)
+        ref_id = header.ref_id(rname) if rname != "*" else -1
+        if rname != "*" and ref_id < 0:
+            raise ValueError(f"unknown reference {rname!r}")
+        rec = SamRecord(
+            qname=qname, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+            cigar=cigar, tlen=tlen, seq=seq, qual=qual, tags=tags,
+        )
+        if rnext == "*":
+            rec.mate_ref_id = -1
+        elif rnext == "=":
+            rec.mate_ref_id = rec.ref_id
+        else:
+            rec.mate_ref_id = header.ref_id(rnext)
+            if rec.mate_ref_id < 0:
+                raise ValueError(f"unknown mate reference {rnext!r}")
+        rec.mate_pos = pnext
+        return rec
+    return _parse_sam_record_py(line, header)
+
+
+def _parse_sam_record_py(line: str, header: SamHeader) -> SamRecord:
+    """Pure-Python reference implementation (the oracle the native
+    parse_sam_line is tested against)."""
     f = line.rstrip("\n").split("\t")
     if len(f) < 11:
         raise ValueError(f"truncated SAM record: {line!r}")
@@ -245,6 +274,8 @@ def parse_sam_record(line: str, header: SamHeader) -> SamRecord:
 
 
 def format_sam_record(rec: SamRecord, header: SamHeader) -> str:
+    from ..native import get_native
+
     rname = header.ref_names[rec.ref_id] if rec.ref_id >= 0 else "*"
     if rec.mate_ref_id < 0:
         rnext = "*"
@@ -252,6 +283,14 @@ def format_sam_record(rec: SamRecord, header: SamHeader) -> str:
         rnext = "="
     else:
         rnext = header.ref_names[rec.mate_ref_id]
+    nat = get_native()
+    if nat is not None:
+        return nat.format_sam_line(
+            rec.qname, rec.flag, rname, rec.pos, rec.mapq,
+            rec.cigar if rec.cigar else [], rnext, rec.mate_pos, rec.tlen,
+            rec.seq if rec.seq else "*", rec.qual if rec.qual else "*",
+            rec.tags, format_float,
+        )
     fields = [
         rec.qname,
         str(rec.flag),

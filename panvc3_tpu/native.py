@@ -18,7 +18,7 @@ def get_native():
     """The _panvc3_native module, or None when not built."""
     global _native
     if _native is not None:
-        return _native
+        return _native or None
     build_dir = os.path.join(os.path.dirname(__file__), "native_build")
     if os.path.isdir(build_dir) and build_dir not in sys.path:
         sys.path.insert(0, build_dir)

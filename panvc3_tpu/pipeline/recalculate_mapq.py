@@ -169,6 +169,22 @@ class CigarScorer:
     def calculate(self, rec: SamRecord, ref_n_positions: list[int]) -> int:
         """Vectorised when numpy pays off; exact integer semantics either
         way (mirrors cigar_alignment_scorer::calculate_score)."""
+        from ..native import get_native
+
+        nat = get_native()
+        if nat is not None:
+            s = self.scoring
+            return nat.score_cigar(
+                rec.cigar,
+                rec.seq,
+                None if rec.qual == "*" else rec.qual,
+                bytes(ref_n_positions),
+                s.min_mismatch_penalty,
+                s.max_mismatch_penalty,
+                s.n_penalty,
+                s.gap_opening_penalty,
+                s.gap_extension_penalty,
+            )
         import numpy as np
 
         s = self.scoring
