@@ -20,6 +20,7 @@ import struct
 from dataclasses import dataclass, field
 
 from .bgzf import BgzfWriter, _read_block
+from ..native import get_native
 from ..cigar import (
     Cigar,
     OPS,
@@ -124,7 +125,7 @@ class SamHeader:
         self.lines.append("\t".join(parts))
 
 
-@dataclass
+@dataclass(slots=True)
 class SamRecord:
     qname: str = "*"
     flag: int = 0
@@ -213,8 +214,6 @@ def _format_tag_text(tag: str, typ: str, val: object) -> str:
 # -- SAM text ---------------------------------------------------------------
 
 def parse_sam_record(line: str, header: SamHeader) -> SamRecord:
-    from ..native import get_native
-
     nat = get_native()
     if nat is not None:
         (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
@@ -274,8 +273,6 @@ def _parse_sam_record_py(line: str, header: SamHeader) -> SamRecord:
 
 
 def format_sam_record(rec: SamRecord, header: SamHeader) -> str:
-    from ..native import get_native
-
     rname = header.ref_names[rec.ref_id] if rec.ref_id >= 0 else "*"
     if rec.mate_ref_id < 0:
         rnext = "*"

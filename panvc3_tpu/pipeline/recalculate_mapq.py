@@ -32,6 +32,7 @@ import sys
 from dataclasses import dataclass
 
 from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
+from ..native import get_native
 
 ALIGNMENT_SCORE_MIN = -sys.float_info.max
 MAPQ_NO_NEXT_RECORD = 255
@@ -169,8 +170,6 @@ class CigarScorer:
     def calculate(self, rec: SamRecord, ref_n_positions: list[int]) -> int:
         """Vectorised when numpy pays off; exact integer semantics either
         way (mirrors cigar_alignment_scorer::calculate_score)."""
-        from ..native import get_native
-
         nat = get_native()
         if nat is not None:
             s = self.scoring
