@@ -51,6 +51,15 @@ _BAM_SEQ_ENCODE = {c: i for i, c in enumerate(_BAM_SEQ_CODE)}
 for _c, _i in list(_BAM_SEQ_ENCODE.items()):
     _BAM_SEQ_ENCODE[_c.lower()] = _i
 
+# bulk codec tables: the per-base loops run in C via bytes.translate /
+# bytes.hex / bytes.fromhex instead of Python-level character loops
+_BAM_SEQ_HEX_DECODE = str.maketrans("0123456789abcdef", _BAM_SEQ_CODE)
+_BAM_SEQ_BYTE_ENCODE = bytes(_BAM_SEQ_ENCODE.get(chr(i), 15) for i in range(256))
+_CODE_TO_HEX = b"0123456789abcdef" + bytes(240)
+_QUAL_SUB33 = bytes((i - 33) & 0xFF for i in range(256))
+_QUAL_ADD33 = bytes((i + 33) & 0xFF for i in range(256))
+_OP_TO_CODE = {op: i for i, op in enumerate("MIDNSHP=X")}
+
 
 @dataclass
 class SamHeader:
@@ -403,14 +412,14 @@ def _decode_bam_record(buf: bytes, header: SamHeader) -> SamRecord:
         nb = (l_seq + 1) // 2
         raw = buf[off:off + nb]
         off += nb
-        chars = []
-        for i in range(l_seq):
-            b = raw[i >> 1]
-            chars.append(_BAM_SEQ_DECODE[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-        seq = "".join(chars)
+        # each nibble is one base: hex-expand then map hex digit -> base
+        seq = raw.hex().translate(_BAM_SEQ_HEX_DECODE)[:l_seq]
         qraw = buf[off:off + l_seq]
         off += l_seq
-        qual = "*" if qraw[0] == 0xFF else "".join(chr(q + 33) for q in qraw)
+        qual = (
+            "*" if qraw[0] == 0xFF
+            else qraw.translate(_QUAL_ADD33).decode("latin-1")
+        )
     else:
         seq = "*"
         qual = "*"
@@ -424,22 +433,21 @@ def _decode_bam_record(buf: bytes, header: SamHeader) -> SamRecord:
 
 def _encode_bam_record(rec: SamRecord) -> bytes:
     qname_b = rec.qname.encode() + b"\x00"
-    cigar_b = b"".join(
-        struct.pack("<I", (n << 4) | OPS.index(op)) for n, op in rec.cigar
+    cigar_b = struct.pack(
+        "<%dI" % len(rec.cigar),
+        *((n << 4) | _OP_TO_CODE[op] for n, op in rec.cigar),
     )
     if rec.seq != "*":
         l_seq = len(rec.seq)
-        seq_b = bytearray((l_seq + 1) // 2)
-        for i, c in enumerate(rec.seq):
-            code = _BAM_SEQ_ENCODE.get(c, 15)
-            if i % 2 == 0:
-                seq_b[i >> 1] |= code << 4
-            else:
-                seq_b[i >> 1] |= code
+        codes = rec.seq.encode("latin-1").translate(_BAM_SEQ_BYTE_ENCODE)
+        if l_seq % 2:
+            codes += b"\x00"
+        # pair nibbles: code bytes -> hex digits -> packed bytes
+        seq_b = bytes.fromhex(codes.translate(_CODE_TO_HEX).decode("ascii"))
         if rec.qual == "*":
             qual_b = b"\xff" * l_seq
         else:
-            qual_b = bytes((ord(c) - 33) & 0xFF for c in rec.qual)
+            qual_b = rec.qual.encode("latin-1").translate(_QUAL_SUB33)
     else:
         l_seq = 0
         seq_b = b""
