@@ -146,6 +146,12 @@ def cmd_project_alignments(argv=None) -> int:
     p.add_argument("--engine", choices=("host", "device"), default="device")
     p.add_argument("--device-batch-size", type=int, default=4096)
     p.add_argument(
+        "--pipeline-depth",
+        type=int,
+        default=2,
+        help="device batches kept in flight (overlaps host and device work)",
+    )
+    p.add_argument(
         "--data-parallel",
         type=int,
         default=0,
@@ -188,6 +194,7 @@ def cmd_project_alignments(argv=None) -> int:
         command_line=" ".join(sys.argv),
         engine=args.engine,
         device_batch_size=args.device_batch_size,
+        pipeline_depth=args.pipeline_depth,
         data_parallel=args.data_parallel,
     )
     stats = run_project_alignments(

@@ -20,7 +20,7 @@ from ..indel_runs import IndelRun, find_indel_runs
 from ..native import get_native
 from ..projector import ProjectionResult
 from .rank_select import DeviceGapIndex
-from .realign_batch import realign_batch
+from .realign_batch import realign_batch_finish, realign_batch_start
 from .rewrite_batch import (
     expand_cigars,
     fetch_rewrite_outputs,
@@ -228,10 +228,21 @@ class BatchProjector:
 
     def finish_batch(self, handle) -> list[ProjectionResult]:
         """Fetch and post-process a batch started with start_batch."""
+        return self.finish_realign(self.finish_rewrite(handle))
+
+    def finish_rewrite(self, handle):
+        """Pipeline stage 2: fetch the rewrite outputs of a start_batch
+        dispatch, finalize on the host, and dispatch the realignment DP
+        asynchronously.  Returns a handle for :meth:`finish_realign`.
+
+        Splitting this from finish_realign keeps the realign round-trip of
+        batch k off the critical path while batch k+1's rewrite streams
+        (three-stage analogue of the reference's spsc_queue stages,
+        project_alignments.cc:484-655)."""
         if handle is None:
-            return []
+            return None
         if handle[0] == "fused":
-            return self._finish_fused(handle)
+            return ("fused_done", self._finish_fused(handle))
         _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
         b = len(records)
         dst_pos_a, d_run, main_code = fetch_rewrite_outputs(out, batch.pad_ref_units)
@@ -253,10 +264,20 @@ class BatchProjector:
                 find_indel_runs(rewritten[i], dst_pos[i]) for i in range(b)
             ]
 
-        return self._realign_and_splice(
-            records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos, rewritten,
-            record_runs,
+        rh = self._dispatch_realign(
+            records, queries, dst_ref_ids, ref_seqs, cfg, record_runs
         )
+        return ("split2", records, dst_pos, rewritten, record_runs, rh)
+
+    def finish_realign(self, handle2) -> list[ProjectionResult]:
+        """Pipeline stage 3: fetch the realignment results and splice."""
+        if handle2 is None:
+            return []
+        if handle2[0] == "fused_done":
+            return handle2[1]
+        _, records, dst_pos, rewritten, record_runs, rh = handle2
+        realigned = realign_batch_finish(rh)
+        return self._splice(records, dst_pos, rewritten, record_runs, realigned)
 
     def project_batch(self, records, ref_seqs: dict[int, bytes], cfg) -> list[ProjectionResult]:
         """Synchronous convenience wrapper around start/finish."""
@@ -266,8 +287,17 @@ class BatchProjector:
         self, records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos, rewritten,
         record_runs,
     ) -> list[ProjectionResult]:
-        b = len(records)
+        rh = self._dispatch_realign(
+            records, queries, dst_ref_ids, ref_seqs, cfg, record_runs
+        )
+        realigned = realign_batch_finish(rh)
+        return self._splice(records, dst_pos, rewritten, record_runs, realigned)
 
+    def _dispatch_realign(
+        self, records, queries, dst_ref_ids, ref_seqs, cfg, record_runs
+    ):
+        """Stage the indel runs and dispatch the batched realignment DP
+        asynchronously; None when there is nothing to realign."""
         # Indel runs -> batched realignment (device).
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
         run_refs: list[bytes] = []
@@ -296,21 +326,18 @@ class BatchProjector:
                             )
                         )
 
-        if run_refs:
-            realigned = realign_batch(
-                run_refs,
-                run_queries,
-                self.gap_opening_cost,
-                self.gap_extension_cost,
-                run_ref_quals,
-                run_query_quals,
-                pad_ref=_next_pow2(max(1, max(len(r) for r in run_refs))),
-                pad_query=_next_pow2(max(1, max(len(q) for q in run_queries))),
-            )
-        else:
-            realigned = []
-
-        return self._splice(records, dst_pos, rewritten, record_runs, realigned)
+        if not run_refs:
+            return None
+        return realign_batch_start(
+            run_refs,
+            run_queries,
+            self.gap_opening_cost,
+            self.gap_extension_cost,
+            run_ref_quals,
+            run_query_quals,
+            pad_ref=_next_pow2(max(1, max(len(r) for r in run_refs))),
+            pad_query=_next_pow2(max(1, max(len(q) for q in run_queries))),
+        )
 
     def _finish_fused(self, handle) -> list[ProjectionResult]:
         _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg = handle

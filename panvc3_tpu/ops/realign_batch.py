@@ -253,9 +253,31 @@ def realign_batch(
     pad_query: int | None = None,
 ) -> list[Cigar]:
     """Align each (ref, query) pair; returns collapsed per-run CIGARs."""
+    return realign_batch_finish(
+        realign_batch_start(
+            refs, queries, gap_opening, gap_extension,
+            ref_quals, query_quals, pad_ref, pad_query,
+        )
+    )
+
+
+def realign_batch_start(
+    refs: list[bytes],
+    queries: list[bytes],
+    gap_opening: int,
+    gap_extension: int,
+    ref_quals: list[np.ndarray] | None = None,
+    query_quals: list[np.ndarray] | None = None,
+    pad_ref: int | None = None,
+    pad_query: int | None = None,
+):
+    """Dispatch the DP fill asynchronously; finish with
+    :func:`realign_batch_finish`.  Splitting dispatch from fetch lets the
+    engine keep the realignment of batch k on the device while batch k+1's
+    rewrite streams (JAX async dispatch)."""
     b = len(refs)
     if b == 0:
-        return []
+        return None
     R = pad_ref if pad_ref is not None else max(1, max(len(r) for r in refs))
     Q = pad_query if pad_query is not None else max(1, max(len(q) for q in queries))
     ref_arr = np.zeros((b, R), dtype=np.uint8)
@@ -273,9 +295,7 @@ def realign_batch(
             rq[i, :len(r)] = ref_quals[i]
         if query_quals is not None:
             qq[i, :len(q)] = query_quals[i]
-
-    use_quality = ref_quals is not None
-    out = realign_device_kernel(
+    return realign_device_kernel(
         ref_arr,
         q_arr,
         rl,
@@ -284,13 +304,19 @@ def realign_batch(
         np.float32(gap_extension),
         rq,
         qq,
-        use_quality,
+        ref_quals is not None,
         R,
         Q,
     )
-    ops, counts = jax.device_get(out)
 
-    out: list[Cigar] = []
+
+def realign_batch_finish(out) -> list[Cigar]:
+    """Fetch + decode the CIGARs of a realign_batch_start dispatch."""
+    if out is None:
+        return []
+    ops, counts = jax.device_get(out)
+    b = ops.shape[0]
+    res: list[Cigar] = []
     for i in range(b):
         k = int(counts[i])
         rev = ops[i, :k][::-1]
@@ -301,5 +327,5 @@ def realign_batch(
                 cig[-1] = (cig[-1][0] + 1, ch)
             else:
                 cig.append((1, ch))
-        out.append(cig)
-    return out
+        res.append(cig)
+    return res

@@ -81,6 +81,7 @@ class ProjectConfig:
     command_line: str = "panvc3_tpu project_alignments"
     engine: str = "host"  # "host" or "device"
     device_batch_size: int = 4096  # records per device batch (device engine)
+    pipeline_depth: int = 2  # batches kept in flight on the device
     # data-parallel sharding over a device mesh: 0 = single device,
     # -1 = all devices, N = first N devices
     data_parallel: int = 0
@@ -435,7 +436,7 @@ def run_project_alignments(
 
     chunk: list[tuple[int, SamRecord]] = []
     in_flight: collections.deque = collections.deque()
-    MAX_IN_FLIGHT = 2
+    MAX_IN_FLIGHT = max(1, cfg.pipeline_depth)
 
     def apply_batch(batch_records, results):
         for start in range(0, len(batch_records), CHUNK_SIZE):
@@ -471,9 +472,23 @@ def run_project_alignments(
         for _, rec in batch_records:
             writer.write(rec)
 
+    # three pipeline stages per batch (mirrors the reference's spsc_queue
+    # stages, project_alignments.cc:484-655): stage 1 = rewrite dispatch
+    # (in_flight), stage 2 = host finalize + realign dispatch
+    # (realign_flight), stage 3 = realign fetch + splice + write.  Keeping
+    # the realign round-trip of batch k in flight while batch k+1's rewrite
+    # streams takes one device round-trip off the critical path.
+    realign_flight: collections.deque = collections.deque()
+
+    def drain_realign_one():
+        batch_records, handle2 = realign_flight.popleft()
+        apply_batch(batch_records, batch_engine.finish_realign(handle2))
+
     def drain_one():
         batch_records, handle = in_flight.popleft()
-        apply_batch(batch_records, batch_engine.finish_batch(handle))
+        realign_flight.append((batch_records, batch_engine.finish_rewrite(handle)))
+        if len(realign_flight) >= MAX_IN_FLIGHT:
+            drain_realign_one()
 
     def flush_chunk():
         nonlocal chunk
@@ -530,6 +545,8 @@ def run_project_alignments(
     flush_chunk()
     while in_flight:
         drain_one()
+    while realign_flight:
+        drain_realign_one()
     writer.close()
 
     if cfg.output_realigned_ranges_path and realigned_ranges is not None:
