@@ -202,3 +202,30 @@ def test_fused_overflow_fallback(msa_files, founder_seqs):
         assert stats.matched_reads == 2
         outs[engine] = out.getvalue()
     assert outs["host"] == outs["device"]
+
+
+@pytest.mark.parametrize("depth", [1, 3, 5])
+def test_pipeline_depth_output_invariant(msa_files, founder_seqs, depth):
+    """The three-stage drain (start / finish_rewrite / finish_realign)
+    must emit identical bytes at any pipeline depth, including the
+    degenerate synchronous depth=1 and depths larger than the batch
+    count."""
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs)
+
+    outs = {}
+    for d in (2, depth):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            tags=TagSpec(rec_idx="XI"),
+            engine="device",
+            device_batch_size=32,
+            pipeline_depth=d,
+        )
+        out = io.BytesIO()
+        run_project_alignments(io.BytesIO(sam), out, cfg)
+        outs[d] = out.getvalue()
+    assert outs[2] == outs[depth]
