@@ -65,7 +65,7 @@ def cmd_index_msa(argv=None) -> int:
         build_index_from_a2m,
         build_index_from_tsv,
         list_contents,
-        query_positions,
+        query_repl,
     )
 
     if args.build_index:
@@ -100,15 +100,10 @@ def cmd_index_msa(argv=None) -> int:
     if args.list_contents:
         list_contents(index)
         return 0
-    # interactive query mode: lines of "src_seq dst_seq pos"
+    # interactive query REPL (index-msa/main.cc:88-190)
     if not args.chr_id:
         p.error("--query requires --chr-id")
-    queries = []
-    for line in sys.stdin:
-        parts = line.split()
-        if len(parts) == 3:
-            queries.append((parts[0], parts[1], int(parts[2])))
-    query_positions(index, args.chr_id, queries)
+    query_repl(index, args.chr_id)
     return 0
 
 

@@ -135,6 +135,71 @@ def list_contents(index: MsaIndex, out=sys.stdout) -> None:
             )
 
 
+def query_repl(index: MsaIndex, chr_id: str, in_stream=None, out=None) -> None:
+    """Interactive position-projection loop (the --query mode,
+    /root/reference/index-msa/main.cc:88-190): prompts for a source and a
+    destination sequence, then projects entered coordinates; ``s``/``d``
+    switch the source/destination sequence; EOF exits.  Input is
+    whitespace-token based, so it works identically when piped."""
+    import sys as _sys
+
+    in_stream = in_stream or _sys.stdin
+    out = out or _sys.stdout
+    chrom = index.find_chr(chr_id)
+    if chrom is None:
+        raise KeyError(f"No entry for chromosome '{chr_id}'")
+
+    def _tokens():
+        for line in in_stream:
+            yield from line.split()
+
+    tok = _tokens()
+
+    def read_seq(msg):
+        while True:
+            print(msg, end="", flush=True, file=out)
+            t = next(tok, None)
+            if t is None:
+                return None
+            entry = chrom.find(t)
+            if entry is not None:
+                return entry
+            print(f"No entry for sequence '{t}'.", file=_sys.stderr)
+
+    src = read_seq("Source sequence identifier? ")
+    if src is None:
+        return
+    dst = read_seq("Destination sequence identifier? ")
+    if dst is None:
+        return
+    while True:
+        pos_limit = src.unaligned_length
+        print(
+            f"[{src.seq_id} → {dst.seq_id}] Source co-ordinate or 's' "
+            f"or 'd' to switch sequence? ([0, {pos_limit})) ",
+            end="", flush=True, file=out,
+        )
+        t = next(tok, None)
+        if t is None:
+            return
+        if t == "s":
+            src = read_seq("Source sequence identifier? ")
+            if src is None:
+                return
+        elif t == "d":
+            dst = read_seq("Destination sequence identifier? ")
+            if dst is None:
+                return
+        else:
+            try:
+                pos = int(t)
+            except ValueError:
+                continue
+            if not 0 <= pos < pos_limit:
+                continue
+            print(int(src.project_position(pos, dst)), file=out)
+
+
 def query_positions(
     index: MsaIndex,
     chr_id: str,

@@ -123,3 +123,22 @@ def test_cli_full_pipeline(built_index):
     # PG chain present from both tools
     assert "panvc3.project-alignments" in text
     assert "panvc3.recalculate-mapq" in text
+
+
+def test_index_msa_query_repl(built_index):
+    """--query runs the interactive projection REPL
+    (index-msa/main.cc:88-190): token input, s/d switching, silent
+    re-prompt on bad coordinates, unknown-sequence message on stderr."""
+    tmp, index, _ = built_index
+    r = run(
+        ["index_msa", "--query", f"--msa-index-input={index}",
+         "--chr-id=test"],
+        input=b"REF\n1\n0\ns\nnope\n2\n3\nbogus\n999999999\n",
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    text = r.stdout.decode()
+    assert "Source sequence identifier? " in text
+    assert "[REF \u2192 1] Source co-ordinate" in text
+    # projected coordinates appear after the prompts; 0 projects to 0
+    assert "\n0\n" in text.replace(") ", ")\n") or " 0\n" in text
+    assert "No entry for sequence 'nope'." in r.stderr.decode()
