@@ -109,6 +109,20 @@ def cmd_index_msa(argv=None) -> int:
 
 # -- project_alignments -----------------------------------------------------
 
+def _parse_shard(spec: str | None) -> tuple[int, int] | None:
+    """'K/N' -> (K, N) with 0 <= K < N."""
+    if not spec:
+        return None
+    try:
+        k_s, n_s = spec.split("/")
+        k, n = int(k_s), int(n_s)
+    except ValueError:
+        raise ValueError(f"invalid shard spec {spec!r}; expected K/N")
+    if not 0 <= k < n:
+        raise ValueError(f"invalid shard spec {spec!r}; need 0 <= K < N")
+    return (k, n)
+
+
 def cmd_project_alignments(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="panvc3_project_alignments",
@@ -145,6 +159,12 @@ def cmd_project_alignments(argv=None) -> int:
         type=int,
         default=2,
         help="device batches kept in flight (overlaps host and device work)",
+    )
+    p.add_argument(
+        "--msa-index-chr-shard",
+        metavar="K/N",
+        help="load only chromosome shard K of N (input must be pre-routed, "
+        "e.g. with panvc3_split_alignments_by_reference)",
     )
     p.add_argument(
         "--data-parallel",
@@ -190,6 +210,7 @@ def cmd_project_alignments(argv=None) -> int:
         engine=args.engine,
         device_batch_size=args.device_batch_size,
         pipeline_depth=args.pipeline_depth,
+        chr_shard=_parse_shard(args.msa_index_chr_shard),
         data_parallel=args.data_parallel,
     )
     stats = run_project_alignments(

@@ -129,7 +129,28 @@ class MsaIndex:
             np.savez_compressed(fh, **arrays)
 
     @classmethod
-    def load(cls, path: str) -> "MsaIndex":
+    def load(
+        cls,
+        path: str,
+        chr_ids: "set[str] | None" = None,
+        shard: "tuple[int, int] | None" = None,
+    ) -> "MsaIndex":
+        """Load the index, optionally restricted to a chromosome subset.
+
+        ``chr_ids`` keeps only the named chromosomes; ``shard=(k, n)``
+        keeps shard k of a deterministic round-robin assignment of the
+        sorted chromosome ids over n hosts (see
+        ``parallel.distributed.split_chromosomes``).  Bitvector arrays of
+        skipped chromosomes are never deserialised (np.load is lazy per
+        key), so per-host memory scales with the shard — the multi-host
+        analogue of the reference's whole-index load (msa_index.hh:158-199).
+        """
+        if shard is not None:
+            from .parallel.distributed import split_chromosomes
+
+            k, n = shard
+            all_ids = cls.chromosome_ids(path)
+            chr_ids = set(split_chromosomes(all_ids, n)[k])
         with np.load(path) as data:
             magic = bytes(data["__magic__"]).decode()
             if magic != MAGIC:
@@ -143,6 +164,8 @@ class MsaIndex:
             if names_blob:
                 for line in names_blob.split("\n"):
                     chr_id, seq_id, key = line.split("\t")
+                    if chr_ids is not None and chr_id not in chr_ids:
+                        continue
                     gv = GapBitVector.from_state(
                         data[f"{key}_words"], int(data[f"{key}_n"][0]), data[f"{key}_rank"]
                     )
@@ -154,6 +177,23 @@ class MsaIndex:
                     chrom.sequence_entries.append(SequenceEntry(seq_id, gv))
             idx.sort()
             return idx
+
+    @staticmethod
+    def chromosome_ids(path: str) -> list[str]:
+        """The sorted chromosome ids of a saved index, without
+        deserialising any bitvectors."""
+        with np.load(path) as data:
+            magic = bytes(data["__magic__"]).decode()
+            if magic != MAGIC:
+                raise ValueError(f"{path}: not a panvc3_tpu MSA index")
+            names_blob = bytes(data["__names__"]).decode()
+        ids: list[str] = []
+        if names_blob:
+            for line in names_blob.split("\n"):
+                chr_id = line.split("\t", 1)[0]
+                if chr_id not in ids:
+                    ids.append(chr_id)
+        return sorted(ids)
 
 
 def make_sequence_entry_pair(src_aligned: str, dst_aligned: str) -> tuple[SequenceEntry, SequenceEntry]:

@@ -68,7 +68,9 @@ class BatchProjector:
                 vectors.append(entry.gaps)
             return self._dev_id[key]
 
-        self.src_dev_ids = [dev_id(e) for e in src_entries]
+        # None entries = header references outside this index shard; a
+        # record actually using one is rejected in the record loop.
+        self.src_dev_ids = [dev_id(e) if e is not None else -1 for e in src_entries]
         self.dst_dev_ids = [dev_id(e) if e is not None else -1 for e in dst_entries]
         self.index = DeviceGapIndex.build(vectors)
         if mesh is not None:

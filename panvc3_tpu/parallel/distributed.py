@@ -63,3 +63,41 @@ def byte_ranges(total_size: int, n_shards: int) -> list[tuple[int, int]]:
         end = total_size if i == n_shards - 1 else (i + 1) * step
         ranges.append((start, end))
     return ranges
+
+
+def split_chromosomes(chr_ids, n_shards: int) -> list[list[str]]:
+    """Deterministic round-robin assignment of sorted chromosome ids to
+    shards.  Every host computes the same assignment without
+    communication; pair with MsaIndex.load(shard=(k, n)) and
+    split_alignments_by_reference-style record routing so each host
+    holds only its chromosomes' bitvectors."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for i, chr_id in enumerate(sorted(chr_ids)):
+        shards[i % n_shards].append(chr_id)
+    return shards
+
+
+def chr_shard(chr_id: str, chr_ids, n_shards: int) -> int:
+    """The shard that holds chr_id under split_chromosomes."""
+    for k, ids in enumerate(split_chromosomes(chr_ids, n_shards)):
+        if chr_id in ids:
+            return k
+    raise KeyError(f"chromosome {chr_id!r} not in the id list")
+
+
+def split_records_by_chr(records, ref_chr_ids, chr_ids, n_shards: int):
+    """Group records by the shard owning their reference's chromosome.
+
+    ``ref_chr_ids`` maps a record's ref_id to its chromosome id (the chr
+    part of the founder RNAME).  Returns a list of n_shards record
+    lists, preserving input order within each shard."""
+    assignment = {}
+    for k, ids in enumerate(split_chromosomes(chr_ids, n_shards)):
+        for c in ids:
+            assignment[c] = k
+    shards = [[] for _ in range(n_shards)]
+    for rec in records:
+        shards[assignment[ref_chr_ids[rec.ref_id]]].append(rec)
+    return shards

@@ -82,6 +82,10 @@ class ProjectConfig:
     engine: str = "host"  # "host" or "device"
     device_batch_size: int = 4096  # records per device batch (device engine)
     pipeline_depth: int = 2  # batches kept in flight on the device
+    # (k, n): this host loads only shard k of the chromosomes (round-robin
+    # over sorted ids); input must be pre-routed per shard (e.g. with
+    # split_alignments_by_reference).  None = whole index.
+    chr_shard: tuple[int, int] | None = None
     # data-parallel sharding over a device mesh: 0 = single device,
     # -1 = all devices, N = first N devices
     data_parallel: int = 0
@@ -201,16 +205,24 @@ def fill_sequence_entries(
     separator: str,
     reference_msa_id: str,
     ref_id_mapping: list[int],
-) -> tuple[list[SequenceEntry], list[SequenceEntry | None]]:
+    allow_missing: bool = False,
+) -> tuple[list[SequenceEntry | None], list[SequenceEntry | None]]:
     """Per input/output ref-id tables of MSA sequence entries (mirrors
     fill_sequence_entries,
-    /root/reference/project-alignments/project_alignments.cc:1270-1316)."""
-    src_entries: list[SequenceEntry] = []
+    /root/reference/project-alignments/project_alignments.cc:1270-1316).
+
+    With ``allow_missing`` (chromosome-sharded index), header references
+    whose chromosome is absent from the index get a None entry — a record
+    actually using one then fails as mis-routed input."""
+    src_entries: list[SequenceEntry | None] = []
     dst_entries: list[SequenceEntry | None] = [None] * n_output_refs
     for input_idx, ref_id in enumerate(input_ref_names):
         chr_id, seq_id = split_ref_id(ref_id, separator)
         chrom = msa_index.find_chr(chr_id)
         if chrom is None:
+            if allow_missing:
+                src_entries.append(None)
+                continue
             raise KeyError(f"no entry for chromosome ID {chr_id!r} in the MSA index")
         out_idx = ref_id_mapping[input_idx]
         if dst_entries[out_idx] is None:
@@ -385,7 +397,7 @@ def run_project_alignments(
         version,
     )
 
-    msa_index = MsaIndex.load(cfg.msa_index_path)
+    msa_index = MsaIndex.load(cfg.msa_index_path, shard=cfg.chr_shard)
     src_entries, dst_entries = fill_sequence_entries(
         msa_index,
         input_header.ref_names,
@@ -393,6 +405,7 @@ def run_project_alignments(
         cfg.ref_id_separator,
         cfg.reference_msa_id,
         ref_id_mapping,
+        allow_missing=cfg.chr_shard is not None,
     )
 
     fasta = FastaReader(cfg.reference_path)
@@ -531,6 +544,13 @@ def run_project_alignments(
         if not rec.seq or rec.seq == "*":
             stats.seq_missing += 1
             continue
+        if src_entries[rec.ref_id] is None:
+            raise ValueError(
+                f"record {rec.qname!r} references "
+                f"{input_header.ref_names[rec.ref_id]!r}, which is outside "
+                "this index shard (--msa-index-chr-shard); route the input "
+                "with panvc3_split_alignments_by_reference first"
+            )
         stats.matched_reads += 1
 
         dst_ref_id = ref_id_mapping[rec.ref_id]

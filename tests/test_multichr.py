@@ -114,3 +114,77 @@ def test_multichr_device_matches_host(two_chr_setup):
     assert rd.header.ref_names == ["chrA", "chrB"]
     recs = list(rd)
     assert {rd.header.ref_names[r.ref_id] for r in recs} == {"chrA", "chrB"}
+
+
+def test_chr_sharded_index_projection(two_chr_setup):
+    """Each shard loads only its chromosomes' bitvectors and projects its
+    pre-routed records identically to a whole-index run (the multi-host
+    memory-scaling path; see parallel.distributed.split_chromosomes)."""
+    from panvc3_tpu.parallel.distributed import split_chromosomes
+
+    index_path, fasta_path, chrs = two_chr_setup
+    rng = np.random.default_rng(9)
+
+    assert MsaIndex.chromosome_ids(str(index_path)) == ["chrA", "chrB"]
+    assert split_chromosomes(["chrA", "chrB"], 2) == [["chrA"], ["chrB"]]
+
+    stripped = {}
+    for chr_id, rows in chrs.items():
+        for seq_id, aligned in rows.items():
+            stripped[f"{chr_id}/{seq_id}"] = aligned.replace(b"-", b"")
+
+    def make_sam(chr_filter=None):
+        lines = ["@HD\tVN:1.6"]
+        for name, s in stripped.items():
+            if chr_filter and not name.startswith(chr_filter + "/"):
+                continue
+            lines.append(f"@SQ\tSN:{name}\tLN:{len(s)}")
+        names = [
+            n for n in stripped
+            if not n.endswith("/REF")
+            and (not chr_filter or n.startswith(chr_filter + "/"))
+        ]
+        body = []
+        for i in range(80):
+            name = names[i % len(names)]
+            s = stripped[name]
+            pos = int(rng.integers(0, len(s) - 70))
+            body.append(
+                f"sc{name.replace('/', '_')}_{i}\t0\t{name}\t{pos + 1}\t60\t60=\t"
+                f"*\t0\t0\t{s[pos:pos + 60].decode()}\t{'I' * 60}"
+            )
+        return ("\n".join(lines + body) + "\n").encode()
+
+    def project(sam, shard):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(fasta_path),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine="device",
+            device_batch_size=32,
+            chr_shard=shard,
+        )
+        out = io.BytesIO()
+        run_project_alignments(io.BytesIO(sam), out, cfg)
+        return [
+            line for line in out.getvalue().decode().splitlines()
+            if not line.startswith("@")
+        ]
+
+    rng = np.random.default_rng(9)
+    full_a = project(make_sam("chrA"), None)
+    rng = np.random.default_rng(9)
+    shard_a = project(make_sam("chrA"), (0, 2))
+    assert shard_a == full_a
+
+    rng = np.random.default_rng(9)
+    sam_b = make_sam("chrB")
+    shard_b = project(sam_b, (1, 2))
+    rng = np.random.default_rng(9)
+    full_b = project(make_sam("chrB"), None)
+    assert shard_b == full_b
+
+    # a shard given the wrong chromosome's records fails loudly
+    with pytest.raises((ValueError, KeyError)):
+        project(sam_b, (0, 2))
