@@ -567,7 +567,10 @@ def main(argv=None) -> int:
         return TOOLS[tool](argv[1:])
     except (ValueError, KeyError, FileNotFoundError) as exc:
         # input/config errors exit cleanly like the reference tools
-        msg = exc.args[0] if exc.args else exc
+        # OSError args are (errno, strerror) — use the full message
+        msg = str(exc) if isinstance(exc, OSError) else (
+            exc.args[0] if exc.args else exc
+        )
         print(f"ERROR: {msg}", file=sys.stderr)
         return 1
     except BrokenPipeError:

@@ -91,6 +91,14 @@ def run_split_alignments(
     else:
         out_header = header
 
+    for r in records:
+        if "/" in r.reference_name:
+            raise ValueError(
+                f"reference name {r.reference_name!r} contains '/' and "
+                f"would produce an invalid output filename "
+                f"({basename}{r.reference_name}.bam); use names/prefixes "
+                "without path separators"
+            )
     writers = [
         SamWriter(f"{basename}{r.reference_name}.bam", out_header, bam=True)
         for r in records
