@@ -126,3 +126,25 @@ def test_cigar_eq_run_permutation_property(seed):
         assert cigar_eq(base, other)
     # changing counts breaks it
     assert not cigar_eq(base, [(3, "="), (5, "I"), (4, "="), (1, "X")])
+
+
+def test_format_float_roundtrips_float32():
+    """format_float must emit a string that parses back to the exact same
+    float32 (std::to_chars shortest-round-trip contract,
+    recalculate-mapq/main.cc YS tag output) for a wide value sweep."""
+    import numpy as np
+
+    from panvc3_tpu.io.sam import format_float
+
+    rng = np.random.default_rng(17)
+    vals = [0.0, 1.0, -1.0, 0.5, 1.5, 0.1, 1e-5, 1.23e-5, 3.4e38, 1e16,
+            -2.5e-7, 123456.78, 6.02e23]
+    vals += [float(np.float32(x)) for x in rng.normal(0, 1e3, 200)]
+    vals += [float(np.float32(x)) for x in 10.0 ** rng.uniform(-30, 30, 200)]
+    for v in vals:
+        s = format_float(v)
+        assert np.float32(s) == np.float32(v), (v, s)
+        # integral floats print without a decimal point (to_chars style)
+        f = np.float32(v)
+        if f == int(f) and abs(f) < 1e16:
+            assert "." not in s and "e" not in s, (v, s)
