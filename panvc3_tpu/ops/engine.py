@@ -25,7 +25,6 @@ from .rewrite_batch import (
     expand_cigars,
     fetch_rewrite_outputs,
     pack_query,
-    rewrite_batch,
     rewrite_device_kernel_packed,
 )
 

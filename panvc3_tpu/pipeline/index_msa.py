@@ -21,7 +21,6 @@ import shlex
 import subprocess
 import sys
 
-import numpy as np
 
 from ..bitvec import GapBitVector
 from ..io.fasta import write_fasta

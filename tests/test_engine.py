@@ -229,3 +229,32 @@ def test_pipeline_depth_output_invariant(msa_files, founder_seqs, depth):
         run_project_alignments(io.BytesIO(sam), out, cfg)
         outs[d] = out.getvalue()
     assert outs[2] == outs[depth]
+
+
+def test_threaded_pipeline_output_invariant(msa_files, founder_seqs):
+    """The worker-thread drain must emit bytes identical to the inline
+    drain (same engine, same batches, order preserved by the FIFO)."""
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs)
+
+    outs = {}
+    stats = {}
+    for threaded in (True, False):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            tags=TagSpec(rec_idx="XI"),
+            engine="device",
+            device_batch_size=32,
+            threaded_pipeline=threaded,
+        )
+        out = io.BytesIO()
+        stats[threaded] = run_project_alignments(io.BytesIO(sam), out, cfg)
+        outs[threaded] = out.getvalue()
+    assert outs[True] == outs[False]
+    assert (
+        stats[True].realigned_range_count == stats[False].realigned_range_count
+    )
+    assert stats[True].matched_reads == stats[False].matched_reads
