@@ -205,7 +205,7 @@ def _run() -> None:
     run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
 
     best = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         stats = run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
         dt = time.perf_counter() - t0
