@@ -984,6 +984,68 @@ fail:
 }
 
 /* ------------------------------------------------------------------ */
+/* collapse_cigar(list[(int, str)]) -> list[(int, str)]
+ * Merge adjacent same-op runs, dropping zero counts
+ * (cigar.py collapse_cigar; reference libpanvc3/cigar.cc:13-51).     */
+static PyObject *collapse_cigar_native(PyObject *self, PyObject *args)
+{
+    PyObject *cigar;
+    if (!PyArg_ParseTuple(args, "O!", &PyList_Type, &cigar))
+        return NULL;
+    Py_ssize_t n_ops = PyList_GET_SIZE(cigar);
+    PyObject *out = PyList_New(0);
+    if (!out)
+        return NULL;
+    long run = 0;
+    Py_UCS4 run_op = 0;
+    PyObject *run_op_obj = NULL; /* borrowed */
+    for (Py_ssize_t k = 0; k <= n_ops; ++k) {
+        long count = 0;
+        Py_UCS4 op = 0;
+        PyObject *op_obj = NULL;
+        if (k < n_ops) {
+            PyObject *item = PyList_GET_ITEM(cigar, k);
+            if (!PyTuple_Check(item) || PyTuple_GET_SIZE(item) != 2) {
+                PyErr_SetString(PyExc_ValueError,
+                                "cigar must be a list of (int, str)");
+                goto fail;
+            }
+            count = PyLong_AsLong(PyTuple_GET_ITEM(item, 0));
+            if (count == -1 && PyErr_Occurred())
+                goto fail;
+            op_obj = PyTuple_GET_ITEM(item, 1);
+            if (!PyUnicode_Check(op_obj) || PyUnicode_GET_LENGTH(op_obj) != 1) {
+                PyErr_SetString(PyExc_ValueError,
+                                "cigar must be a list of (int, str)");
+                goto fail;
+            }
+            op = PyUnicode_READ_CHAR(op_obj, 0);
+            if (count == 0)
+                continue;
+            if (run > 0 && op == run_op) {
+                run += count;
+                continue;
+            }
+        }
+        if (run > 0) {
+            PyObject *t = Py_BuildValue("(l O)", run, run_op_obj);
+            if (!t || PyList_Append(out, t) < 0) {
+                Py_XDECREF(t);
+                goto fail;
+            }
+            Py_DECREF(t);
+        }
+        run = count;
+        run_op = op;
+        run_op_obj = op_obj;
+    }
+    return out;
+fail:
+    Py_DECREF(out);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
 static PyMethodDef methods[] = {
     {"parse_cigars", parse_cigars, METH_VARARGS,
      "Parse a list of CIGAR byte strings into flat op/count arrays."},
@@ -998,6 +1060,8 @@ static PyMethodDef methods[] = {
      "Parse one SAM alignment line into its fields."},
     {"format_sam_line", format_sam_line, METH_VARARGS,
      "Format SAM record fields into one text line."},
+    {"collapse_cigar", collapse_cigar_native, METH_VARARGS,
+     "Merge adjacent same-op CIGAR runs, dropping zero counts."},
     {NULL, NULL, 0, NULL},
 };
 

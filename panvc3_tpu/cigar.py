@@ -16,6 +16,8 @@ import re
 
 import numpy as np
 
+from .native import get_native
+
 OPS = "MIDNSHP=X"
 OP_TO_CODE = {op: i for i, op in enumerate(OPS)}
 CODE_TO_OP = {i: op for i, op in enumerate(OPS)}
@@ -59,6 +61,13 @@ def collapse_cigar(cigar: Cigar) -> Cigar:
     Mirrors collapse_cigar_operations()
     (/root/reference/libpanvc3/cigar.cc:13-51).
     """
+    nat = get_native()
+    if nat is not None:
+        return nat.collapse_cigar(cigar)
+    return _collapse_cigar_py(cigar)
+
+
+def _collapse_cigar_py(cigar: Cigar) -> Cigar:
     out: Cigar = []
     for n, op in cigar:
         if n == 0:

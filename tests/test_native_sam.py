@@ -162,3 +162,19 @@ def test_score_cigar_rejects_m_ops():
     )
     with pytest.raises(ValueError):
         sc.calculate(rec, [])
+
+
+def test_collapse_cigar_parity_random():
+    import random
+
+    from panvc3_tpu.cigar import _collapse_cigar_py, collapse_cigar
+
+    random.seed(5)
+    for _ in range(500):
+        ops = [
+            (random.randrange(0, 4), random.choice("MIDNSHP=X"))
+            for _ in range(random.randrange(0, 40))
+        ]
+        assert collapse_cigar(ops) == _collapse_cigar_py(ops)
+    assert collapse_cigar([]) == []
+    assert collapse_cigar([(0, "M"), (0, "I")]) == []
