@@ -205,6 +205,7 @@ def cmd_project_alignments(argv=None) -> int:
         gap_extension_cost=args.gap_extension_cost,
         output_realigned_ranges_path=args.output_realigned_ranges,
         keep_duplicate_ranges=args.keep_duplicate_ranges,
+        debugging_output=args.debugging_output,
         output_bam=args.output_bam,
         command_line=" ".join(sys.argv),
         engine=args.engine,
@@ -221,6 +222,9 @@ def cmd_project_alignments(argv=None) -> int:
     print(f"Ref. ID missing:   {stats.ref_id_missing}", file=sys.stderr)
     print(f"Flags not matched: {stats.flags_not_matched}", file=sys.stderr)
     print(f"Sequence missing:  {stats.seq_missing}", file=sys.stderr)
+    if stats.written_range_count is not None:
+        # project_alignments.cc:1056-1057
+        print(f"Re-aligned ranges: {stats.written_range_count}", file=sys.stderr)
     if not stats.removed_tag_counts:
         print("No tags removed.", file=sys.stderr)
     else:
@@ -290,6 +294,7 @@ def cmd_recalculate_mapq(argv=None) -> int:
         ),
         output_bam=args.output_bam,
         verbose=args.verbose,
+        print_reference_names=args.print_reference_names,
         command_line=" ".join(sys.argv),
         version=__version__,
     )

@@ -55,6 +55,13 @@ class BatchProjector:
         self.gap_extension_cost = gap_extension_cost
         self.ref_id_mapping = ref_id_mapping
         self.mesh = mesh
+        # total wall time spent staging/dispatching/fetching the batched
+        # realignment DP (the batched analogue of the reference's
+        # per-realignment delegate timing, project_alignments.cc:931-944)
+        self.realignment_time_ns = 0
+        # total DP cells (ref_len x query_len summed over realigned runs);
+        # the bench's cell-updates/s numerator
+        self.realignment_cells = 0
 
         # Deduplicate gap vectors by identity and assign device sequence ids.
         vectors = []
@@ -265,9 +272,13 @@ class BatchProjector:
                 find_indel_runs(rewritten[i], dst_pos[i]) for i in range(b)
             ]
 
+        import time as _time
+
+        t0 = _time.perf_counter_ns()
         rh = self._dispatch_realign(
             records, queries, dst_ref_ids, ref_seqs, cfg, record_runs
         )
+        self.realignment_time_ns += _time.perf_counter_ns() - t0
         return ("split2", records, dst_pos, rewritten, record_runs, rh)
 
     def finish_realign(self, handle2) -> list[ProjectionResult]:
@@ -276,8 +287,12 @@ class BatchProjector:
             return []
         if handle2[0] == "fused_done":
             return handle2[1]
+        import time as _time
+
         _, records, dst_pos, rewritten, record_runs, rh = handle2
+        t0 = _time.perf_counter_ns()
         realigned = realign_batch_finish(rh)
+        self.realignment_time_ns += _time.perf_counter_ns() - t0
         return self._splice(records, dst_pos, rewritten, record_runs, realigned)
 
     def project_batch(self, records, ref_seqs: dict[int, bytes], cfg) -> list[ProjectionResult]:
@@ -455,6 +470,8 @@ class BatchProjector:
                         (run.query_start, run.query_length)
                     )
                     res.num_realignments += 1
+                    res.realigned_total_length += max(run.ref_length, run.query_length)
+                    self.realignment_cells += run.ref_length * run.query_length
                     out.extend(realigned[run_idx])
                     run_idx += 1
                 out.extend(rewritten[i][copy_from:])

@@ -74,6 +74,9 @@ class ProjectConfig:
     gap_extension_cost: int = -1
     output_realigned_ranges_path: str | None = None
     keep_duplicate_ranges: bool = False
+    # --debugging-output: include the task id / QNAME columns in the
+    # realigned-ranges TSV (project_alignments.cc:491-497, 1009-1029)
+    debugging_output: bool = False
     primary_only: bool = False
     output_bam: bool = False
     status_output_interval: int = 5  # minutes; 0 disables
@@ -105,6 +108,15 @@ class ProjectStatistics:
     matched_reads: int = 0
     realigned_range_count: int = 0
     removed_tag_counts: dict[str, int] = field(default_factory=dict)
+    # realignment observability (reference delegate hooks + status line,
+    # project_alignments.cc:446-481, 931-944): total ns in the realignment
+    # DP (batch wall time for the device engine) and total max(ref, query)
+    # run length, for the µs/realignment and mean-length status figures
+    realignment_time_ns: int = 0
+    realigned_range_total_length: int = 0
+    # number of deduplicated ranges written to the ranges TSV
+    # ("Re-aligned ranges: N" in the exit stats, :1056-1057)
+    written_range_count: int | None = None
 
 
 def split_ref_id(ref_id: str, separator: str) -> tuple[str, str]:
@@ -251,7 +263,8 @@ def _project_record(
     cfg: ProjectConfig,
     stats: ProjectStatistics,
     rec_idx_value: int | None,
-    realigned_ranges_out: list[tuple[int, int, str]] | None,
+    realigned_ranges_out: list | None,
+    task_id: int = 0,
 ) -> None:
     """Project one record in place via the scalar host oracle."""
     ref_id = rec.ref_id
@@ -286,6 +299,7 @@ def _project_record(
         stats,
         rec_idx_value,
         realigned_ranges_out,
+        task_id,
     )
 
 
@@ -299,7 +313,8 @@ def apply_projection_result(
     cfg: ProjectConfig,
     stats: ProjectStatistics,
     rec_idx_value: int | None,
-    realigned_ranges_out: list[tuple[int, int, str]] | None,
+    realigned_ranges_out: list | None,
+    task_id: int = 0,
 ) -> None:
     """Apply a computed ProjectionResult to the record: tag surgery, mate
     projection, field updates (project_alignments.cc:735-918)."""
@@ -308,9 +323,11 @@ def apply_projection_result(
     src_pos = rec.pos
 
     stats.realigned_range_count += res.num_realignments
+    stats.realignment_time_ns += res.realignment_time_ns
+    stats.realigned_range_total_length += res.realigned_total_length
     if realigned_ranges_out is not None:
         for loc, length in res.realigned_reference_ranges:
-            realigned_ranges_out.append((loc, length, rec.qname))
+            realigned_ranges_out.append((loc, length, rec.qname, task_id))
 
     # -- tag surgery ------------------------------------------------------
     tags = rec.tags
@@ -416,9 +433,12 @@ def run_project_alignments(
     writer = SamWriter(output_path_or_fh, out_header, bam=cfg.output_bam)
     stats = ProjectStatistics()
 
-    realigned_ranges: list[tuple[int, int, str]] | None = (
+    # (loc, length, qname, task_id) rows; task ids are sequential from 1
+    # like the reference's (project_alignments.cc:602-605)
+    realigned_ranges: list[tuple[int, int, str, int]] | None = (
         [] if cfg.output_realigned_ranges_path else None
     )
+    task_counter = [0]
 
     if cfg.engine == "device":
         from ..ops.engine import BatchProjector
@@ -457,6 +477,8 @@ def run_project_alignments(
         for start in range(0, len(batch_records), CHUNK_SIZE):
             sub = batch_records[start:start + CHUNK_SIZE]
             rec_idx_value = sub[-1][0] - len(sub) + 1
+            task_counter[0] += 1
+            task_id = task_counter[0]
             for off, (_, rec) in enumerate(sub):
                 if results is not None:
                     apply_projection_result(
@@ -470,6 +492,7 @@ def run_project_alignments(
                         stats,
                         rec_idx_value,
                         realigned_ranges,
+                        task_id,
                     )
                 else:
                     _project_record(
@@ -483,6 +506,7 @@ def run_project_alignments(
                         stats,
                         rec_idx_value,
                         realigned_ranges,
+                        task_id,
                     )
         for _, rec in batch_records:
             writer.write(rec)
@@ -569,7 +593,26 @@ def run_project_alignments(
     from ..utils import StatusReporter, log_time
 
     reporter = StatusReporter(cfg.status_output_interval)
-    reporter.extra_cb = lambda: f"; realigned {stats.realigned_range_count} ranges"
+
+    def _realign_status() -> str:
+        # mirrors the reference status line (project_alignments.cc:466-478)
+        n = stats.realigned_range_count
+        msg = f"; realigned {n} ranges"
+        if n:
+            from ..utils import format_duration
+
+            t_ns = stats.realignment_time_ns
+            if batch_engine is not None:
+                t_ns += batch_engine.realignment_time_ns
+            usecs = t_ns / 1000.0 / n
+            mean_len = stats.realigned_range_total_length / n
+            msg += (
+                f" (in {format_duration(t_ns / 1e9)}; "
+                f"{usecs:.2f} µs / realignment, mean length {mean_len:g} characters)"
+            )
+        return msg
+
+    reporter.extra_cb = _realign_status
 
     rec_idx = -1
     try:
@@ -625,16 +668,58 @@ def run_project_alignments(
         drain_realign_one()
     writer.close()
 
+    if batch_engine is not None:
+        stats.realignment_time_ns += batch_engine.realignment_time_ns
+
     if cfg.output_realigned_ranges_path and realigned_ranges is not None:
-        with open(cfg.output_realigned_ranges_path, "w") as fh:
-            if cfg.keep_duplicate_ranges:
-                fh.write("Location\tLength\n")
-                for loc, length, _q in realigned_ranges:
-                    fh.write(f"{loc}\t{length}\n")
-            else:
-                fh.write("Location\tLength\n")
-                seen = sorted(set((loc, length) for loc, length, _q in realigned_ranges))
-                for loc, length in seen:
-                    fh.write(f"{loc}\t{length}\n")
+        _write_realigned_ranges(cfg, realigned_ranges, stats)
 
     return stats
+
+
+def _write_realigned_ranges(
+    cfg: ProjectConfig,
+    realigned_ranges: list[tuple[int, int, str, int]],
+    stats: ProjectStatistics,
+) -> None:
+    """Write the realigned-ranges TSV (output_realigned_ranges,
+    project_alignments.cc:489-503, 1009-1029).
+
+    --keep-duplicate-ranges: per-task output, ranges sorted within each
+    task (the reference sorts each task's vector, :756); --debugging-output
+    adds the Task and QNAME columns.  Otherwise a global sorted dedup
+    (sorted_set_union merge, :986-992); on duplicates the earliest task's
+    QNAME is kept, matching the union's keep-first semantics.
+    """
+    with open(cfg.output_realigned_ranges_path, "w") as fh:
+        dbg = cfg.debugging_output
+        if cfg.keep_duplicate_ranges:
+            fh.write("Location\tLength\tTask\tQNAME\n" if dbg else "Location\tLength\n")
+            # rows arrive in task order already; sort within each task
+            by_task: dict[int, list] = {}
+            task_order: list[int] = []
+            for loc, length, qname, tid in realigned_ranges:
+                if tid not in by_task:
+                    by_task[tid] = []
+                    task_order.append(tid)
+                by_task[tid].append((loc, length, qname))
+            for tid in task_order:
+                for loc, length, qname in sorted(by_task[tid], key=lambda r: r[:2]):
+                    if dbg:
+                        fh.write(f"{loc}\t{length}\t{tid}\t{qname}\n")
+                    else:
+                        fh.write(f"{loc}\t{length}\n")
+        else:
+            fh.write("Location\tLength\tQNAME\n" if dbg else "Location\tLength\n")
+            seen: dict[tuple[int, int], str] = {}
+            for loc, length, qname, _tid in sorted(
+                realigned_ranges, key=lambda r: (r[3], r[0], r[1])
+            ):
+                if (loc, length) not in seen:
+                    seen[(loc, length)] = qname
+            stats.written_range_count = len(seen)
+            for (loc, length), qname in sorted(seen.items()):
+                if dbg:
+                    fh.write(f"{loc}\t{length}\t{qname}\n")
+                else:
+                    fh.write(f"{loc}\t{length}\n")

@@ -512,12 +512,18 @@ def run_recalculate_mapq(
     tag_spec: MapqTagSpec | None = None,
     output_bam: bool = False,
     verbose: bool = False,
+    print_reference_names: bool = False,
     status_output_interval: int = 5,
     command_line: str = "panvc3_tpu recalculate_mapq",
     version: str = "0.1",
 ) -> MapqStatistics:
     reader = SamReader(input_path_or_fh)
     header = reader.header
+    if print_reference_names:
+        # --print-reference-names (recalculate-mapq/main.cc:1414-1420)
+        print("Reference IDs:", file=sys.stderr)
+        for idx, name in enumerate(header.ref_names):
+            print(f"{idx}\t{name}", file=sys.stderr)
     out_header = SamHeader()
     out_header.lines = list(header.lines)
     out_header.ref_names = list(header.ref_names)

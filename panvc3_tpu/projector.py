@@ -20,6 +20,7 @@ This is the scalar oracle; the batched device pipeline in
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -39,6 +40,11 @@ class ProjectionResult:
     realigned_reference_ranges: list[tuple[int, int]] = field(default_factory=list)
     realigned_query_ranges: list[tuple[int, int]] = field(default_factory=list)
     num_realignments: int = 0
+    # observability parity with the reference's projector delegate hooks
+    # (project_alignments.cc:931-944): total ns spent in the realignment DP
+    # and total max(ref, query) run length, summed over this record's runs.
+    realignment_time_ns: int = 0
+    realigned_total_length: int = 0
 
 
 def project_alignment(
@@ -77,6 +83,7 @@ def project_alignment(
         result.realigned_reference_ranges.append((run.checker_ref_pos, run.ref_length))
         result.realigned_query_ranges.append((run.query_start, run.query_length))
         result.num_realignments += 1
+        result.realigned_total_length += max(run.ref_length, run.query_length)
 
         ref_part = ref_seq[run.ref_start:run.ref_start + run.ref_length]
         # The reference converts the ref slice through the sequence alphabet
@@ -84,6 +91,7 @@ def project_alignment(
         ref_part = normalise_dna5(ref_part)
         query_part = query_dna5[run.query_start:run.query_start + run.query_length]
 
+        t0 = time.perf_counter_ns()
         if base_qualities is None:
             _, realigned = align_global(
                 ref_part, query_part, gap_opening_cost, gap_extension_cost
@@ -99,6 +107,7 @@ def project_alignment(
                     run.query_start:run.query_start + run.query_length
                 ],
             )
+        result.realignment_time_ns += time.perf_counter_ns() - t0
         out.extend(realigned)
 
     out.extend(rewritten[copy_from:])

@@ -258,3 +258,68 @@ def test_threaded_pipeline_output_invariant(msa_files, founder_seqs):
         stats[True].realigned_range_count == stats[False].realigned_range_count
     )
     assert stats[True].matched_reads == stats[False].matched_reads
+
+
+def test_realigned_ranges_tsv_and_observability(msa_files, founder_seqs, tmp_path):
+    """--debugging-output adds QNAME (and with --keep-duplicate-ranges the
+    Task id) columns to the ranges TSV (project_alignments.cc:489-503,
+    1009-1029), and the realignment observability counters are filled."""
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs, n_reads=60)
+
+    variants = {}
+    for engine in ("host", "device"):
+        for keep, dbg in ((False, False), (False, True), (True, True), (True, False)):
+            path = tmp_path / f"r_{engine}_{keep}_{dbg}.tsv"
+            cfg = ProjectConfig(
+                msa_index_path=str(index_path),
+                reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+                reference_msa_id="REF",
+                ref_id_separator="/",
+                engine=engine,
+                device_batch_size=16,
+                output_realigned_ranges_path=str(path),
+                keep_duplicate_ranges=keep,
+                debugging_output=dbg,
+            )
+            stats = run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
+            variants[(engine, keep, dbg)] = path.read_text()
+
+            assert stats.realigned_range_count > 0
+            # observability parity fields (project_alignments.cc:931-944)
+            assert stats.realignment_time_ns > 0
+            assert stats.realigned_range_total_length >= stats.realigned_range_count
+            if keep:
+                assert stats.written_range_count is None
+            else:
+                assert stats.written_range_count == len(
+                    variants[(engine, keep, dbg)].splitlines()
+                ) - 1
+
+    # header shapes
+    assert variants[("host", False, False)].startswith("Location\tLength\n")
+    assert variants[("host", False, True)].startswith("Location\tLength\tQNAME\n")
+    assert variants[("host", True, True)].startswith("Location\tLength\tTask\tQNAME\n")
+    assert variants[("host", True, False)].startswith("Location\tLength\n")
+
+    for key, text in variants.items():
+        engine, keep, dbg = key
+        rows = [l.split("\t") for l in text.splitlines()[1:]]
+        if keep and dbg:
+            assert all(len(r) == 4 for r in rows)
+            # task ids: positive, non-decreasing in output order
+            tids = [int(r[2]) for r in rows]
+            assert all(t >= 1 for t in tids)
+            assert tids == sorted(tids)
+            assert all(r[3].startswith("read") for r in rows)
+        elif dbg:
+            assert all(len(r) == 3 for r in rows)
+            # deduplicated and sorted by range
+            keys = [(int(r[0]), int(r[1])) for r in rows]
+            assert keys == sorted(set(keys))
+        else:
+            assert all(len(r) == 2 for r in rows)
+
+    # host and device engines agree on every variant
+    for keep, dbg in ((False, False), (False, True), (True, True), (True, False)):
+        assert variants[("host", keep, dbg)] == variants[("device", keep, dbg)]
