@@ -59,9 +59,6 @@ class BatchProjector:
         # realignment DP (the batched analogue of the reference's
         # per-realignment delegate timing, project_alignments.cc:931-944)
         self.realignment_time_ns = 0
-        # total DP cells (ref_len x query_len summed over realigned runs);
-        # the bench's cell-updates/s numerator
-        self.realignment_cells = 0
 
         # Deduplicate gap vectors by identity and assign device sequence ids.
         vectors = []
@@ -471,7 +468,6 @@ class BatchProjector:
                     )
                     res.num_realignments += 1
                     res.realigned_total_length += max(run.ref_length, run.query_length)
-                    self.realignment_cells += run.ref_length * run.query_length
                     out.extend(realigned[run_idx])
                     run_idx += 1
                 out.extend(rewritten[i][copy_from:])

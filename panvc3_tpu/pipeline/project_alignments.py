@@ -114,6 +114,9 @@ class ProjectStatistics:
     # run length, for the µs/realignment and mean-length status figures
     realignment_time_ns: int = 0
     realigned_range_total_length: int = 0
+    # total realignment-DP cells (ref_length x query_length summed over
+    # runs) — numerator of the bench's cell-updates/s metric
+    realignment_cells: int = 0
     # number of deduplicated ranges written to the ranges TSV
     # ("Re-aligned ranges: N" in the exit stats, :1056-1057)
     written_range_count: int | None = None
@@ -325,6 +328,10 @@ def apply_projection_result(
     stats.realigned_range_count += res.num_realignments
     stats.realignment_time_ns += res.realignment_time_ns
     stats.realigned_range_total_length += res.realigned_total_length
+    for (_, rl), (_, ql) in zip(
+        res.realigned_reference_ranges, res.realigned_query_ranges
+    ):
+        stats.realignment_cells += rl * ql
     if realigned_ranges_out is not None:
         for loc, length in res.realigned_reference_ranges:
             realigned_ranges_out.append((loc, length, rec.qname, task_id))
