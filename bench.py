@@ -106,7 +106,7 @@ def synthesise_records(founders, n_reads: int, read_len: int = 100, seed: int = 
             k = int(rng.integers(1, 6))
             j = int(rng.integers(1, 6))
             half = read_len // 2
-            ins = bytes(rng.choice(list(b"ACGT"), k))
+            ins = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), k).tobytes()
             seq = (
                 s[pos:pos + half]
                 + ins

@@ -1,0 +1,1354 @@
+/* fastpath.c — batch-native record pipeline for project_alignments.
+ *
+ * The object path (io/sam.py SamRecord + pipeline apply_projection_result)
+ * costs several microseconds of Python per record; at device-engine speeds
+ * the host becomes the bottleneck (ROADMAP round 1: 2.6 s host vs 1.4 s
+ * device per 49k reads).  This file keeps records native end to end:
+ *
+ *   parse_stage_batch    raw SAM lines -> filter + field arrays + staged
+ *                        device inputs (padded op/count/query arrays and
+ *                        the flat unit stream) + an arena of byte spans
+ *   stage_realign_runs   indel-run table -> padded realignment DP inputs
+ *   splice_apply_format  device results -> tag surgery (whitelist of
+ *                        preserved tags, OA/XR/XP/YR/YP/XB/YB/XI, mirror of
+ *                        /root/reference/project-alignments/
+ *                        project_alignments.cc:735-918) + CIGAR splice +
+ *                        final SAM text, one blob per batch
+ *
+ * Python only moves numpy arrays between these calls and the JAX kernels.
+ * Byte-for-byte equality with the object path is enforced by
+ * tests/test_fastpath.py.
+ */
+
+#include "panvc3_common.h"
+
+/* seqan3 dna5 char semantics (panvc3_tpu.alphabet.DNA5_NORMALISE) */
+static unsigned char dna5_table[256];
+
+static void dna5_init(void)
+{
+    if (dna5_table['A'])
+        return;
+    memset(dna5_table, 'N', sizeof dna5_table);
+    const char *keep = "ACGT";
+    for (const char *c = keep; *c; ++c) {
+        dna5_table[(unsigned char)*c] = (unsigned char)*c;
+        dna5_table[(unsigned char)(*c + 32)] = (unsigned char)*c;
+    }
+    dna5_table['U'] = 'T';
+    dna5_table['u'] = 'T';
+}
+
+static inline int32_t next_pow2_i32(int32_t n)
+{
+    int32_t p = 1;
+    while (p < n)
+        p <<= 1;
+    return p;
+}
+
+static int fp_parse_long(const char *s, const char *end, long *out)
+{
+    char *stop;
+    errno = 0;
+    long v = strtol(s, &stop, 10);
+    if (stop != end || s == end || errno != 0)
+        return -1;
+    *out = v;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* parse_stage_batch(lines, refmap, flag_skip, primary_mask,
+ *                   min_O, min_R, min_Lq) -> dict
+ *
+ * Replicates the reader-loop filters of run_project_alignments (order:
+ * flag skip, secondary skip, missing ref, missing pos, missing seq —
+ * project_alignments.cc:528-572) and the staging of
+ * ops/rewrite_batch.expand_cigars in one pass over raw line bytes.
+ * refmap maps bytes reference names -> input ref ids.                   */
+PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
+{
+    PyObject *lines, *refmap;
+    long flag_skip, primary_mask, min_O, min_R, min_Lq;
+    if (!PyArg_ParseTuple(args, "O!O!lllll",
+                          &PyList_Type, &lines, &PyDict_Type, &refmap,
+                          &flag_skip, &primary_mask, &min_O, &min_R,
+                          &min_Lq))
+        return NULL;
+    dna5_init();
+
+    Py_ssize_t n_lines = PyList_GET_SIZE(lines);
+
+    /* per-record storage (kept records only) */
+    size_t cap_rec = 0, n_rec = 0;
+    int32_t *r_line = NULL;
+    int32_t *r_i32 = NULL;       /* 7 columns: flag,ref,pos,mapq,mref,mpos,tlen */
+    int32_t *r_nops = NULL;
+    int32_t *r_refunits = NULL;
+    int32_t *r_units = NULL;   /* total flat units (ref bases + other ops) */
+    int32_t *r_spans = NULL;     /* 8 columns */
+    size_t cap_ops = 0, n_ops_total = 0;
+    int8_t *f_ops = NULL;
+    int32_t *f_counts = NULL;
+    pv3_strbuf arena = {NULL, 0, 0};
+
+    long c_flags = 0, c_ref_missing = 0, c_seq_missing = 0;
+    long n_records = 0; /* record counter incl. skipped (global indexing) */
+
+    /* one-entry memo for reference-name lookups */
+    const char *memo_name[2] = {NULL, NULL};
+    Py_ssize_t memo_len[2] = {0, 0};
+    long memo_id[2] = {-1, -1};
+
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        PyObject *item = PyList_GET_ITEM(lines, li);
+        char *line;
+        Py_ssize_t line_len;
+        if (PyBytes_AsStringAndSize(item, &line, &line_len) < 0)
+            goto fail;
+        while (line_len > 0 &&
+               (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
+            --line_len;
+        {
+            /* the Python reader skips whitespace-only lines */
+            Py_ssize_t w = 0;
+            while (w < line_len &&
+                   (line[w] == ' ' || line[w] == '\t' || line[w] == '\v' ||
+                    line[w] == '\f'))
+                ++w;
+            if (w == line_len)
+                continue;
+        }
+        long rec_no = n_records++;
+
+        const char *fields[12];
+        Py_ssize_t flens[12];
+        int n_fields = 0;
+        const char *p = line, *end = line + line_len;
+        while (n_fields < 11) {
+            const char *tab = memchr(p, '\t', end - p);
+            fields[n_fields] = p;
+            flens[n_fields] = (tab ? tab : end) - p;
+            ++n_fields;
+            if (!tab) {
+                p = end;
+                break;
+            }
+            p = tab + 1;
+        }
+        if (n_fields < 11) {
+            PyErr_Format(PyExc_ValueError, "truncated SAM record: %.100s",
+                         line);
+            goto fail;
+        }
+        /* p now points at the first tag byte (or == end) */
+
+        long flag, pos, mapq, pnext, tlen;
+        if (fp_parse_long(fields[1], fields[1] + flens[1], &flag) != 0 ||
+            fp_parse_long(fields[3], fields[3] + flens[3], &pos) != 0 ||
+            fp_parse_long(fields[4], fields[4] + flens[4], &mapq) != 0 ||
+            fp_parse_long(fields[7], fields[7] + flens[7], &pnext) != 0 ||
+            fp_parse_long(fields[8], fields[8] + flens[8], &tlen) != 0) {
+            PyErr_Format(PyExc_ValueError, "malformed SAM record: %.100s",
+                         line);
+            goto fail;
+        }
+        pos -= 1;
+        pnext -= 1;
+
+        /* resolve RNAME / RNEXT so unknown names error even on skips */
+        long ref_id = -1;
+        if (!(flens[2] == 1 && fields[2][0] == '*')) {
+            if (memo_name[0] && memo_len[0] == flens[2] &&
+                memcmp(memo_name[0], fields[2], flens[2]) == 0) {
+                ref_id = memo_id[0];
+            } else {
+                PyObject *key =
+                    PyBytes_FromStringAndSize(fields[2], flens[2]);
+                if (!key)
+                    goto fail;
+                PyObject *v = PyDict_GetItem(refmap, key);
+                Py_DECREF(key);
+                if (!v) {
+                    PyErr_Format(PyExc_ValueError,
+                                 "unknown reference '%.100s'", fields[2]);
+                    goto fail;
+                }
+                ref_id = PyLong_AsLong(v);
+                /* memo points into line memory; the lines list keeps the
+                   bytes objects alive for the whole call */
+                memo_name[0] = fields[2];
+                memo_len[0] = flens[2];
+                memo_id[0] = ref_id;
+            }
+        }
+        long mate_ref_id = -1;
+        if (flens[6] == 1 && fields[6][0] == '*') {
+            mate_ref_id = -1;
+        } else if (flens[6] == 1 && fields[6][0] == '=') {
+            mate_ref_id = ref_id;
+        } else if (memo_name[1] && memo_len[1] == flens[6] &&
+                   memcmp(memo_name[1], fields[6], flens[6]) == 0) {
+            mate_ref_id = memo_id[1];
+        } else {
+            PyObject *key = PyBytes_FromStringAndSize(fields[6], flens[6]);
+            if (!key)
+                goto fail;
+            PyObject *v = PyDict_GetItem(refmap, key);
+            Py_DECREF(key);
+            if (!v) {
+                PyErr_Format(PyExc_ValueError,
+                             "unknown mate reference '%.100s'", fields[6]);
+                goto fail;
+            }
+            mate_ref_id = PyLong_AsLong(v);
+            memo_name[1] = fields[6];
+            memo_len[1] = flens[6];
+            memo_id[1] = mate_ref_id;
+        }
+
+        /* validate tag field structure (TAG:T:...) for parse parity */
+        {
+            const char *tp = p;
+            while (tp < end) {
+                const char *tab = memchr(tp, '\t', end - tp);
+                const char *fend = tab ? tab : end;
+                const char *c1 = memchr(tp, ':', fend - tp);
+                if (!c1 || c1 + 2 > fend || c1[2] != ':') {
+                    PyErr_Format(PyExc_ValueError,
+                                 "malformed tag field: %.50s", tp);
+                    goto fail;
+                }
+                tp = tab ? tab + 1 : end;
+            }
+        }
+
+        /* ---- filters (reader-loop order) ---- */
+        if (flag & flag_skip) {
+            ++c_flags;
+            continue;
+        }
+        if (primary_mask && (flag & primary_mask)) {
+            ++c_flags;
+            continue;
+        }
+        if (ref_id < 0) {
+            ++c_ref_missing;
+            continue;
+        }
+        if (pos < 0) {
+            ++c_flags;
+            continue;
+        }
+        if (flens[9] == 0 || (flens[9] == 1 && fields[9][0] == '*')) {
+            ++c_seq_missing;
+            continue;
+        }
+
+        /* ---- CIGAR parse ---- */
+        int32_t rec_ops = 0;
+        long rec_ref_units = 0;
+        long rec_units = 0;
+        {
+            const char *c = fields[5], *cend = c + flens[5];
+            if (!(flens[5] == 1 && *c == '*')) {
+                while (c < cend) {
+                    long count = 0;
+                    const char *d0 = c;
+                    while (c < cend && *c >= '0' && *c <= '9')
+                        count = count * 10 + (*c++ - '0');
+                    char oc = (c < cend) ? *c : 0;
+                    int8_t code = pv3_op_code_table[(unsigned char)oc];
+                    if (c == d0 || c == cend || (code == 0 && oc != 'M')) {
+                        PyErr_Format(PyExc_ValueError,
+                                     "invalid CIGAR: '%.50s'", fields[5]);
+                        goto fail;
+                    }
+                    ++c;
+                    if (n_ops_total + 1 > cap_ops) {
+                        size_t ncap = cap_ops ? cap_ops * 2 : 1024;
+                        int8_t *no_ = PyMem_Realloc(f_ops, ncap);
+                        int32_t *nc =
+                            PyMem_Realloc(f_counts, ncap * sizeof(int32_t));
+                        if (no_) f_ops = no_;
+                        if (nc) f_counts = nc;
+                        if (!no_ || !nc)
+                            goto oom;
+                        cap_ops = ncap;
+                    }
+                    f_ops[n_ops_total] = code;
+                    f_counts[n_ops_total] = (int32_t)count;
+                    ++n_ops_total;
+                    ++rec_ops;
+                    if (pv3_is_ref_op(code)) {
+                        rec_ref_units += count;
+                        rec_units += count;
+                    } else {
+                        rec_units += 1;
+                    }
+                }
+            }
+        }
+
+        /* ---- record bookkeeping ---- */
+        if (n_rec + 1 > cap_rec) {
+            size_t ncap = cap_rec ? cap_rec * 2 : 1024;
+            int32_t *a = PyMem_Realloc(r_line, ncap * sizeof(int32_t));
+            int32_t *b = PyMem_Realloc(r_i32, ncap * 7 * sizeof(int32_t));
+            int32_t *cc = PyMem_Realloc(r_nops, ncap * sizeof(int32_t));
+            int32_t *d = PyMem_Realloc(r_refunits, ncap * sizeof(int32_t));
+            int32_t *e = PyMem_Realloc(r_spans, ncap * 8 * sizeof(int32_t));
+            int32_t *f = PyMem_Realloc(r_units, ncap * sizeof(int32_t));
+            if (a) r_line = a;
+            if (b) r_i32 = b;
+            if (cc) r_nops = cc;
+            if (d) r_refunits = d;
+            if (e) r_spans = e;
+            if (f) r_units = f;
+            if (!a || !b || !cc || !d || !e || !f)
+                goto oom;
+            cap_rec = ncap;
+        }
+        r_line[n_rec] = (int32_t)rec_no;
+        int32_t *col = r_i32 + n_rec * 7;
+        col[0] = (int32_t)flag;
+        col[1] = (int32_t)ref_id;
+        col[2] = (int32_t)pos;
+        col[3] = (int32_t)mapq;
+        col[4] = (int32_t)mate_ref_id;
+        col[5] = (int32_t)pnext;
+        col[6] = (int32_t)tlen;
+        r_nops[n_rec] = rec_ops;
+        r_refunits[n_rec] = (int32_t)rec_ref_units;
+        r_units[n_rec] = (int32_t)rec_units;
+
+        int32_t *sp = r_spans + n_rec * 8;
+        size_t base = arena.len;
+        if (pv3_sb_put(&arena, line, (size_t)line_len) < 0)
+            goto oom;
+        sp[0] = (int32_t)(base + (fields[0] - line));
+        sp[1] = (int32_t)flens[0];
+        sp[2] = (int32_t)(base + (fields[9] - line));
+        sp[3] = (int32_t)flens[9];
+        sp[4] = (int32_t)(base + (fields[10] - line));
+        sp[5] = (int32_t)flens[10];
+        sp[6] = (int32_t)(base + (p - line));
+        sp[7] = (int32_t)(end - p);
+        ++n_rec;
+    }
+
+    /* ---- pass 2: padded device arrays + unit stream ---- */
+    {
+        int32_t max_ops = 1, max_units = 1, max_q = 1;
+        long total_units = 0;
+        for (size_t i = 0; i < n_rec; ++i) {
+            if (r_nops[i] > max_ops)
+                max_ops = r_nops[i];
+            if (r_refunits[i] > max_units)
+                max_units = r_refunits[i];
+            if (r_spans[i * 8 + 3] > max_q)
+                max_q = r_spans[i * 8 + 3];
+        }
+        int32_t O = next_pow2_i32(max_ops < min_O ? (int32_t)min_O : max_ops);
+        int32_t R = next_pow2_i32(max_units < min_R ? (int32_t)min_R
+                                                    : max_units);
+        if (R < 2)
+            R = 2;
+        int32_t Lq = next_pow2_i32(max_q < min_Lq ? (int32_t)min_Lq : max_q);
+        if (Lq < 2)
+            Lq = 2;
+
+        PyObject *ops2d = PyBytes_FromStringAndSize(NULL, n_rec * O);
+        PyObject *counts2d =
+            PyBytes_FromStringAndSize(NULL, n_rec * O * sizeof(int32_t));
+        PyObject *query2d = PyBytes_FromStringAndSize(NULL, n_rec * Lq);
+        if (!ops2d || !counts2d || !query2d) {
+            Py_XDECREF(ops2d);
+            Py_XDECREF(counts2d);
+            Py_XDECREF(query2d);
+            goto fail;
+        }
+        int8_t *po = (int8_t *)PyBytes_AS_STRING(ops2d);
+        int32_t *pc = (int32_t *)PyBytes_AS_STRING(counts2d);
+        unsigned char *pq = (unsigned char *)PyBytes_AS_STRING(query2d);
+        memset(po, CODE_NONE, n_rec * O);
+        memset(pc, 0, n_rec * O * sizeof(int32_t));
+        memset(pq, 0, n_rec * Lq);
+
+        /* flat op cursor rebuilt sequentially */
+        {
+            size_t cur = 0;
+            for (size_t i = 0; i < n_rec; ++i) {
+                int32_t no = r_nops[i];
+                for (int32_t k = 0; k < no; ++k) {
+                    po[i * O + k] = f_ops[cur + k];
+                    pc[i * O + k] = f_counts[cur + k];
+                    if (pv3_is_ref_op(f_ops[cur + k]))
+                        total_units += f_counts[cur + k];
+                    else
+                        total_units += 1;
+                }
+                cur += no;
+                const unsigned char *s =
+                    (const unsigned char *)arena.buf + r_spans[i * 8 + 2];
+                int32_t sl = r_spans[i * 8 + 3];
+                for (int32_t k = 0; k < sl; ++k)
+                    pq[i * Lq + k] = dna5_table[s[k]];
+            }
+        }
+
+        PyObject *unit_op_b =
+            PyBytes_FromStringAndSize(NULL, total_units);
+        PyObject *unit_count_b =
+            PyBytes_FromStringAndSize(NULL, total_units * sizeof(int32_t));
+        PyObject *unit_rec_b =
+            PyBytes_FromStringAndSize(NULL, total_units * sizeof(int32_t));
+        if (!unit_op_b || !unit_count_b || !unit_rec_b) {
+            Py_XDECREF(ops2d);
+            Py_XDECREF(counts2d);
+            Py_XDECREF(query2d);
+            Py_XDECREF(unit_op_b);
+            Py_XDECREF(unit_count_b);
+            Py_XDECREF(unit_rec_b);
+            goto fail;
+        }
+        int8_t *uo = (int8_t *)PyBytes_AS_STRING(unit_op_b);
+        int32_t *uc = (int32_t *)PyBytes_AS_STRING(unit_count_b);
+        int32_t *ur = (int32_t *)PyBytes_AS_STRING(unit_rec_b);
+        {
+            size_t cur = 0, u = 0;
+            for (size_t i = 0; i < n_rec; ++i) {
+                int32_t no = r_nops[i];
+                for (int32_t k = 0; k < no; ++k) {
+                    int8_t op = f_ops[cur + k];
+                    int32_t cnt = f_counts[cur + k];
+                    if (pv3_is_ref_op(op)) {
+                        for (int32_t j = 0; j < cnt; ++j) {
+                            uo[u] = op;
+                            uc[u] = 1;
+                            ur[u] = (int32_t)i;
+                            ++u;
+                        }
+                    } else {
+                        uo[u] = op;
+                        uc[u] = cnt;
+                        ur[u] = (int32_t)i;
+                        ++u;
+                    }
+                }
+                cur += no;
+            }
+        }
+
+        PyObject *res = Py_BuildValue(
+            "{s:l s:n s:l s:l s:l"
+            " s:y# s:y# s:y# s:y# s:y#"
+            " s:N s:N s:N"
+            " s:N s:N s:N"
+            " s:i s:i s:i"
+            " s:y# s:y#}",
+            "n_records", n_records,
+            "kept", (Py_ssize_t)n_rec,
+            "flags_not_matched", c_flags,
+            "ref_id_missing", c_ref_missing,
+            "seq_missing", c_seq_missing,
+            "line_index", (char *)r_line,
+            (Py_ssize_t)(n_rec * sizeof(int32_t)),
+            "fields", (char *)r_i32,
+            (Py_ssize_t)(n_rec * 7 * sizeof(int32_t)),
+            "n_ops", (char *)r_nops,
+            (Py_ssize_t)(n_rec * sizeof(int32_t)),
+            "n_ref_units", (char *)r_refunits,
+            (Py_ssize_t)(n_rec * sizeof(int32_t)),
+            "n_units", (char *)r_units,
+            (Py_ssize_t)(n_rec * sizeof(int32_t)),
+            "ops", ops2d,
+            "counts", counts2d,
+            "query", query2d,
+            "unit_op", unit_op_b,
+            "unit_count", unit_count_b,
+            "unit_rec", unit_rec_b,
+            "O", (int)O, "R", (int)R, "Lq", (int)Lq,
+            "arena", arena.buf ? arena.buf : "", (Py_ssize_t)arena.len,
+            "spans", (char *)r_spans,
+            (Py_ssize_t)(n_rec * 8 * sizeof(int32_t)));
+
+        PyMem_Free(r_line);
+        PyMem_Free(r_i32);
+        PyMem_Free(r_nops);
+        PyMem_Free(r_refunits);
+        PyMem_Free(r_units);
+        PyMem_Free(r_spans);
+        PyMem_Free(f_ops);
+        PyMem_Free(f_counts);
+        free(arena.buf);
+        return res;
+    }
+
+oom:
+    PyErr_NoMemory();
+fail:
+    PyMem_Free(r_line);
+    PyMem_Free(r_i32);
+    PyMem_Free(r_nops);
+    PyMem_Free(r_refunits);
+    PyMem_Free(r_units);
+    PyMem_Free(r_spans);
+    PyMem_Free(f_ops);
+    PyMem_Free(f_counts);
+    free(arena.buf);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* scan_keep_mask(lines, flag_skip, primary_mask) -> bytes
+ *
+ * Cheap pre-scan of the reader-loop filters so the batcher can form
+ * batches of exactly batch_size KEPT records (the 4-record task groups of
+ * the record-index tag are formed over kept records,
+ * project_alignments.cc:596-615).  Returns one byte per line: 1 kept,
+ * 0 skipped (whitespace-only lines count as skipped).  Malformed or
+ * unknown-reference lines pass the scan — parse_stage_batch raises on
+ * them exactly like the object path's parser.                           */
+PyObject *pv3_scan_keep_mask(PyObject *self, PyObject *args)
+{
+    PyObject *lines;
+    long flag_skip, primary_mask;
+    if (!PyArg_ParseTuple(args, "O!ll", &PyList_Type, &lines,
+                          &flag_skip, &primary_mask))
+        return NULL;
+
+    Py_ssize_t n_lines = PyList_GET_SIZE(lines);
+    PyObject *mask_obj = PyBytes_FromStringAndSize(NULL, n_lines);
+    if (!mask_obj)
+        return NULL;
+    char *mask = PyBytes_AS_STRING(mask_obj);
+
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        mask[li] = 0;
+        PyObject *item = PyList_GET_ITEM(lines, li);
+        char *line;
+        Py_ssize_t line_len;
+        if (PyBytes_AsStringAndSize(item, &line, &line_len) < 0) {
+            Py_DECREF(mask_obj);
+            return NULL;
+        }
+        while (line_len > 0 &&
+               (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
+            --line_len;
+
+        const char *fields[10];
+        Py_ssize_t flens[10];
+        int n_fields = 0;
+        const char *p = line, *end = line + line_len;
+        while (n_fields < 10) {
+            const char *tab = memchr(p, '\t', end - p);
+            fields[n_fields] = p;
+            flens[n_fields] = (tab ? tab : end) - p;
+            ++n_fields;
+            if (!tab)
+                break;
+            p = tab + 1;
+        }
+        if (n_fields < 10)
+            continue; /* blank/truncated: parse_stage_batch handles */
+
+        long flag, pos;
+        if (fp_parse_long(fields[1], fields[1] + flens[1], &flag) != 0 ||
+            fp_parse_long(fields[3], fields[3] + flens[3], &pos) != 0)
+            continue;
+        if (flag & flag_skip)
+            continue;
+        if (primary_mask && (flag & primary_mask))
+            continue;
+        if (flens[2] == 1 && fields[2][0] == '*')
+            continue;
+        if (pos - 1 < 0)
+            continue;
+        if (flens[9] == 0 || (flens[9] == 1 && fields[9][0] == '*'))
+            continue;
+        mask[li] = 1;
+    }
+    return mask_obj;
+}
+
+/* ------------------------------------------------------------------ */
+/* stage_realign_runs(indel_flat i32[n*9], rec_dst_ref i32[kept],
+ *                    ref_list (list, index = dst ref id -> bytes),
+ *                    query u8[kept*Lq], Lq, min_R, min_Q, min_S)
+ *   -> (ref u8[S*Rp], query u8[S*Qp], rl i32[S], ql i32[S], Rp, Qp, S)
+ *
+ * Builds the padded realignment-DP inputs (the staging loop of
+ * ops/engine._dispatch_realign) with the reference slice dna5-normalised
+ * (alignment_projector.cc:97-137 converts through the alphabet).  The row
+ * count S is padded to a power-of-two bucket (>= min_S) with zero-length
+ * rows so the realign kernel compiles a bounded set of shapes.          */
+PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
+{
+    Py_buffer indel_b, dstref_b, query_b;
+    PyObject *ref_list;
+    long lq, min_R, min_Q, min_S;
+    if (!PyArg_ParseTuple(args, "y*y*O!y*llll",
+                          &indel_b, &dstref_b, &PyList_Type, &ref_list,
+                          &query_b, &lq, &min_R, &min_Q, &min_S))
+        return NULL;
+    dna5_init();
+
+    const int32_t *indel = indel_b.buf;
+    const int32_t *dstref = dstref_b.buf;
+    const unsigned char *query = query_b.buf;
+    Py_ssize_t n = indel_b.len / (9 * sizeof(int32_t));
+
+    int32_t max_r = 1, max_q = 1;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        if (indel[i * 9 + 2] > max_r)
+            max_r = indel[i * 9 + 2];
+        if (indel[i * 9 + 4] > max_q)
+            max_q = indel[i * 9 + 4];
+    }
+    int32_t Rp = next_pow2_i32(max_r < min_R ? (int32_t)min_R : max_r);
+    int32_t Qp = next_pow2_i32(max_q < min_Q ? (int32_t)min_Q : max_q);
+    Py_ssize_t S = next_pow2_i32((int32_t)(n < min_S ? min_S : n));
+
+    PyObject *ref_out = PyBytes_FromStringAndSize(NULL, S * Rp);
+    PyObject *q_out = PyBytes_FromStringAndSize(NULL, S * Qp);
+    PyObject *rl_out = PyBytes_FromStringAndSize(NULL, S * sizeof(int32_t));
+    PyObject *ql_out = PyBytes_FromStringAndSize(NULL, S * sizeof(int32_t));
+    if (!ref_out || !q_out || !rl_out || !ql_out)
+        goto fail;
+    unsigned char *pr = (unsigned char *)PyBytes_AS_STRING(ref_out);
+    unsigned char *pq = (unsigned char *)PyBytes_AS_STRING(q_out);
+    int32_t *prl = (int32_t *)PyBytes_AS_STRING(rl_out);
+    int32_t *pql = (int32_t *)PyBytes_AS_STRING(ql_out);
+    memset(pr, 0, S * Rp);
+    memset(pq, 0, S * Qp);
+    memset(prl, 0, S * sizeof(int32_t));
+    memset(pql, 0, S * sizeof(int32_t));
+
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        const int32_t *row = indel + i * 9;
+        int32_t rec = row[0];
+        int32_t r0 = row[1], rl = row[2], q0 = row[3], qlen = row[4];
+        PyObject *ref_obj = PyList_GET_ITEM(ref_list, dstref[rec]);
+        char *refc;
+        Py_ssize_t reflen;
+        if (PyBytes_AsStringAndSize(ref_obj, &refc, &reflen) < 0)
+            goto fail;
+        if (r0 < 0 || (Py_ssize_t)r0 + rl > reflen || rl > Rp ||
+            qlen > Qp || (long)q0 + qlen > lq) {
+            PyErr_Format(PyExc_ValueError,
+                         "realign run out of bounds (rec %d)", rec);
+            goto fail;
+        }
+        const unsigned char *rs = (const unsigned char *)refc + r0;
+        for (int32_t k = 0; k < rl; ++k)
+            pr[i * Rp + k] = dna5_table[rs[k]];
+        memcpy(pq + i * Qp, query + (size_t)rec * lq + q0, qlen);
+        prl[i] = rl;
+        pql[i] = qlen;
+    }
+
+    {
+        PyObject *res = Py_BuildValue("(NNNNiin)", ref_out, q_out, rl_out,
+                                      ql_out, (int)Rp, (int)Qp, S);
+        PyBuffer_Release(&indel_b);
+        PyBuffer_Release(&dstref_b);
+        PyBuffer_Release(&query_b);
+        return res;
+    }
+
+fail:
+    Py_XDECREF(ref_out);
+    Py_XDECREF(q_out);
+    Py_XDECREF(rl_out);
+    Py_XDECREF(ql_out);
+    PyBuffer_Release(&indel_b);
+    PyBuffer_Release(&dstref_b);
+    PyBuffer_Release(&query_b);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* splice + tag surgery + format (see file header) */
+
+typedef struct {
+    const char *key;
+    int klen;
+    char typ;
+    const char *val;  /* pass-through value span (NULL for synth) */
+    int vlen;
+    int synth;        /* 0 pass-through; 1 OA, 2 XB, 3 YB, 4 XI,
+                         5 XR, 6 XP, 7 YR, 8 YP */
+} tagitem;
+
+static int tag_key_cmp(const void *a, const void *b)
+{
+    const tagitem *x = a, *y = b;
+    int n = x->klen < y->klen ? x->klen : y->klen;
+    int c = memcmp(x->key, y->key, n);
+    if (c)
+        return c;
+    return x->klen - y->klen;
+}
+
+static int preserved_has(const char *preserved, Py_ssize_t np,
+                         const char *key, int klen)
+{
+    if (klen != 2)
+        return 0;
+    Py_ssize_t lo = 0, hi = np; /* np = number of 2-char entries */
+    while (lo < hi) {
+        Py_ssize_t mid = (lo + hi) / 2;
+        int c = memcmp(preserved + mid * 2, key, 2);
+        if (c < 0)
+            lo = mid + 1;
+        else if (c > 0)
+            hi = mid;
+        else
+            return 1;
+    }
+    return 0;
+}
+
+/* emit pending CIGAR run, merging with previous (collapse_cigar
+ * semantics: adjacent same-op merge, zero counts dropped) */
+typedef struct {
+    long count;
+    int8_t op;
+    int any;   /* a run is pending */
+    int ever;  /* at least one op emitted or pending (else CIGAR is '*') */
+    pv3_strbuf *sb;
+} cig_emit;
+
+static int cig_push(cig_emit *ce, int8_t op, long count)
+{
+    if (count == 0)
+        return 0;
+    ce->ever = 1;
+    if (ce->any && ce->op == op) {
+        ce->count += count;
+        return 0;
+    }
+    if (ce->any) {
+        if (pv3_sb_put_long(ce->sb, ce->count) < 0 ||
+            pv3_sb_putc(ce->sb, pv3_op_char_table[ce->op]) < 0)
+            return -1;
+    }
+    ce->op = op;
+    ce->count = count;
+    ce->any = 1;
+    return 0;
+}
+
+static int cig_flush(cig_emit *ce)
+{
+    if (ce->any) {
+        if (pv3_sb_put_long(ce->sb, ce->count) < 0 ||
+            pv3_sb_putc(ce->sb, pv3_op_char_table[ce->op]) < 0)
+            return -1;
+        ce->any = 0;
+    }
+    return 0;
+}
+
+/* canonicalize an integer token: parse + reprint */
+static int sb_put_canon_int(pv3_strbuf *sb, const char *s, const char *end)
+{
+    long v;
+    if (fp_parse_long(s, end, &v) != 0) {
+        PyErr_Format(PyExc_ValueError, "malformed integer tag value: %.50s",
+                     s);
+        return -1;
+    }
+    return pv3_sb_put_long(sb, v);
+}
+
+static int sb_put_canon_float(pv3_strbuf *sb, const char *s, const char *end,
+                              PyObject *float_fmt)
+{
+    char *stop;
+    errno = 0;
+    double v = strtod(s, &stop);
+    if (stop != end || s == end || errno != 0) {
+        PyErr_Format(PyExc_ValueError, "malformed float tag value: %.50s", s);
+        return -1;
+    }
+    PyObject *f = PyFloat_FromDouble(v);
+    if (!f)
+        return -1;
+    PyObject *out = PyObject_CallFunctionObjArgs(float_fmt, f, NULL);
+    Py_DECREF(f);
+    if (!out)
+        return -1;
+    Py_ssize_t sl;
+    const char *sc = PyUnicode_AsUTF8AndSize(out, &sl);
+    int rc = sc ? pv3_sb_put(sb, sc, (size_t)sl) : -1;
+    Py_DECREF(out);
+    return rc;
+}
+
+static int sb_put_str_obj(pv3_strbuf *sb, PyObject *s)
+{
+    Py_ssize_t n;
+    const char *p = PyUnicode_AsUTF8AndSize(s, &n);
+    if (!p)
+        return -1;
+    return pv3_sb_put(sb, p, (size_t)n);
+}
+
+PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
+{
+    Py_buffer arena_b, spans_b, line_b, fields_b, nops_b;
+    Py_buffer ops_b, counts_b, dstpos_b;
+    Py_buffer runops_b, runlens_b, rpr_b, indel_b;
+    Py_buffer rops_b, rcnt_b, matedst_b, refmap_b;
+    PyObject *out_names, *in_names, *tag_names, *float_fmt;
+    Py_buffer preserved_b;
+    long O, steps, rec_global_base, task_id_base;
+    int want_ranges;
+    if (!PyArg_ParseTuple(
+            args, "y*y*y*y*y*y*y*ly*y*y*y*y*y*y*ly*y*O!O!y*OlliO",
+            &arena_b, &spans_b, &line_b, &fields_b, &nops_b,
+            &ops_b, &counts_b, &O,
+            &dstpos_b, &runops_b, &runlens_b, &rpr_b, &indel_b,
+            &rops_b, &rcnt_b, &steps, &matedst_b, &refmap_b,
+            &PyList_Type, &out_names, &PyList_Type, &in_names,
+            &preserved_b, &tag_names, &rec_global_base, &task_id_base,
+            &want_ranges, &float_fmt))
+        return NULL;
+
+    const char *arena = arena_b.buf;
+    const int32_t *spans = spans_b.buf;
+    const int32_t *line_index = line_b.buf;
+    const int32_t *fields = fields_b.buf;
+    const int32_t *n_ops_arr = nops_b.buf;
+    const int8_t *ops2d = ops_b.buf;
+    const int32_t *counts2d = counts_b.buf;
+    const int32_t *dst_pos = dstpos_b.buf;
+    const int8_t *run_ops = runops_b.buf;
+    const int32_t *run_lens = runlens_b.buf;
+    const int32_t *runs_per_rec = rpr_b.buf;
+    const int32_t *indel = indel_b.buf;
+    const int8_t *realn_ops = rops_b.buf;
+    const int32_t *realn_counts = rcnt_b.buf;
+    const int32_t *mate_dst = matedst_b.buf;
+    const int32_t *ref_id_mapping = refmap_b.buf;
+    const char *preserved = preserved_b.buf;
+    Py_ssize_t n_preserved = preserved_b.len / 2;
+
+    Py_ssize_t kept = line_b.len / sizeof(int32_t);
+    Py_ssize_t nruns = indel_b.len / (9 * sizeof(int32_t));
+
+    pv3_strbuf sb = {NULL, 0, 0};
+    PyObject *removed = NULL;
+    PyObject *ranges = NULL;
+    tagitem *items = NULL;
+
+    /* tag-name config: 7-tuple (xr, xp, yr, yp, xb, yb, xi) of str|None */
+    const char *tn[7] = {0};
+    int tnl[7] = {0};
+    if (!PyTuple_Check(tag_names) || PyTuple_GET_SIZE(tag_names) != 7) {
+        PyErr_SetString(PyExc_ValueError, "tag_names must be a 7-tuple");
+        goto cleanup_null;
+    }
+    for (int i = 0; i < 7; ++i) {
+        PyObject *o = PyTuple_GET_ITEM(tag_names, i);
+        if (o == Py_None)
+            continue;
+        Py_ssize_t l;
+        tn[i] = PyUnicode_AsUTF8AndSize(o, &l);
+        if (!tn[i])
+            goto cleanup_null;
+        tnl[i] = (int)l;
+    }
+    /* index into tn[]: 0=XR 1=XP 2=YR 3=YP 4=XB 5=YB 6=XI */
+
+    removed = PyDict_New();
+    ranges = want_ranges ? PyList_New(0) : NULL;
+    if (!removed || (want_ranges && !ranges))
+        goto fail;
+
+    long run_base = 0;     /* cursor into run_ops/run_lens */
+    Py_ssize_t icur = 0;   /* cursor into indel rows */
+    long g_realn = 0, g_len = 0, g_cells = 0;
+    long tasks_used = 0;
+
+    /* scratch tag items */
+    size_t items_cap = 64;
+    items = PyMem_Malloc(items_cap * sizeof(tagitem));
+    if (!items)
+        goto oom;
+
+    for (Py_ssize_t k = 0; k < kept; ++k) {
+        const int32_t *col = fields + k * 7;
+        long flag = col[0], ref_id = col[1], src_pos = col[2],
+             mapq = col[3], mate_ref = col[4], mate_pos = col[5],
+             tlen = col[6];
+        long dst_ref = ref_id_mapping[ref_id];
+        const int32_t *sp = spans + k * 8;
+
+        /* chunk (CHUNK_SIZE=4) bookkeeping: record-index tag value and
+           task id (project_alignments.cc:602-605, 863-869) */
+        Py_ssize_t group = k / 4;
+        Py_ssize_t glast = (group + 1) * 4 - 1;
+        if (glast >= kept)
+            glast = kept - 1;
+        Py_ssize_t gsize = glast - group * 4 + 1;
+        long rec_idx_value =
+            rec_global_base + line_index[glast] - (long)gsize + 1;
+        long task_id = task_id_base + (long)group + 1;
+        if (task_id - task_id_base > tasks_used)
+            tasks_used = task_id - task_id_base;
+
+        /* this record's indel rows */
+        Py_ssize_t ir0 = icur;
+        while (icur < nruns && indel[icur * 9] == k)
+            ++icur;
+        Py_ssize_t n_rr = icur - ir0;
+
+        /* ---- QNAME..MAPQ ---- */
+        if (pv3_sb_put(&sb, arena + sp[0], sp[1]) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, flag) < 0 || pv3_sb_putc(&sb, '\t') < 0)
+            goto fail;
+        {
+            PyObject *nm = PyList_GET_ITEM(out_names, dst_ref);
+            if (sb_put_str_obj(&sb, nm) < 0 || pv3_sb_putc(&sb, '\t') < 0)
+                goto fail;
+        }
+        if (pv3_sb_put_long(&sb, dst_pos[k] + 1) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, mapq) < 0 || pv3_sb_putc(&sb, '\t') < 0)
+            goto fail;
+
+        /* ---- CIGAR splice (ops/engine._splice + collapse_cigar) ---- */
+        {
+            long nr = runs_per_rec[k];
+            cig_emit ce = {0, 0, 0, 0, &sb};
+            if (n_rr == 0) {
+                for (long r = 0; r < nr; ++r)
+                    if (cig_push(&ce, run_ops[run_base + r],
+                                 run_lens[run_base + r]) < 0)
+                        goto fail;
+            } else {
+                long copy_from = 0;
+                for (Py_ssize_t t = ir0; t < icur; ++t) {
+                    const int32_t *row = indel + t * 9;
+                    long cs = row[5], cend = row[6];
+                    for (long r = copy_from; r < cs; ++r)
+                        if (cig_push(&ce, run_ops[run_base + r],
+                                     run_lens[run_base + r]) < 0)
+                            goto fail;
+                    copy_from = cend;
+                    /* realigned ops: reversed RLE of the traceback row */
+                    {
+                        long cnt = realn_counts[t];
+                        const int8_t *ro = realn_ops + (size_t)t * steps;
+                        for (long j = cnt - 1; j >= 0; --j)
+                            if (cig_push(&ce, ro[j], 1) < 0)
+                                goto fail;
+                    }
+                    g_realn += 1;
+                    {
+                        long rl = row[2], ql = row[4];
+                        g_len += rl > ql ? rl : ql;
+                        g_cells += rl * ql;
+                    }
+                    if (want_ranges) {
+                        PyObject *q = PyUnicode_DecodeUTF8(
+                            arena + sp[0], sp[1], "strict");
+                        PyObject *tup = q ? Py_BuildValue(
+                            "(llNl)", (long)row[7], (long)row[2], q,
+                            task_id) : NULL;
+                        if (!tup || PyList_Append(ranges, tup) < 0) {
+                            Py_XDECREF(tup);
+                            goto fail;
+                        }
+                        Py_DECREF(tup);
+                    }
+                }
+                for (long r = copy_from; r < nr; ++r)
+                    if (cig_push(&ce, run_ops[run_base + r],
+                                 run_lens[run_base + r]) < 0)
+                        goto fail;
+            }
+            if (cig_flush(&ce) < 0)
+                goto fail;
+            if (!ce.ever && pv3_sb_putc(&sb, '*') < 0)
+                goto fail;
+            run_base += nr;
+        }
+
+        /* ---- RNEXT / PNEXT / TLEN / SEQ / QUAL ---- */
+        long out_mate_pos;
+        long dst_mate = -1;
+        if (mate_ref >= 0) {
+            dst_mate = ref_id_mapping[mate_ref];
+            out_mate_pos = (mate_pos >= 0) ? mate_dst[k] : mate_pos;
+        } else {
+            out_mate_pos = -1;
+        }
+        if (pv3_sb_putc(&sb, '\t') < 0)
+            goto fail;
+        if (mate_ref < 0) {
+            if (pv3_sb_putc(&sb, '*') < 0)
+                goto fail;
+        } else if (dst_mate == dst_ref) {
+            if (pv3_sb_putc(&sb, '=') < 0)
+                goto fail;
+        } else {
+            PyObject *nm = PyList_GET_ITEM(out_names, dst_mate);
+            if (sb_put_str_obj(&sb, nm) < 0)
+                goto fail;
+        }
+        if (pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, out_mate_pos + 1) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 || pv3_sb_put_long(&sb, tlen) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put(&sb, arena + sp[2], sp[3]) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put(&sb, arena + sp[4], sp[5]) < 0)
+            goto fail;
+
+        /* ---- tag surgery ---- */
+        size_t n_items = 0;
+        const char *nm_val = NULL;
+        int nm_vlen = 0;
+        const char *oa_prev = NULL;
+        int oa_prev_len = 0;
+        {
+            const char *tp = arena + sp[6];
+            const char *tend = tp + sp[7];
+            while (tp < tend) {
+                const char *tab = memchr(tp, '\t', tend - tp);
+                const char *fend = tab ? tab : tend;
+                const char *c1 = memchr(tp, ':', fend - tp);
+                /* structure validated at parse time */
+                tagitem it;
+                it.key = tp;
+                it.klen = (int)(c1 - tp);
+                it.typ = c1[1];
+                it.val = c1 + 3;
+                it.vlen = (int)(fend - (c1 + 3));
+                it.synth = 0;
+                /* dict semantics: later duplicate key wins */
+                int replaced = 0;
+                for (size_t q = 0; q < n_items; ++q) {
+                    if (items[q].klen == it.klen &&
+                        memcmp(items[q].key, it.key, it.klen) == 0) {
+                        items[q] = it;
+                        replaced = 1;
+                        break;
+                    }
+                }
+                if (!replaced) {
+                    if (n_items + 1 > items_cap) {
+                        items_cap *= 2;
+                        tagitem *ni = PyMem_Realloc(
+                            items, items_cap * sizeof(tagitem));
+                        if (!ni)
+                            goto oom;
+                        items = ni;
+                    }
+                    items[n_items++] = it;
+                }
+                tp = tab ? tab + 1 : tend;
+            }
+        }
+        /* NM value (read before deletion, apply_projection_result) */
+        for (size_t q = 0; q < n_items; ++q)
+            if (items[q].klen == 2 && items[q].key[0] == 'N' &&
+                items[q].key[1] == 'M' && items[q].typ == 'i') {
+                nm_val = items[q].val;
+                nm_vlen = items[q].vlen;
+                break;
+            }
+        /* remove non-preserved (count) and capture existing OA */
+        {
+            size_t w = 0;
+            for (size_t q = 0; q < n_items; ++q) {
+                if (preserved_has(preserved, n_preserved, items[q].key,
+                                  items[q].klen)) {
+                    if (items[q].klen == 2 && items[q].key[0] == 'O' &&
+                        items[q].key[1] == 'A') {
+                        oa_prev = items[q].val;
+                        oa_prev_len = items[q].vlen;
+                        continue; /* replaced by synthesized OA */
+                    }
+                    items[w++] = items[q];
+                } else {
+                    PyObject *key = PyUnicode_DecodeUTF8(
+                        items[q].key, items[q].klen, "strict");
+                    if (!key)
+                        goto fail;
+                    PyObject *cur = PyDict_GetItem(removed, key);
+                    long c = cur ? PyLong_AsLong(cur) : 0;
+                    PyObject *nv = PyLong_FromLong(c + 1);
+                    int rc = nv ? PyDict_SetItem(removed, key, nv) : -1;
+                    Py_XDECREF(nv);
+                    Py_DECREF(key);
+                    if (rc < 0)
+                        goto fail;
+                }
+            }
+            n_items = w;
+        }
+        /* synthesized tags, in apply_projection_result order */
+        {
+            struct {
+                const char *key;
+                int klen;
+                int kind;
+                int cond;
+            } synth[8] = {
+                {"OA", 2, 1, 1},
+                {tn[4], tnl[4], 2, tn[4] && n_rr > 0},          /* XB */
+                {tn[5], tnl[5], 3, tn[5] && n_rr > 0},          /* YB */
+                {tn[6], tnl[6], 4,
+                 tn[6] && rec_idx_value <= 0x7FFFFFFFL},        /* XI */
+                {tn[0], tnl[0], 5, tn[0] != NULL},              /* XR */
+                {tn[1], tnl[1], 6, tn[1] != NULL},              /* XP */
+                {tn[2], tnl[2], 7, tn[2] && mate_ref >= 0},     /* YR */
+                {tn[3], tnl[3], 8,
+                 tn[3] && mate_ref >= 0 && mate_pos >= 0},      /* YP */
+            };
+            for (int s = 0; s < 8; ++s) {
+                if (!synth[s].cond)
+                    continue;
+                tagitem it;
+                it.key = synth[s].key;
+                it.klen = synth[s].klen;
+                it.typ = 0;
+                it.val = NULL;
+                it.vlen = 0;
+                it.synth = synth[s].kind;
+                int replaced = 0;
+                for (size_t q = 0; q < n_items; ++q)
+                    if (items[q].klen == it.klen &&
+                        memcmp(items[q].key, it.key, it.klen) == 0) {
+                        items[q] = it;
+                        replaced = 1;
+                        break;
+                    }
+                if (!replaced) {
+                    if (n_items + 1 > items_cap) {
+                        items_cap *= 2;
+                        tagitem *ni = PyMem_Realloc(
+                            items, items_cap * sizeof(tagitem));
+                        if (!ni)
+                            goto oom;
+                        items = ni;
+                    }
+                    items[n_items++] = it;
+                }
+            }
+        }
+        qsort(items, n_items, sizeof(tagitem), tag_key_cmp);
+
+        for (size_t q = 0; q < n_items; ++q) {
+            tagitem *it = &items[q];
+            if (pv3_sb_putc(&sb, '\t') < 0 ||
+                pv3_sb_put(&sb, it->key, it->klen) < 0 ||
+                pv3_sb_putc(&sb, ':') < 0)
+                goto fail;
+            if (it->synth == 0) {
+                if (pv3_sb_putc(&sb, it->typ) < 0 ||
+                    pv3_sb_putc(&sb, ':') < 0)
+                    goto fail;
+                const char *v = it->val, *vend = it->val + it->vlen;
+                switch (it->typ) {
+                case 'i':
+                    if (sb_put_canon_int(&sb, v, vend) < 0)
+                        goto fail;
+                    break;
+                case 'f':
+                    if (sb_put_canon_float(&sb, v, vend, float_fmt) < 0)
+                        goto fail;
+                    break;
+                case 'A':
+                case 'Z':
+                case 'H':
+                    if (pv3_sb_put(&sb, v, it->vlen) < 0)
+                        goto fail;
+                    break;
+                case 'B': {
+                    if (v >= vend) {
+                        PyErr_SetString(PyExc_ValueError,
+                                        "empty B tag value");
+                        goto fail;
+                    }
+                    char sub = *v++;
+                    int is_f = (sub == 'f' || sub == 'F');
+                    if (pv3_sb_putc(&sb, sub) < 0)
+                        goto fail;
+                    while (v < vend) {
+                        const char *comma = memchr(v, ',', vend - v);
+                        const char *iend = comma ? comma : vend;
+                        if (iend > v) {
+                            if (pv3_sb_putc(&sb, ',') < 0)
+                                goto fail;
+                            if (is_f) {
+                                if (sb_put_canon_float(&sb, v, iend,
+                                                       float_fmt) < 0)
+                                    goto fail;
+                            } else if (sb_put_canon_int(&sb, v, iend) < 0)
+                                goto fail;
+                        }
+                        v = comma ? comma + 1 : vend;
+                    }
+                    break;
+                }
+                default:
+                    PyErr_Format(PyExc_ValueError,
+                                 "unknown tag type '%c'", it->typ);
+                    goto fail;
+                }
+                continue;
+            }
+            switch (it->synth) {
+            case 1: { /* OA:Z: prev + RNAME,pos,strand,CIGAR,MAPQ,NM; */
+                if (pv3_sb_put(&sb, "Z:", 2) < 0)
+                    goto fail;
+                if (oa_prev_len &&
+                    pv3_sb_put(&sb, oa_prev, oa_prev_len) < 0)
+                    goto fail;
+                PyObject *nm = PyList_GET_ITEM(in_names, ref_id);
+                if (sb_put_str_obj(&sb, nm) < 0 ||
+                    pv3_sb_putc(&sb, ',') < 0 ||
+                    pv3_sb_put_long(&sb, src_pos) < 0 ||
+                    pv3_sb_putc(&sb, ',') < 0 ||
+                    pv3_sb_putc(&sb, (flag & 0x10) ? '-' : '+') < 0 ||
+                    pv3_sb_putc(&sb, ',') < 0)
+                    goto fail;
+                {
+                    const int8_t *po = ops2d + k * O;
+                    const int32_t *pc = counts2d + k * O;
+                    long no = n_ops_arr[k];
+                    for (long j = 0; j < no; ++j) {
+                        if (pv3_sb_put_long(&sb, pc[j]) < 0 ||
+                            pv3_sb_putc(&sb,
+                                        pv3_op_char_table[po[j]]) < 0)
+                            goto fail;
+                    }
+                }
+                if (pv3_sb_putc(&sb, ',') < 0 ||
+                    pv3_sb_put_long(&sb, mapq) < 0 ||
+                    pv3_sb_putc(&sb, ',') < 0)
+                    goto fail;
+                if (nm_val && sb_put_canon_int(&sb, nm_val,
+                                               nm_val + nm_vlen) < 0)
+                    goto fail;
+                if (pv3_sb_putc(&sb, ';') < 0)
+                    goto fail;
+                break;
+            }
+            case 2:   /* XB: B:I query ranges (q0, q0+ql) */
+            case 3: { /* YB: B:I ref ranges (checker_ref, +rl) */
+                if (pv3_sb_put(&sb, "B:I", 3) < 0)
+                    goto fail;
+                for (Py_ssize_t t = ir0; t < icur; ++t) {
+                    const int32_t *row = indel + t * 9;
+                    long a, b;
+                    if (it->synth == 2) {
+                        a = row[3];
+                        b = row[3] + row[4];
+                    } else {
+                        a = row[7];
+                        b = row[7] + row[2];
+                    }
+                    if (pv3_sb_putc(&sb, ',') < 0 ||
+                        pv3_sb_put_long(&sb, a) < 0 ||
+                        pv3_sb_putc(&sb, ',') < 0 ||
+                        pv3_sb_put_long(&sb, b) < 0)
+                        goto fail;
+                }
+                break;
+            }
+            case 4: /* XI */
+                if (pv3_sb_put(&sb, "i:", 2) < 0 ||
+                    pv3_sb_put_long(&sb, rec_idx_value) < 0)
+                    goto fail;
+                break;
+            case 5: /* XR: original ref id */
+                if (pv3_sb_put(&sb, "i:", 2) < 0 ||
+                    pv3_sb_put_long(&sb, ref_id) < 0)
+                    goto fail;
+                break;
+            case 6: /* XP: original pos */
+                if (pv3_sb_put(&sb, "i:", 2) < 0 ||
+                    pv3_sb_put_long(&sb, src_pos) < 0)
+                    goto fail;
+                break;
+            case 7: /* YR: original mate ref id */
+                if (pv3_sb_put(&sb, "i:", 2) < 0 ||
+                    pv3_sb_put_long(&sb, mate_ref) < 0)
+                    goto fail;
+                break;
+            case 8: /* YP: original mate pos */
+                if (pv3_sb_put(&sb, "i:", 2) < 0 ||
+                    pv3_sb_put_long(&sb, mate_pos) < 0)
+                    goto fail;
+                break;
+            }
+        }
+        if (pv3_sb_putc(&sb, '\n') < 0)
+            goto fail;
+    }
+
+    {
+        PyObject *blob = PyBytes_FromStringAndSize(sb.buf, sb.len);
+        if (!blob)
+            goto fail;
+        PyObject *res = Py_BuildValue(
+            "(N N (lll) N l)", blob, removed, g_realn, g_len, g_cells,
+            ranges ? ranges : Py_NewRef(Py_None), tasks_used);
+        PyMem_Free(items);
+        free(sb.buf);
+        PyBuffer_Release(&arena_b);
+        PyBuffer_Release(&spans_b);
+        PyBuffer_Release(&line_b);
+        PyBuffer_Release(&fields_b);
+        PyBuffer_Release(&nops_b);
+        PyBuffer_Release(&ops_b);
+        PyBuffer_Release(&counts_b);
+        PyBuffer_Release(&dstpos_b);
+        PyBuffer_Release(&runops_b);
+        PyBuffer_Release(&runlens_b);
+        PyBuffer_Release(&rpr_b);
+        PyBuffer_Release(&indel_b);
+        PyBuffer_Release(&rops_b);
+        PyBuffer_Release(&rcnt_b);
+        PyBuffer_Release(&matedst_b);
+        PyBuffer_Release(&refmap_b);
+        PyBuffer_Release(&preserved_b);
+        return res;
+    }
+
+oom:
+    PyErr_NoMemory();
+fail:
+    PyMem_Free(items);
+    free(sb.buf);
+    Py_XDECREF(removed);
+    Py_XDECREF(ranges);
+cleanup_null:
+    PyBuffer_Release(&arena_b);
+    PyBuffer_Release(&spans_b);
+    PyBuffer_Release(&line_b);
+    PyBuffer_Release(&fields_b);
+    PyBuffer_Release(&nops_b);
+    PyBuffer_Release(&ops_b);
+    PyBuffer_Release(&counts_b);
+    PyBuffer_Release(&dstpos_b);
+    PyBuffer_Release(&runops_b);
+    PyBuffer_Release(&runlens_b);
+    PyBuffer_Release(&rpr_b);
+    PyBuffer_Release(&indel_b);
+    PyBuffer_Release(&rops_b);
+    PyBuffer_Release(&rcnt_b);
+    PyBuffer_Release(&matedst_b);
+    PyBuffer_Release(&refmap_b);
+    PyBuffer_Release(&preserved_b);
+    return NULL;
+}

@@ -22,6 +22,8 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include "panvc3_common.h"
+
 /* op codes follow the BAM encoding MIDNSHP=X (panvc3_tpu.cigar) */
 #define OP_M 0
 #define OP_I 1
@@ -144,8 +146,9 @@ fail:
  *                  dev_code bytes(int8), dst_pos bytes(int32))
  *   -> (run_ops bytes(int8), run_lens bytes(int32),
  *       runs_per_rec bytes(int32),
- *       indel list  [ (rec, ref_start, ref_len, q_start, q_len,
- *                      cig_start, cig_end, checker_ref, checker_q) ... ] )
+ *       indel bytes(int32[n*9]): rows of (rec, ref_start, ref_len,
+ *                      q_start, q_len, cig_start, cig_end,
+ *                      checker_ref, checker_q))
  *
  * Walks the flat unit stream per record, interleaving the device results
  * for reference-consuming units, RLE-collapses into per-record runs, and
@@ -173,11 +176,37 @@ static PyObject *finalize_rewrite(PyObject *self, PyObject *args)
     int8_t *run_ops = PyMem_Malloc(cap);
     int32_t *run_lens = PyMem_Malloc(cap * sizeof(int32_t));
     int32_t *runs_per_rec = PyMem_Malloc(n_rec * sizeof(int32_t));
-    PyObject *indel_list = PyList_New(0);
-    if (!run_ops || !run_lens || !runs_per_rec || !indel_list) {
+    int32_t *indel = NULL;
+    size_t indel_cap = 0, n_indel = 0;
+    if (!run_ops || !run_lens || !runs_per_rec) {
         PyErr_NoMemory();
         goto fail;
     }
+
+    #define INDEL_ROW(REC, RL, RLEN, QL, QLEN, CF, CE, CR, CQ)            \
+        do {                                                              \
+            if ((n_indel + 1) * 9 > indel_cap) {                          \
+                size_t ncap = indel_cap ? indel_cap * 2 : 9 * 64;         \
+                int32_t *ni = PyMem_Realloc(indel, ncap * sizeof(int32_t)); \
+                if (!ni) {                                                \
+                    PyErr_NoMemory();                                     \
+                    goto fail;                                            \
+                }                                                         \
+                indel = ni;                                               \
+                indel_cap = ncap;                                         \
+            }                                                             \
+            int32_t *row_ = indel + n_indel * 9;                          \
+            row_[0] = (int32_t)(REC);                                     \
+            row_[1] = (int32_t)(RL);                                      \
+            row_[2] = (int32_t)(RLEN);                                    \
+            row_[3] = (int32_t)(QL);                                      \
+            row_[4] = (int32_t)(QLEN);                                    \
+            row_[5] = (int32_t)(CF);                                      \
+            row_[6] = (int32_t)(CE);                                      \
+            row_[7] = (int32_t)(CR);                                      \
+            row_[8] = (int32_t)(CQ);                                      \
+            ++n_indel;                                                    \
+        } while (0)
 
     Py_ssize_t u = 0;      /* flat unit cursor */
     Py_ssize_t dev = 0;    /* device ref-unit cursor */
@@ -275,52 +304,31 @@ static PyObject *finalize_rewrite(PyObject *self, PyObject *args)
                     report = (prev_type == 3);
                     break;
                 }
-                if (report) {
-                    PyObject *t = Py_BuildValue(
-                        "(nLLLLnnLL)",
-                        rec,
-                        (long long)ref_loc,
-                        (long long)(ref_before - ref_loc),
-                        (long long)query_loc,
-                        (long long)(query_before - query_loc),
-                        (Py_ssize_t)cig_first, (Py_ssize_t)i,
-                        (long long)ref_pos, (long long)query_pos);
-                    if (!t || PyList_Append(indel_list, t) < 0) {
-                        Py_XDECREF(t);
-                        goto fail;
-                    }
-                    Py_DECREF(t);
-                }
+                if (report)
+                    INDEL_ROW(rec, ref_loc, ref_before - ref_loc,
+                              query_loc, query_before - query_loc,
+                              cig_first, i, ref_pos, query_pos);
             }
-            if (run_type == 3) {
-                PyObject *t = Py_BuildValue(
-                    "(nLLLLnnLL)",
-                    rec,
-                    (long long)ref_loc,
-                    (long long)(ref_pos - ref_loc),
-                    (long long)query_loc,
-                    (long long)(query_pos - query_loc),
-                    (Py_ssize_t)cig_first, (Py_ssize_t)n_ops_rec,
-                    (long long)ref_pos, (long long)query_pos);
-                if (!t || PyList_Append(indel_list, t) < 0) {
-                    Py_XDECREF(t);
-                    goto fail;
-                }
-                Py_DECREF(t);
-            }
+            if (run_type == 3)
+                INDEL_ROW(rec, ref_loc, ref_pos - ref_loc,
+                          query_loc, query_pos - query_loc,
+                          cig_first, n_ops_rec, ref_pos, query_pos);
         }
     }
+    #undef INDEL_ROW
 
     {
         PyObject *r = Py_BuildValue(
-            "(y#y#y#N)",
+            "(y#y#y#y#)",
             (char *)run_ops, (Py_ssize_t)out,
             (char *)run_lens, (Py_ssize_t)(out * sizeof(int32_t)),
             (char *)runs_per_rec, (Py_ssize_t)(n_rec * sizeof(int32_t)),
-            indel_list);
+            (char *)(indel ? indel : (int32_t *)""),
+            (Py_ssize_t)(n_indel * 9 * sizeof(int32_t)));
         PyMem_Free(run_ops);
         PyMem_Free(run_lens);
         PyMem_Free(runs_per_rec);
+        PyMem_Free(indel);
         PyBuffer_Release(&unit_op_b);
         PyBuffer_Release(&unit_count_b);
         PyBuffer_Release(&rec_n_units_b);
@@ -334,7 +342,7 @@ fail:
     PyMem_Free(run_ops);
     PyMem_Free(run_lens);
     PyMem_Free(runs_per_rec);
-    Py_XDECREF(indel_list);
+    PyMem_Free(indel);
     PyBuffer_Release(&unit_op_b);
     PyBuffer_Release(&unit_count_b);
     PyBuffer_Release(&rec_n_units_b);
@@ -1062,6 +1070,16 @@ static PyMethodDef methods[] = {
      "Format SAM record fields into one text line."},
     {"collapse_cigar", collapse_cigar_native, METH_VARARGS,
      "Merge adjacent same-op CIGAR runs, dropping zero counts."},
+    {"parse_stage_batch", pv3_parse_stage_batch, METH_VARARGS,
+     "Parse + filter + stage a batch of raw SAM lines for the device "
+     "engine."},
+    {"scan_keep_mask", pv3_scan_keep_mask, METH_VARARGS,
+     "Pre-scan record filters over raw SAM lines (1 byte per line)."},
+    {"stage_realign_runs", pv3_stage_realign_runs, METH_VARARGS,
+     "Build padded realignment-DP input arrays from the indel-run table."},
+    {"splice_apply_format", pv3_splice_apply_format, METH_VARARGS,
+     "Splice device results, apply tag surgery and format SAM text for a "
+     "batch."},
     {NULL, NULL, 0, NULL},
 };
 

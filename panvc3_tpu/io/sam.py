@@ -573,6 +573,23 @@ class SamReader:
     def _bam_skip(self, n: int) -> None:
         del self._bam_buf[:n]
 
+    def raw_record_line_blocks(self, hint: int = 1 << 20):
+        """Yield blocks (lists) of raw record line bytes.
+
+        SAM text mode only — the native fast lane consumes lines directly
+        without building SamRecord objects."""
+        if self.is_bam:
+            raise ValueError("raw line access requires SAM text input")
+        if self._first_record_line is not None:
+            first = self._first_record_line.encode()
+            self._first_record_line = None
+            yield [first]
+        while True:
+            block = self._fh.readlines(hint)
+            if not block:
+                return
+            yield block
+
     # ------------------------------------------------------------------
     def __iter__(self):
         if self.is_bam:
@@ -632,6 +649,11 @@ class SamWriter:
             self._bgzf.write(_encode_bam_record(rec))
         else:
             self._fh.write(format_sam_record(rec, self.header).encode() + b"\n")
+
+    def write_raw(self, blob: bytes) -> None:
+        """Write pre-formatted SAM text (newline-terminated lines)."""
+        assert not self.bam
+        self._fh.write(blob)
 
     def close(self) -> None:
         if self.bam:

@@ -407,7 +407,7 @@ class BatchProjector:
             np.arange(batch.pad_ref_units)[None, :] < batch.n_ref_units[:, None]
         )
         n_units = np.bincount(batch.unit_rec, minlength=b).astype(np.int32)
-        run_ops_b, run_lens_b, runs_per_rec_b, indel_rows = native.finalize_rewrite(
+        run_ops_b, run_lens_b, runs_per_rec_b, indel_b = native.finalize_rewrite(
             np.ascontiguousarray(batch.unit_op),
             np.ascontiguousarray(batch.unit_count),
             n_units,
@@ -430,7 +430,8 @@ class BatchProjector:
         ]
         dst_pos = [int(p) for p in dst_pos_a]
         record_runs: list[list] = [[] for _ in range(b)]
-        for rec_i, r0, rl, q0, ql, cs, ce, cr, cq in indel_rows:
+        indel_rows = np.frombuffer(indel_b, dtype=np.int32).reshape(-1, 9)
+        for rec_i, r0, rl, q0, ql, cs, ce, cr, cq in indel_rows.tolist():
             record_runs[rec_i].append(
                 IndelRun(
                     ref_start=r0,

@@ -1,0 +1,444 @@
+"""Native-batch fast lane for project_alignments (SAM text → SAM text).
+
+The object path parses every record into a Python ``SamRecord``, applies
+tag surgery in Python and re-serialises — several µs of interpreter work
+per record, which round 1 measured as the tool's critical path (host 2.6 s
+vs device 1.4 s per 49k reads).  This lane keeps records native end to
+end: raw line bytes → C ``parse_stage_batch`` (filters + staged device
+arrays + span arena) → packed rewrite kernel → C ``finalize_rewrite`` →
+C ``stage_realign_runs`` → realign kernel → C ``splice_apply_format``
+(CIGAR splice + tag surgery + SAM text, one blob per batch).  Python only
+moves numpy arrays between those steps.
+
+Semantics are identical to the object path (the reference's per-record
+loop, /root/reference/project-alignments/project_alignments.cc:670-928);
+tests/test_fastpath.py asserts byte-identical output on mixed workloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.sam import format_float
+from ..native import get_native
+from ..utils import StatusReporter, log_time
+
+FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
+
+
+def fastlane_eligible(cfg, reader, writer, mesh) -> bool:
+    """The fast lane covers the default tool configuration: SAM text in and
+    out, integer-scoring realignment, single-device dispatch."""
+    return (
+        get_native() is not None
+        and not reader.is_bam
+        and not writer.bam
+        and not cfg.use_read_base_qualities
+        and not cfg.fused_kernel
+        and mesh is None
+    )
+
+
+def run_fast(
+    reader,
+    writer,
+    cfg,
+    stats,
+    batch_engine,
+    input_header,
+    out_header,
+    src_entries,
+    dst_entries,
+    ref_id_mapping,
+    fasta,
+    ref_seqs,
+    realigned_ranges,
+):
+    """Drive the full projection pipeline over raw line batches."""
+    import jax
+
+    from ..ops.realign_batch import realign_device_kernel
+    from ..ops.rewrite_batch import (
+        fetch_rewrite_outputs,
+        pack_query,
+        rewrite_device_kernel_packed,
+    )
+    from .project_alignments import PRESERVED_TAGS
+
+    nat = get_native()
+    bp = batch_engine
+
+    refmap = {name.encode(): i for i, name in enumerate(input_header.ref_names)}
+    rim = np.asarray(ref_id_mapping, dtype=np.int32)
+    src_dev = np.asarray(bp.src_dev_ids, dtype=np.int32)
+    dst_dev = np.asarray(bp.dst_dev_ids, dtype=np.int32)
+    preserved = b"".join(
+        sorted(
+            t.encode()
+            for t in (PRESERVED_TAGS | set(cfg.preserve_tags))
+            if len(t) == 2
+        )
+    )
+    t = cfg.tags
+    tag_names = (
+        t.original_rname, t.original_pos, t.original_rnext, t.original_pnext,
+        t.realn_query_ranges, t.realn_ref_ranges, t.rec_idx,
+    )
+    out_names = list(out_header.ref_names)
+    in_names = list(input_header.ref_names)
+    primary_mask = 0x100 if cfg.primary_only else 0
+    want_ranges = 1 if realigned_ranges is not None else 0
+
+    batch_size = max(4, cfg.device_batch_size)
+    go = np.float32(cfg.gap_opening_cost)
+    ge = np.float32(cfg.gap_extension_cost)
+
+    # shard-aware check data: dev id -1 == entry outside this index shard
+    shard_check = cfg.chr_shard is not None
+
+    reporter = StatusReporter(cfg.status_output_interval)
+
+    state = {
+        "rec_global": 0,   # input records consumed before current batch
+        "task_counter": 0,  # 4-record task groups emitted
+        "ref_off": np.zeros(max(1, len(dst_entries)), dtype=np.int32),
+        "n_refs_loaded": -1,
+    }
+
+    def realign_status() -> str:
+        n = stats.realigned_range_count
+        msg = f"; realigned {n} ranges"
+        if n:
+            from ..utils import format_duration
+
+            t_ns = stats.realignment_time_ns + bp.realignment_time_ns
+            usecs = t_ns / 1000.0 / n
+            mean_len = stats.realigned_range_total_length / n
+            msg += (
+                f" (in {format_duration(t_ns / 1e9)}; "
+                f"{usecs:.2f} µs / realignment, mean length {mean_len:g} characters)"
+            )
+        return msg
+
+    reporter.extra_cb = realign_status
+
+    def start_batch(lines):
+        """Parse + stage + dispatch the rewrite kernel; returns a context
+        dict or None when the whole block was filtered out."""
+        staged = nat.parse_stage_batch(
+            lines, refmap, FLAG_SKIP, primary_mask,
+            4, 2, 2,
+        )
+        stats.flags_not_matched += staged["flags_not_matched"]
+        stats.ref_id_missing += staged["ref_id_missing"]
+        stats.seq_missing += staged["seq_missing"]
+        rec_base = state["rec_global"]
+        state["rec_global"] += staged["n_records"]
+        kept = staged["kept"]
+        if kept == 0:
+            return None
+        fields = np.frombuffer(staged["fields"], np.int32).reshape(kept, 7)
+        ref_id = fields[:, 1]
+
+        if shard_check:
+            bad = src_dev[ref_id] < 0
+            if bad.any():
+                i = int(np.argmax(bad))
+                name = input_header.ref_names[int(ref_id[i])]
+                raise ValueError(
+                    f"record references {name!r}, which is outside this "
+                    "index shard (--msa-index-chr-shard); route the input "
+                    "with panvc3_split_alignments_by_reference first"
+                )
+        stats.matched_reads += kept
+
+        dst_rids = rim[ref_id]
+        for rid in np.unique(dst_rids):
+            rid = int(rid)
+            if rid not in ref_seqs:
+                ref_seqs[rid] = fasta.read_sequence(out_header.ref_names[rid])
+        bp._ensure_refs(ref_seqs)
+        if state["n_refs_loaded"] != len(bp._ref_off):
+            off = state["ref_off"]
+            for k, v in bp._ref_off.items():
+                off[k] = v
+            state["n_refs_loaded"] = len(bp._ref_off)
+
+        O, R, Lq = staged["O"], staged["R"], staged["Lq"]
+        ops2d = np.frombuffer(staged["ops"], np.int8).reshape(kept, O)
+        counts2d = np.frombuffer(staged["counts"], np.int32).reshape(kept, O)
+        query2d = np.frombuffer(staged["query"], np.uint8).reshape(kept, Lq)
+
+        kernel_inputs = dict(
+            src_seq=src_dev[ref_id],
+            dst_seq=dst_dev[dst_rids],
+            rec_src_pos=np.ascontiguousarray(fields[:, 2]),
+            ref_off=state["ref_off"][dst_rids],
+            ops=ops2d,
+            counts=counts2d,
+            query=query2d,
+        )
+        # batch-dimension bucketing (same scheme as BatchProjector.start_batch)
+        target = batch_size
+        bucket = min(target, _next_pow2(kept))
+        n_pad = bucket - kept if kept < bucket else 0
+        if n_pad:
+            for k, arr in kernel_inputs.items():
+                pad = np.repeat(arr[:1], n_pad, axis=0)
+                kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
+
+        out = rewrite_device_kernel_packed(
+            bp.index,
+            bp._ref_flat,
+            kernel_inputs["src_seq"],
+            kernel_inputs["dst_seq"],
+            kernel_inputs["rec_src_pos"],
+            kernel_inputs["ref_off"],
+            kernel_inputs["ops"],
+            kernel_inputs["counts"],
+            pack_query(kernel_inputs["query"]),
+            R,
+            Lq,
+        )
+
+        # host mate projection, vectorised per distinct mate reference
+        # (project_position, msa_index.hh:253-258)
+        mate_dst = np.full(kept, -1, dtype=np.int32)
+        mrid = fields[:, 4]
+        mpos = fields[:, 5]
+        mask = (mrid >= 0) & (mpos >= 0)
+        if mask.any():
+            for mr in np.unique(mrid[mask]):
+                sel = mask & (mrid == mr)
+                dst_e = dst_entries[int(rim[mr])]
+                mate_dst[sel] = src_entries[int(mr)].project_position(
+                    mpos[sel], dst_e
+                )
+
+        return {
+            "staged": staged,
+            "fields": fields,
+            "dst_rids": np.ascontiguousarray(dst_rids),
+            "kept": kept,
+            "rec_base": rec_base,
+            "mate_dst": mate_dst,
+            "out": out,
+            "R": R,
+            "Lq": Lq,
+        }
+
+    def finish_rewrite(ctx):
+        """Fetch rewrite results, finalize + detect runs, dispatch realign."""
+        if ctx is None:
+            return None
+        import time as _time
+
+        staged = ctx["staged"]
+        kept = ctx["kept"]
+        dst_pos_a, d_run, main_code = fetch_rewrite_outputs(ctx["out"], ctx["R"])
+        dst_pos_a = np.ascontiguousarray(dst_pos_a[:kept].astype(np.int32))
+        d_run = d_run[:kept]
+        main_code = main_code[:kept]
+
+        n_ref_units = np.frombuffer(staged["n_ref_units"], np.int32)
+        valid = np.arange(ctx["R"])[None, :] < n_ref_units[:, None]
+        run_ops_b, run_lens_b, runs_per_rec_b, indel_b = nat.finalize_rewrite(
+            staged["unit_op"],
+            staged["unit_count"],
+            staged["n_units"],
+            np.ascontiguousarray(d_run[valid]),
+            np.ascontiguousarray(main_code[valid]),
+            dst_pos_a,
+        )
+        nruns = len(indel_b) // 36
+
+        rh = None
+        Rp = Qp = S = 0
+        if nruns:
+            t0 = _time.perf_counter_ns()
+            ref_list = [
+                ref_seqs.get(rid, b"") for rid in range(len(dst_entries))
+            ]
+            ref_b, q_b, rl_b, ql_b, Rp, Qp, S = nat.stage_realign_runs(
+                indel_b, ctx["dst_rids"], ref_list, staged["query"],
+                ctx["Lq"], 8, 8, 256,
+            )
+            rh = realign_device_kernel(
+                np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
+                np.frombuffer(q_b, np.uint8).reshape(S, Qp),
+                np.frombuffer(rl_b, np.int32),
+                np.frombuffer(ql_b, np.int32),
+                go,
+                ge,
+                np.zeros((S, Rp), np.int32),
+                np.zeros((S, Qp), np.int32),
+                False,
+                Rp,
+                Qp,
+            )
+            bp.realignment_time_ns += _time.perf_counter_ns() - t0
+
+        ctx.update(
+            dst_pos=dst_pos_a,
+            run_ops=run_ops_b,
+            run_lens=run_lens_b,
+            runs_per_rec=runs_per_rec_b,
+            indel=indel_b,
+            rh=rh,
+            steps=Rp + Qp,
+        )
+        return ctx
+
+    def finish_realign(ctx):
+        """Fetch realignment, splice + format + write the batch."""
+        if ctx is None:
+            return
+        import time as _time
+
+        if ctx["rh"] is not None:
+            t0 = _time.perf_counter_ns()
+            realn_ops, realn_counts = jax.device_get(ctx["rh"])
+            bp.realignment_time_ns += _time.perf_counter_ns() - t0
+            realn_ops = np.ascontiguousarray(realn_ops)
+            realn_counts = np.ascontiguousarray(realn_counts)
+            steps = ctx["steps"]
+        else:
+            realn_ops = np.zeros(0, np.int8)
+            realn_counts = np.zeros(0, np.int32)
+            steps = 0
+
+        staged = ctx["staged"]
+        blob, removed, (n_realn, tot_len, cells), rows, tasks_used = (
+            nat.splice_apply_format(
+                staged["arena"], staged["spans"], staged["line_index"],
+                staged["fields"], staged["n_ops"],
+                staged["ops"], staged["counts"], staged["O"],
+                ctx["dst_pos"], ctx["run_ops"], ctx["run_lens"],
+                ctx["runs_per_rec"], ctx["indel"],
+                realn_ops, realn_counts, steps,
+                ctx["mate_dst"], rim,
+                out_names, in_names, preserved, tag_names,
+                ctx["rec_base"], state["task_counter"], want_ranges,
+                format_float,
+            )
+        )
+        state["task_counter"] += tasks_used
+        stats.realigned_range_count += n_realn
+        stats.realigned_range_total_length += tot_len
+        stats.realignment_cells += cells
+        for k, v in removed.items():
+            stats.removed_tag_counts[k] = stats.removed_tag_counts.get(k, 0) + v
+        if rows is not None and realigned_ranges is not None:
+            realigned_ranges.extend(rows)
+        writer.write_raw(blob)
+
+    # ---- pipeline drive (mirrors the object path's threaded drain) -------
+    MAX_IN_FLIGHT = max(1, cfg.pipeline_depth)
+    worker_error: list[BaseException] = []
+    work_q = None
+    worker = None
+    if cfg.threaded_pipeline:
+        import queue as _queue
+        import threading
+        import collections
+
+        work_q = _queue.Queue(maxsize=MAX_IN_FLIGHT)
+
+        def _worker_loop():
+            rflight = collections.deque()
+            try:
+                while True:
+                    item = work_q.get()
+                    if item is None:
+                        while rflight:
+                            finish_realign(rflight.popleft())
+                        return
+                    rflight.append(finish_rewrite(item))
+                    if len(rflight) >= MAX_IN_FLIGHT:
+                        finish_realign(rflight.popleft())
+            except BaseException as exc:  # propagate to the main thread
+                worker_error.append(exc)
+                while True:
+                    if work_q.get() is None:
+                        return
+
+        worker = threading.Thread(target=_worker_loop, daemon=True)
+        worker.start()
+
+    import collections
+
+    in_flight: collections.deque = collections.deque()
+    realign_flight: collections.deque = collections.deque()
+
+    def submit(lines):
+        ctx = start_batch(lines)
+        if work_q is not None:
+            if worker_error:
+                raise worker_error[0]
+            if ctx is not None:
+                work_q.put(ctx)
+        else:
+            in_flight.append(ctx)
+            if len(in_flight) >= MAX_IN_FLIGHT:
+                realign_flight.append(finish_rewrite(in_flight.popleft()))
+                if len(realign_flight) >= MAX_IN_FLIGHT:
+                    finish_realign(realign_flight.popleft())
+
+    # Batches are formed over KEPT records (exactly batch_size per batch)
+    # so the 4-record task groups of the record-index tag partition exactly
+    # like the object path's chunk loop (project_alignments.cc:596-615).
+    lines_buf: list[bytes] = []
+    keep_buf = np.zeros(0, dtype=np.uint8)
+    kept_in_buf = 0
+
+    def form_batches(eof: bool = False):
+        nonlocal lines_buf, keep_buf, kept_in_buf
+        while kept_in_buf >= batch_size or (eof and lines_buf):
+            if kept_in_buf >= batch_size:
+                cut = int(
+                    np.searchsorted(np.cumsum(keep_buf), batch_size)
+                ) + 1
+                batch = lines_buf[:cut]
+                lines_buf = lines_buf[cut:]
+                keep_buf = keep_buf[cut:]
+                kept_in_buf -= batch_size
+            else:
+                batch = lines_buf
+                lines_buf = []
+                keep_buf = np.zeros(0, dtype=np.uint8)
+                kept_in_buf = 0
+            n_before = state["rec_global"]
+            if n_before and (n_before // 10_000_000) != (
+                (n_before + len(batch)) // 10_000_000
+            ):
+                log_time(f"Processed {n_before + len(batch)} alignments…")
+            reporter.tick(n_before)
+            submit(batch)
+
+    try:
+        for block in reader.raw_record_line_blocks():
+            mask = np.frombuffer(
+                nat.scan_keep_mask(block, FLAG_SKIP, primary_mask), np.uint8
+            )
+            lines_buf += block
+            keep_buf = np.concatenate([keep_buf, mask])
+            kept_in_buf += int(mask.sum())
+            form_batches()
+        form_batches(eof=True)
+    finally:
+        if worker is not None:
+            work_q.put(None)
+            worker.join()
+    if worker is not None and worker_error:
+        raise worker_error[0]
+    while in_flight:
+        realign_flight.append(finish_rewrite(in_flight.popleft()))
+    while realign_flight:
+        finish_realign(realign_flight.popleft())
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p

@@ -98,6 +98,10 @@ class ProjectConfig:
     # device); currently slower than the pipelined split path on the
     # tunnelled single-chip setup, so opt-in
     fused_kernel: bool = False
+    # native batch fast lane (pipeline/fastlane.py): raw SAM lines are
+    # parsed/staged/spliced/formatted entirely in C; byte-identical to the
+    # object path (tests/test_fastpath.py).  Off = always use SamRecords.
+    fastlane: bool = True
 
 
 @dataclass
@@ -464,6 +468,20 @@ def run_project_alignments(
             mesh=mesh,
         )
         batch_size = max(CHUNK_SIZE, (cfg.device_batch_size // CHUNK_SIZE) * CHUNK_SIZE)
+
+        from .fastlane import fastlane_eligible, run_fast
+
+        if cfg.fastlane and fastlane_eligible(cfg, reader, writer, mesh):
+            run_fast(
+                reader, writer, cfg, stats, batch_engine,
+                input_header, out_header, src_entries, dst_entries,
+                ref_id_mapping, fasta, ref_seqs, realigned_ranges,
+            )
+            writer.close()
+            stats.realignment_time_ns += batch_engine.realignment_time_ns
+            if cfg.output_realigned_ranges_path and realigned_ranges is not None:
+                _write_realigned_ranges(cfg, realigned_ranges, stats)
+            return stats
     else:
         batch_engine = None
         batch_size = CHUNK_SIZE

@@ -42,7 +42,7 @@ def _synthesise_indel_sam(founder_seqs, n_reads=120, read_len=100, seed=7) -> by
             k = int(rng.integers(1, 6))
             j = int(rng.integers(1, 6))
             half = read_len // 2
-            ins = bytes(rng.choice(list(b"ACGT"), k))
+            ins = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), k).tobytes()
             seq = (
                 s[pos:pos + half]
                 + ins

@@ -1,0 +1,201 @@
+"""The native fast lane must be byte-identical to the object path.
+
+The fast lane (pipeline/fastlane.py + native parse_stage_batch /
+splice_apply_format) replaces the SamRecord object pipeline for the
+default device-engine configuration; these tests drive both lanes over
+workloads exercising every branch of the tag surgery and record filters
+(project_alignments.cc:528-572, 735-918) and assert equality of output
+bytes, statistics and the realigned-ranges TSV.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from panvc3_tpu.native import get_native
+from panvc3_tpu.pipeline.project_alignments import (
+    ProjectConfig,
+    TagSpec,
+    run_project_alignments,
+)
+
+from .test_workflow_data import WORKFLOW, founder_seqs, msa_files  # fixtures
+
+pytestmark = pytest.mark.skipif(
+    not WORKFLOW.exists() or get_native() is None,
+    reason="toy data or native extension absent",
+)
+
+
+def _rich_sam(founder_seqs, n_reads=160, read_len=100, seed=11) -> bytes:
+    """Paired reads with mixed CIGARs, a zoo of optional tags, and records
+    hitting every skip filter."""
+    rng = np.random.default_rng(seed)
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    lines = ["@HD\tVN:1.6"]
+    for sid, s in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(s)}")
+    names = [s for s in stripped if s != "REF"]
+
+    for i in range(n_reads):
+        sid = names[int(rng.integers(len(names)))]
+        s = stripped[sid]
+        pos = int(rng.integers(0, len(s) - read_len - 20))
+        kind = i % 3
+        if kind == 0:
+            cigar = f"{read_len}="
+            seq = s[pos:pos + read_len]
+        elif kind == 1:
+            k = int(rng.integers(1, 6))
+            half = read_len // 2
+            seq = s[pos:pos + half] + s[pos + half + k:pos + half + k + (read_len - half)]
+            cigar = f"{half}={k}D{read_len - half}="
+        else:
+            k = int(rng.integers(1, 6))
+            j = int(rng.integers(1, 6))
+            half = read_len // 2
+            # deliberately weird: bytes() of an int64 array embeds NUL
+            # padding, so seq is longer than the CIGAR consumes and holds
+            # non-ACGT bytes — lanes must agree even on garbage input
+            ins = bytes(rng.choice(list(b"ACGT"), k))
+            seq = (
+                s[pos:pos + half]
+                + ins
+                + s[pos + half + j:pos + half + j + (read_len - half - k)]
+            )
+            cigar = f"{half}={k}I{j}D{read_len - half - k}="
+        q = seq.decode()
+        qual = "".join(chr(33 + int(x)) for x in rng.integers(20, 42, len(q)))
+
+        # mate plumbing: pair odd/even reads on the same founder; every
+        # third pair points at another founder by name
+        flag = 0x1 | (0x10 if i % 2 else 0x20)
+        if i % 6 == 5:
+            other = names[(names.index(sid) + 1) % len(names)]
+            rnext = f"test/{other}"
+        else:
+            rnext = "="
+        pnext = int(rng.integers(1, len(s) - read_len))
+
+        # optional-tag zoo: preserved (AS), removed (XS, MD), arrays,
+        # floats, characters, existing OA, NM for the OA field
+        tags = [
+            f"NM:i:{int(rng.integers(0, 4))}",
+            f"AS:i:-{int(rng.integers(0, 30))}",
+            f"XS:i:-{int(rng.integers(0, 30))}",
+            "MD:Z:50A49",
+            "XA:Z:alt,+100,100M,2;",
+            f"ZB:B:s,-3,7,{int(rng.integers(0, 100))}",
+            "ZF:f:2.5",
+            "PG:Z:bowtie2",
+        ]
+        if i % 7 == 0:
+            tags.append("OA:Z:chrX,123,+,100M,17,2;")
+        if i % 11 == 0:
+            tags.append("CO:Z:a comment with spaces")
+        rng.shuffle(tags)
+
+        lines.append(
+            f"pair{i // 2}\t{flag}\ttest/{sid}\t{pos + 1}\t60\t{cigar}\t"
+            f"{rnext}\t{pnext}\t{int(rng.integers(-400, 400))}\t{q}\t{qual}\t"
+            + "\t".join(tags)
+        )
+
+        # interleave skip-filter records
+        if i % 10 == 3:
+            lines.append(f"skip{i}\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII")
+        if i % 10 == 6:
+            lines.append(
+                f"dup{i}\t1024\ttest/{sid}\t{pos + 1}\t60\t4=\t*\t0\t0\tACGT\tIIII"
+            )
+        if i % 10 == 9:
+            lines.append(
+                f"noseq{i}\t0\ttest/{sid}\t{pos + 1}\t60\t*\t*\t0\t0\t*\t*"
+            )
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _run(sam, index_path, tmp_path, *, fastlane, engine="device", name="x",
+         device_batch_size=32, **cfg_kw):
+    ranges_path = tmp_path / f"ranges_{name}.tsv"
+    cfg = ProjectConfig(
+        msa_index_path=str(index_path),
+        reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+        reference_msa_id="REF",
+        ref_id_separator="/",
+        tags=TagSpec(rec_idx="XI"),
+        engine=engine,
+        device_batch_size=device_batch_size,
+        fastlane=fastlane,
+        output_realigned_ranges_path=str(ranges_path),
+        preserve_tags=("XA",),
+        **cfg_kw,
+    )
+    out = io.BytesIO()
+    stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+    return out.getvalue(), stats, ranges_path.read_text()
+
+
+def test_fastlane_byte_identical(msa_files, founder_seqs, tmp_path):
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+
+    fast, fast_stats, fast_ranges = _run(
+        sam, index_path, tmp_path, fastlane=True, name="fast"
+    )
+    slow, slow_stats, slow_ranges = _run(
+        sam, index_path, tmp_path, fastlane=False, name="slow"
+    )
+    host, host_stats, host_ranges = _run(
+        sam, index_path, tmp_path, fastlane=False, engine="host", name="host"
+    )
+
+    assert fast == slow == host
+    assert fast_ranges == slow_ranges == host_ranges
+    for a, b in ((fast_stats, slow_stats), (fast_stats, host_stats)):
+        assert a.matched_reads == b.matched_reads
+        assert a.flags_not_matched == b.flags_not_matched
+        assert a.ref_id_missing == b.ref_id_missing
+        assert a.seq_missing == b.seq_missing
+        assert a.realigned_range_count == b.realigned_range_count
+        assert a.realigned_range_total_length == b.realigned_range_total_length
+        assert a.realignment_cells == b.realignment_cells
+        assert a.removed_tag_counts == b.removed_tag_counts
+    assert fast_stats.realigned_range_count > 0
+    assert fast_stats.flags_not_matched > 0
+    assert fast_stats.seq_missing > 0
+    assert "XS" in fast_stats.removed_tag_counts
+
+
+def test_fastlane_debugging_ranges(msa_files, founder_seqs, tmp_path):
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs, n_reads=60)
+    for keep, dbg in ((False, True), (True, True)):
+        fast = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"f{keep}{dbg}",
+            keep_duplicate_ranges=keep, debugging_output=dbg,
+        )
+        slow = _run(
+            sam, index_path, tmp_path, fastlane=False, name=f"s{keep}{dbg}",
+            keep_duplicate_ranges=keep, debugging_output=dbg,
+        )
+        assert fast[0] == slow[0]
+        assert fast[2] == slow[2]
+
+
+def test_fastlane_odd_batch_sizes(msa_files, founder_seqs, tmp_path):
+    """Batch boundaries must not shift task groups: odd batch sizes and a
+    trailing partial batch still match the object path byte for byte."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs, n_reads=90)
+    for bs in (8, 20, 64):
+        fast = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"fb{bs}",
+            device_batch_size=bs,
+        )
+        slow = _run(
+            sam, index_path, tmp_path, fastlane=False, name=f"sb{bs}",
+            device_batch_size=bs,
+        )
+        assert fast[0] == slow[0], f"batch size {bs}"
