@@ -50,7 +50,6 @@ def run_fast(
     src_entries,
     dst_entries,
     ref_id_mapping,
-    fasta,
     ref_seqs,
     realigned_ranges,
 ):
@@ -102,7 +101,6 @@ def run_fast(
         "rec_global": 0,   # input records consumed before current batch
         "task_counter": 0,  # 4-record task groups emitted
         "ref_off": np.zeros(max(1, len(dst_entries)), dtype=np.int32),
-        "n_refs_loaded": -1,
     }
 
     def realign_status() -> str:
@@ -153,16 +151,12 @@ def run_fast(
         stats.matched_reads += kept
 
         dst_rids = rim[ref_id]
-        for rid in np.unique(dst_rids):
-            rid = int(rid)
-            if rid not in ref_seqs:
-                ref_seqs[rid] = fasta.read_sequence(out_header.ref_names[rid])
-        bp._ensure_refs(ref_seqs)
-        if state["n_refs_loaded"] != len(bp._ref_off):
-            off = state["ref_off"]
-            for k, v in bp._ref_off.items():
-                off[k] = v
-            state["n_refs_loaded"] = len(bp._ref_off)
+        snap = ref_seqs.require(int(r) for r in np.unique(dst_rids))
+        bp._ensure_refs(snap)
+        off = state["ref_off"]
+        off[:] = 0
+        for k, v in bp._ref_off.items():
+            off[k] = v
 
         O, R, Lq = staged["O"], staged["R"], staged["Lq"]
         ops2d = np.frombuffer(staged["ops"], np.int8).reshape(kept, O)
@@ -225,6 +219,7 @@ def run_fast(
             "out": out,
             "R": R,
             "Lq": Lq,
+            "snap": snap,
         }
 
     def finish_rewrite(ctx):
@@ -256,9 +251,8 @@ def run_fast(
         Rp = Qp = S = 0
         if nruns:
             t0 = _time.perf_counter_ns()
-            ref_list = [
-                ref_seqs.get(rid, b"") for rid in range(len(dst_entries))
-            ]
+            snap = ctx["snap"]
+            ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
             ref_b, q_b, rl_b, ql_b, Rp, Qp, S = nat.stage_realign_runs(
                 indel_b, ctx["dst_rids"], ref_list, staged["query"],
                 ctx["Lq"], 8, 8, 256,

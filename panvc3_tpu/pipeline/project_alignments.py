@@ -439,7 +439,15 @@ def run_project_alignments(
     )
 
     fasta = FastaReader(cfg.reference_path)
-    ref_seqs: dict[int, bytes] = {}
+    # bounded contig buffers: at most 4 unpinned contigs stay resident
+    # (the reference's refcounted sequence_buffer_store with 4 spares,
+    # libpanvc3/sequence_buffer_store.cc:14-72); batches hold snapshots so
+    # in-flight work keeps its buffers alive across eviction
+    from ..seqbuf import SequenceBufferStore
+
+    ref_seqs = SequenceBufferStore(
+        lambda rid: fasta.read_sequence(out_header.ref_names[rid]), max_size=4
+    )
 
     writer = SamWriter(output_path_or_fh, out_header, bam=cfg.output_bam)
     stats = ProjectStatistics()
@@ -475,7 +483,7 @@ def run_project_alignments(
             run_fast(
                 reader, writer, cfg, stats, batch_engine,
                 input_header, out_header, src_entries, dst_entries,
-                ref_id_mapping, fasta, ref_seqs, realigned_ranges,
+                ref_id_mapping, ref_seqs, realigned_ranges,
             )
             writer.close()
             stats.realignment_time_ns += batch_engine.realignment_time_ns
@@ -599,7 +607,10 @@ def run_project_alignments(
         if not chunk:
             return
         if batch_engine is not None:
-            handle = batch_engine.start_batch([r for _, r in chunk], ref_seqs, cfg)
+            snapshot = ref_seqs.require(
+                {ref_id_mapping[r.ref_id] for _, r in chunk}
+            )
+            handle = batch_engine.start_batch([r for _, r in chunk], snapshot, cfg)
             if work_q is not None:
                 if worker_error:
                     raise worker_error[0]
@@ -668,11 +679,6 @@ def run_project_alignments(
                     "with panvc3_split_alignments_by_reference first"
                 )
             stats.matched_reads += 1
-
-            dst_ref_id = ref_id_mapping[rec.ref_id]
-            if dst_ref_id not in ref_seqs:
-                name = out_header.ref_names[dst_ref_id]
-                ref_seqs[dst_ref_id] = fasta.read_sequence(name)
 
             chunk.append((rec_idx, rec))
             if len(chunk) == batch_size:

@@ -126,14 +126,18 @@ def run_rewrite_cigar(
         if reference_path is None:
             raise ValueError("sequence-match mode requires a reference FASTA")
         fasta = FastaReader(reference_path)
-        ref_cache: dict[int, bytes] = {}
+        # bounded like the reference's 4-entry heap LRU
+        # (/root/reference/rewrite-cigar/main.cc:51-108, MAX_SIZE=4)
+        from ..seqbuf import SequenceBufferStore
+
+        ref_cache = SequenceBufferStore(
+            lambda rid: fasta.read_sequence(header.ref_names[rid]), max_size=4
+        )
         for rec in reader:
             n += 1
             if rec.pos < 0 or rec.ref_id < 0:
                 writer.write(rec)
                 continue
-            if rec.ref_id not in ref_cache:
-                ref_cache[rec.ref_id] = fasta.read_sequence(header.ref_names[rec.ref_id])
             ref = ref_cache[rec.ref_id]
             new_cigar, xn = rewrite_sequence_match(ref, rec.pos, rec.seq, rec.cigar)
             rec.cigar = new_cigar
