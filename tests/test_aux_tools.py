@@ -115,6 +115,56 @@ def test_extended_p2_reasonable():
     assert acc.maximum == data.max()
 
 
+def test_extended_p2_jain_chlamtac_worked_example():
+    """The classic 20-observation example of Jain & Chlamtac (1985), table
+    in the original P² paper: the median marker converges to ~4.44.  With a
+    single probability, ExtendedP2's 5 markers reduce to classic P²."""
+    data = [0.02, 0.15, 0.74, 3.39, 0.83, 22.37, 10.15, 15.43, 38.62, 15.92,
+            34.60, 10.28, 1.47, 0.40, 0.05, 11.39, 0.27, 0.42, 0.09, 11.37]
+    acc = ExtendedP2([0.5])
+    for x in data:
+        acc.add(x)
+    assert abs(acc.quantile(0.5) - 4.44) < 0.01
+    assert acc.minimum == 0.02
+    assert acc.maximum == 38.62
+
+
+def test_extended_p2_accuracy_multiple_distributions():
+    """Estimates track true sample quantiles within a small fraction of the
+    distribution scale (validates the multi-marker extension the reference
+    gets from boost::accumulators::extended_p_square,
+    alignment-statistics/main.cc:400-466)."""
+    import numpy as np
+
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    for seed, gen in (
+        (1, lambda r, n: r.normal(0.0, 1.0, n)),
+        (2, lambda r, n: r.random(n)),
+        (3, lambda r, n: r.exponential(1.0, n)),
+    ):
+        rng = np.random.default_rng(seed)
+        xs = gen(rng, 20000)
+        acc = ExtendedP2(probs)
+        for x in xs:
+            acc.add(float(x))
+        scale = float(xs.std())
+        for p in probs:
+            err = abs(acc.quantile(p) - float(np.quantile(xs, p)))
+            assert err < 0.05 * scale, (seed, p, err)
+
+
+def test_extended_p2_low_count_bins():
+    """Bins with fewer observations than markers fall back to the sorted
+    sample (the behaviour PARITY.md flags for low-count bins)."""
+    acc = ExtendedP2([0.1, 0.25, 0.5, 0.75, 0.9])  # 13 markers
+    for x in (5.0, 1.0, 3.0):
+        acc.add(x)
+    assert acc.minimum == 1.0
+    assert acc.maximum == 5.0
+    assert acc.quantile(0.5) in (1.0, 3.0, 5.0)
+    assert acc.quantile(0.0) == 1.0
+
+
 def test_mapq_box_plot_runs():
     sam = _sam([
         f"r{i}\t0\tc1\t{i + 1}\t{30 + (i % 20)}\t3M\t*\t0\t0\tACG\tIII"
