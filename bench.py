@@ -297,24 +297,65 @@ def _kernel_metrics(
     pool = max(256, len(recs) // 2)
     go, ge = np.float32(0), np.float32(-1)
 
-    def run_fused():
-        return fused_projection_kernel(
-            bp.index, bp._ref_flat, *dev, go, ge, R, U,
-            BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD, pool,
-        )
+    # All iterations run inside ONE lax.fori_loop dispatch so the tunnel's
+    # per-call latency (~30 ms) amortises away and the numbers reflect chip
+    # compute.  A data dependency through the carry (perturbing one input
+    # byte) stops XLA from CSE-hoisting the loop-invariant body.
+    import jax.numpy as jnp
+    from functools import partial
 
-    jax.block_until_ready(run_fused())  # compile + warm
     iters = 20
+
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def fused_loop(args, n_iters):
+        def body(i, carry):
+            acc, query = carry
+            query = query.at[0, 0].set((acc % 4 + 65).astype(jnp.uint8))
+            out = fused_projection_kernel(
+                bp.index, bp._ref_flat, *args[:6], query, go, ge, R, U,
+                BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD,
+                pool,
+            )
+            return acc + out[5][2], query
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[6]))[0]
+
+    jax.block_until_ready(fused_loop(dev, 1))  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run_fused()
-    jax.block_until_ready(out)
+    jax.block_until_ready(fused_loop(dev, iters))
     dt = time.perf_counter() - t0
     kernel_reads_per_s = len(recs) * iters / dt
     print(
         f"[bench] fused kernel: {iters}x{len(recs)} device-resident reads "
-        f"in {dt:.2f}s",
+        f"in {dt:.2f}s (single dispatch)",
+        file=sys.stderr,
+    )
+
+    # the default split path's rewrite kernel, same single-dispatch loop
+    from panvc3_tpu.ops.rewrite_batch import pack_query, rewrite_device_kernel_packed
+
+    packed = jax.device_put(pack_query(np.asarray(batch.query)))
+
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def rewrite_loop(args, qp, n_iters):
+        def body(i, carry):
+            acc, qp = carry
+            qp = qp.at[0, 0].set((acc % 16).astype(jnp.uint8))
+            out = rewrite_device_kernel_packed(
+                bp.index, bp._ref_flat, *args[:6], qp,
+                batch.pad_ref_units, batch.query.shape[1],
+            )
+            return acc + out[0][0], qp
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), qp))[0]
+
+    rw_args = dev[:6]
+    jax.block_until_ready(rewrite_loop(rw_args, packed, 1))
+    t0 = time.perf_counter()
+    jax.block_until_ready(rewrite_loop(rw_args, packed, iters))
+    dt = time.perf_counter() - t0
+    kernel_rewrite_reads_per_s = len(recs) * iters / dt
+    print(
+        f"[bench] rewrite kernel: {iters}x{len(recs)} device-resident reads "
+        f"in {dt:.2f}s (single dispatch)",
         file=sys.stderr,
     )
 
@@ -336,25 +377,30 @@ def _kernel_metrics(
     zq = jax.device_put(np.zeros((S, Rr), np.int32))
     zq2 = jax.device_put(np.zeros((S, Qq), np.int32))
 
-    def run_dp():
-        return realign_device_kernel(
-            dref, dq, drl, dql, go, ge, zq, zq2, False, Rr, Qq
-        )
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def dp_loop(ref, q, rl_, ql_, zr, zq_, n_iters):
+        def body(i, carry):
+            acc, ref = carry
+            ref = ref.at[0, 0].set((acc % 4 + 65).astype(jnp.uint8))
+            ops, counts = realign_device_kernel(
+                ref, q, rl_, ql_, go, ge, zr, zq_, False, Rr, Qq
+            )
+            return acc + counts[0], ref
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), ref))[0]
 
-    jax.block_until_ready(run_dp())
+    jax.block_until_ready(dp_loop(dref, dq, drl, dql, zq, zq2, 1))
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run_dp()
-    jax.block_until_ready(out)
+    jax.block_until_ready(dp_loop(dref, dq, drl, dql, zq, zq2, iters))
     dt = time.perf_counter() - t0
     cells = int(np.sum(rl.astype(np.int64) * ql))
     print(
-        f"[bench] realign DP: {iters}x{S} runs ({cells} cells) in {dt:.2f}s",
+        f"[bench] realign DP: {iters}x{S} runs ({cells} cells) in {dt:.2f}s "
+        f"(single dispatch)",
         file=sys.stderr,
     )
     return {
         "kernel_reads_per_s": round(kernel_reads_per_s, 1),
+        "kernel_rewrite_reads_per_s": round(kernel_rewrite_reads_per_s, 1),
         "kernel_dp_cell_updates_per_s": round(cells * iters / dt, 1),
         "kernel_dp_padded_cell_updates_per_s": round(S * Rr * Qq * iters / dt, 1),
     }

@@ -22,10 +22,29 @@ import numpy as np
 from ..bitvec import GapBitVector
 
 
-# Above this many total zeros the explicit select table (int32 per
-# unaligned position) is skipped to bound HBM use; select0 then falls back
-# to the block-rank binary search.
-SELECT_TABLE_MAX_ZEROS = 512 * 1024 * 1024
+# Fallback acceleration-table budget when the backend exposes no memory
+# statistics (e.g. the CPU test mesh): 2 GB, matching one v5e chip's HBM
+# headroom after typical batch working sets.
+DEFAULT_TABLE_BUDGET_BYTES = 2 * 1024 * 1024 * 1024
+
+# Fraction of free device memory the acceleration tables may claim.  The
+# tables are a pure speed/space trade (the block-rank fallback answers the
+# same queries; msa_index.hh:43-54 is the reference's version of the same
+# trade via RRR), so they must never crowd out batch buffers.
+TABLE_BUDGET_FRACTION = 0.25
+
+
+def _table_budget_bytes() -> int:
+    """Free-HBM-derived budget for the zsel/rtab acceleration tables."""
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            free = int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+            return max(0, int(free * TABLE_BUDGET_FRACTION))
+    except Exception:  # noqa: BLE001 — experimental backends lack the API
+        pass
+    return DEFAULT_TABLE_BUDGET_BYTES
 
 
 @jax.tree_util.register_pytree_node_class
@@ -91,10 +110,37 @@ class DeviceGapIndex:
 
         total_zeros = sum(nzeros)
         total_cols = sum(gv.n for gv in vectors)
-        if with_select_table is None:
-            with_select_table = total_zeros <= SELECT_TABLE_MAX_ZEROS
-        if with_rank_table is None:
-            with_rank_table = total_cols <= SELECT_TABLE_MAX_ZEROS
+        # HBM policy: enable the explicit select table first (it replaces a
+        # ~14-gather binary search per query — the bigger win), then the
+        # dense rank table, while they fit the free-memory budget.
+        zsel_cost = 4 * total_zeros
+        rtab_cost = 4 * (total_cols + len(vectors))
+        if with_select_table is None or with_rank_table is None:
+            budget = _table_budget_bytes()
+            decided = []
+            if with_select_table is None:
+                with_select_table = zsel_cost <= budget
+                decided.append(
+                    f"select table {zsel_cost / 2**20:.0f} MB "
+                    f"{'on' if with_select_table else 'OFF (over budget)'}"
+                )
+            remaining = budget - (zsel_cost if with_select_table else 0)
+            if with_rank_table is None:
+                with_rank_table = rtab_cost <= remaining
+                decided.append(
+                    f"rank table {rtab_cost / 2**20:.0f} MB "
+                    f"{'on' if with_rank_table else 'OFF (over budget)'}"
+                )
+            if not (with_select_table and with_rank_table) or (
+                zsel_cost + rtab_cost > 128 * 2**20
+            ):
+                from ..utils import log_time
+
+                log_time(
+                    "Device gap index tables: "
+                    + ", ".join(decided)
+                    + f" (budget {budget / 2**20:.0f} MB)."
+                )
         from ..bitvec import unpack_bits
 
         zsel = None

@@ -283,3 +283,49 @@ def test_pallas_fill_matches_xla():
         a = _fill_batch(sub, m, n, go, ge, R, Q)
         b = fill_batch_pallas(sub, m, n, go, ge, R, Q, interpret=True)
         assert jnp.array_equal(a, b), (B, Q, R)
+
+
+def test_table_budget_policy_and_large_n_fallback():
+    """The HBM policy disables tables when over budget, and the fallback
+    answers match the host at genome-scale-shaped sizes (VERDICT r1 #10;
+    the reference's reason for RRR, msa_index.hh:43-54)."""
+    import panvc3_tpu.ops.rank_select as rs
+
+    rng = np.random.default_rng(11)
+    # large-n: one 4 Mbp-aligned-column vector with ~30% gaps
+    n = 4_000_000
+    bits = (rng.random(n) < 0.3).astype(np.uint8)
+    gv = GapBitVector.from_bits(bits)
+
+    # policy: a budget too small for either table must force the fallback
+    orig = rs._table_budget_bytes
+    rs._table_budget_bytes = lambda: 1024
+    try:
+        idx = DeviceGapIndex.build([gv])
+    finally:
+        rs._table_budget_bytes = orig
+    assert idx.zsel is None and idx.rtab is None
+
+    ks = rng.integers(1, gv.n_zeros + 1, 4096).astype(np.int32)
+    pos = rng.integers(0, n, 4096).astype(np.int32)
+    seq = np.zeros(4096, np.int32)
+    assert np.array_equal(
+        np.asarray(idx.select0(jnp.asarray(seq), jnp.asarray(ks))), gv.select0(ks)
+    )
+    assert np.array_equal(
+        np.asarray(idx.rank0(jnp.asarray(seq), jnp.asarray(pos))), gv.rank0(pos)
+    )
+    r, b = idx.rank0_and_bit(jnp.asarray(seq), jnp.asarray(pos))
+    assert np.array_equal(np.asarray(r), gv.rank0(pos))
+    assert np.array_equal(np.asarray(b), gv.bit_at(pos))
+
+    # a generous budget enables both tables
+    rs._table_budget_bytes = lambda: 1 << 40
+    try:
+        idx2 = DeviceGapIndex.build([gv])
+    finally:
+        rs._table_budget_bytes = orig
+    assert idx2.zsel is not None and idx2.rtab is not None
+    assert np.array_equal(
+        np.asarray(idx2.select0(jnp.asarray(seq), jnp.asarray(ks))), gv.select0(ks)
+    )
