@@ -576,28 +576,37 @@ PyObject *pv3_scan_keep_mask(PyObject *self, PyObject *args)
 /* ------------------------------------------------------------------ */
 /* stage_realign_runs(indel_flat i32[n*9], rec_dst_ref i32[kept],
  *                    ref_list (list, index = dst ref id -> bytes),
- *                    query u8[kept*Lq], Lq, min_R, min_Q, min_S)
- *   -> (ref u8[S*Rp], query u8[S*Qp], rl i32[S], ql i32[S], Rp, Qp, S)
+ *                    query u8[kept*Lq], Lq, min_R, min_Q, min_S,
+ *                    arena, spans, want_quality)
+ *   -> (ref u8[S*Rp], query u8[S*Qp], rl i32[S], ql i32[S], Rp, Qp, S,
+ *       rq i32[S*Rp]|None, qq i32[S*Qp]|None)
  *
  * Builds the padded realignment-DP inputs (the staging loop of
  * ops/engine._dispatch_realign) with the reference slice dna5-normalised
  * (alignment_projector.cc:97-137 converts through the alphabet).  The row
  * count S is padded to a power-of-two bucket (>= min_S) with zero-length
- * rows so the realign kernel compiles a bounded set of shapes.          */
+ * rows so the realign kernel compiles a bounded set of shapes.  With
+ * want_quality, reference qualities are pinned to phred42 max (41) and
+ * query qualities decoded from the record's QUAL span (clamped 0..41;
+ * '*' -> zeros), matching the -q staging of the object path.            */
 PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
 {
-    Py_buffer indel_b, dstref_b, query_b;
+    Py_buffer indel_b, dstref_b, query_b, arena_b, spans_b;
     PyObject *ref_list;
     long lq, min_R, min_Q, min_S;
-    if (!PyArg_ParseTuple(args, "y*y*O!y*llll",
+    int want_quality;
+    if (!PyArg_ParseTuple(args, "y*y*O!y*lllly*y*i",
                           &indel_b, &dstref_b, &PyList_Type, &ref_list,
-                          &query_b, &lq, &min_R, &min_Q, &min_S))
+                          &query_b, &lq, &min_R, &min_Q, &min_S,
+                          &arena_b, &spans_b, &want_quality))
         return NULL;
     dna5_init();
 
     const int32_t *indel = indel_b.buf;
     const int32_t *dstref = dstref_b.buf;
     const unsigned char *query = query_b.buf;
+    const char *arena = arena_b.buf;
+    const int32_t *spans = spans_b.buf;
     Py_ssize_t n = indel_b.len / (9 * sizeof(int32_t));
 
     int32_t max_r = 1, max_q = 1;
@@ -615,8 +624,20 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
     PyObject *q_out = PyBytes_FromStringAndSize(NULL, S * Qp);
     PyObject *rl_out = PyBytes_FromStringAndSize(NULL, S * sizeof(int32_t));
     PyObject *ql_out = PyBytes_FromStringAndSize(NULL, S * sizeof(int32_t));
+    PyObject *rq_out = NULL, *qq_out = NULL;
+    int32_t *prq = NULL, *pqq = NULL;
     if (!ref_out || !q_out || !rl_out || !ql_out)
         goto fail;
+    if (want_quality) {
+        rq_out = PyBytes_FromStringAndSize(NULL, S * Rp * sizeof(int32_t));
+        qq_out = PyBytes_FromStringAndSize(NULL, S * Qp * sizeof(int32_t));
+        if (!rq_out || !qq_out)
+            goto fail;
+        prq = (int32_t *)PyBytes_AS_STRING(rq_out);
+        pqq = (int32_t *)PyBytes_AS_STRING(qq_out);
+        memset(prq, 0, S * Rp * sizeof(int32_t));
+        memset(pqq, 0, S * Qp * sizeof(int32_t));
+    }
     unsigned char *pr = (unsigned char *)PyBytes_AS_STRING(ref_out);
     unsigned char *pq = (unsigned char *)PyBytes_AS_STRING(q_out);
     int32_t *prl = (int32_t *)PyBytes_AS_STRING(rl_out);
@@ -647,14 +668,37 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
         memcpy(pq + i * Qp, query + (size_t)rec * lq + q0, qlen);
         prl[i] = rl;
         pql[i] = qlen;
+        if (want_quality) {
+            for (int32_t k = 0; k < rl; ++k)
+                prq[i * Rp + k] = 41; /* phred42 max for the reference */
+            const int32_t *sp = spans + (size_t)rec * 8;
+            const unsigned char *qual =
+                (const unsigned char *)arena + sp[4];
+            int32_t quallen = sp[5];
+            if (!(quallen == 1 && qual[0] == '*')) {
+                for (int32_t k = 0; k < qlen && q0 + k < quallen; ++k) {
+                    int32_t v = (int32_t)qual[q0 + k] - 33;
+                    if (v < 0)
+                        v = 0;
+                    if (v > 41)
+                        v = 41;
+                    pqq[i * Qp + k] = v;
+                }
+            }
+        }
     }
 
     {
-        PyObject *res = Py_BuildValue("(NNNNiin)", ref_out, q_out, rl_out,
-                                      ql_out, (int)Rp, (int)Qp, S);
+        PyObject *res = Py_BuildValue(
+            "(NNNNiinNN)", ref_out, q_out, rl_out, ql_out, (int)Rp, (int)Qp,
+            S,
+            rq_out ? rq_out : Py_NewRef(Py_None),
+            qq_out ? qq_out : Py_NewRef(Py_None));
         PyBuffer_Release(&indel_b);
         PyBuffer_Release(&dstref_b);
         PyBuffer_Release(&query_b);
+        PyBuffer_Release(&arena_b);
+        PyBuffer_Release(&spans_b);
         return res;
     }
 
@@ -663,9 +707,13 @@ fail:
     Py_XDECREF(q_out);
     Py_XDECREF(rl_out);
     Py_XDECREF(ql_out);
+    Py_XDECREF(rq_out);
+    Py_XDECREF(qq_out);
     PyBuffer_Release(&indel_b);
     PyBuffer_Release(&dstref_b);
     PyBuffer_Release(&query_b);
+    PyBuffer_Release(&arena_b);
+    PyBuffer_Release(&spans_b);
     return NULL;
 }
 

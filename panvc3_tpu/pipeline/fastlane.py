@@ -33,7 +33,6 @@ def fastlane_eligible(cfg, reader, writer, mesh) -> bool:
         get_native() is not None
         and not reader.is_bam
         and not writer.bam
-        and not cfg.use_read_base_qualities
         and not cfg.fused_kernel
         and mesh is None
     )
@@ -91,6 +90,7 @@ def run_fast(
     batch_size = max(4, cfg.device_batch_size)
     go = np.float32(cfg.gap_opening_cost)
     ge = np.float32(cfg.gap_extension_cost)
+    use_quality = bool(cfg.use_read_base_qualities)
 
     # shard-aware check data: dev id -1 == entry outside this index shard
     shard_check = cfg.chr_shard is not None
@@ -253,10 +253,19 @@ def run_fast(
             t0 = _time.perf_counter_ns()
             snap = ctx["snap"]
             ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
-            ref_b, q_b, rl_b, ql_b, Rp, Qp, S = nat.stage_realign_runs(
-                indel_b, ctx["dst_rids"], ref_list, staged["query"],
-                ctx["Lq"], 8, 8, 256,
+            ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b = (
+                nat.stage_realign_runs(
+                    indel_b, ctx["dst_rids"], ref_list, staged["query"],
+                    ctx["Lq"], 8, 8, 256,
+                    staged["arena"], staged["spans"], int(use_quality),
+                )
             )
+            if use_quality:
+                rq = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
+                qq = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
+            else:
+                rq = np.zeros((S, Rp), np.int32)
+                qq = np.zeros((S, Qp), np.int32)
             rh = realign_device_kernel(
                 np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
                 np.frombuffer(q_b, np.uint8).reshape(S, Qp),
@@ -264,9 +273,9 @@ def run_fast(
                 np.frombuffer(ql_b, np.int32),
                 go,
                 ge,
-                np.zeros((S, Rp), np.int32),
-                np.zeros((S, Qp), np.int32),
-                False,
+                rq,
+                qq,
+                use_quality,
                 Rp,
                 Qp,
             )

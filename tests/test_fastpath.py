@@ -137,16 +137,26 @@ def _run(sam, index_path, tmp_path, *, fastlane, engine="device", name="x",
     return out.getvalue(), stats, ranges_path.read_text()
 
 
-def test_fastlane_byte_identical(msa_files, founder_seqs, tmp_path):
+@pytest.mark.parametrize("use_quality", [False, True])
+def test_fastlane_byte_identical(msa_files, founder_seqs, tmp_path, use_quality):
     index_path, _, _ = msa_files
     sam = _rich_sam(founder_seqs)
+    kw = dict(use_read_base_qualities=use_quality)
 
     fast, fast_stats, fast_ranges = _run(
-        sam, index_path, tmp_path, fastlane=True, name="fast"
+        sam, index_path, tmp_path, fastlane=True, name=f"fast{use_quality}", **kw
     )
     slow, slow_stats, slow_ranges = _run(
-        sam, index_path, tmp_path, fastlane=False, name="slow"
+        sam, index_path, tmp_path, fastlane=False, name=f"slow{use_quality}", **kw
     )
+    if use_quality:
+        # the -q device DP is float32 and may pick co-optimal ties vs the
+        # float64 host oracle; fast vs object device lanes must still be
+        # byte-identical (same kernel, same inputs)
+        assert fast == slow
+        assert fast_ranges == slow_ranges
+        assert fast_stats.realigned_range_count == slow_stats.realigned_range_count
+        return
     host, host_stats, host_ranges = _run(
         sam, index_path, tmp_path, fastlane=False, engine="host", name="host"
     )
