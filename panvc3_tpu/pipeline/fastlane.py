@@ -17,6 +17,9 @@ tests/test_fastpath.py asserts byte-identical output on mixed workloads.
 
 from __future__ import annotations
 
+import os
+import time as _time
+
 import numpy as np
 
 from ..io.sam import format_float
@@ -24,6 +27,11 @@ from ..native import get_native
 from ..utils import StatusReporter, log_time
 
 FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
+
+# PANVC3_FASTLANE_PROF=1: per-stage wall-time totals printed at the end of
+# the run (parse/stage, rewrite fetch, finalize, realign stage, realign
+# fetch, splice+format, write)
+_PROF = os.environ.get("PANVC3_FASTLANE_PROF") == "1"
 
 
 def fastlane_eligible(cfg, reader, writer, mesh) -> bool:
@@ -102,6 +110,12 @@ def run_fast(
         "task_counter": 0,  # 4-record task groups emitted
         "ref_off": np.zeros(max(1, len(dst_entries)), dtype=np.int32),
     }
+    prof: dict[str, float] = {}
+
+    def _tick(key: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        prof[key] = prof.get(key, 0.0) + (t1 - t0)
+        return t1
 
     def realign_status() -> str:
         n = stats.realigned_range_count
@@ -123,10 +137,13 @@ def run_fast(
     def start_batch(lines):
         """Parse + stage + dispatch the rewrite kernel; returns a context
         dict or None when the whole block was filtered out."""
+        t0 = _time.perf_counter() if _PROF else 0.0
         staged = nat.parse_stage_batch(
             lines, refmap, FLAG_SKIP, primary_mask,
             4, 2, 2,
         )
+        if _PROF:
+            t0 = _tick("parse_stage", t0)
         stats.flags_not_matched += staged["flags_not_matched"]
         stats.ref_id_missing += staged["ref_id_missing"]
         stats.seq_missing += staged["seq_missing"]
@@ -181,6 +198,8 @@ def run_fast(
                 pad = np.repeat(arr[:1], n_pad, axis=0)
                 kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
 
+        if _PROF:
+            t0 = _tick("stage_arrays", t0)
         out = rewrite_device_kernel_packed(
             bp.index,
             bp._ref_flat,
@@ -194,6 +213,8 @@ def run_fast(
             R,
             Lq,
         )
+        if _PROF:
+            t0 = _tick("rewrite_dispatch", t0)
 
         # host mate projection, vectorised per distinct mate reference
         # (project_position, msa_index.hh:253-258)
@@ -230,7 +251,10 @@ def run_fast(
 
         staged = ctx["staged"]
         kept = ctx["kept"]
+        t0 = _time.perf_counter() if _PROF else 0.0
         dst_pos_a, d_run, main_code = fetch_rewrite_outputs(ctx["out"], ctx["R"])
+        if _PROF:
+            t0 = _tick("rewrite_fetch", t0)
         dst_pos_a = np.ascontiguousarray(dst_pos_a[:kept].astype(np.int32))
         d_run = d_run[:kept]
         main_code = main_code[:kept]
@@ -246,11 +270,13 @@ def run_fast(
             dst_pos_a,
         )
         nruns = len(indel_b) // 36
+        if _PROF:
+            t0 = _tick("finalize", t0)
 
         rh = None
         Rp = Qp = S = 0
         if nruns:
-            t0 = _time.perf_counter_ns()
+            t0 = t0p = _time.perf_counter_ns()
             snap = ctx["snap"]
             ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
             ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b = (
@@ -280,7 +306,10 @@ def run_fast(
                 Qp,
             )
             bp.realignment_time_ns += _time.perf_counter_ns() - t0
-
+            if _PROF:
+                prof["realign_stage"] = prof.get("realign_stage", 0.0) + (
+                    _time.perf_counter_ns() - t0p
+                ) / 1e9
         ctx.update(
             dst_pos=dst_pos_a,
             run_ops=run_ops_b,
@@ -302,6 +331,10 @@ def run_fast(
             t0 = _time.perf_counter_ns()
             realn_ops, realn_counts = jax.device_get(ctx["rh"])
             bp.realignment_time_ns += _time.perf_counter_ns() - t0
+            if _PROF:
+                prof["realign_fetch"] = prof.get("realign_fetch", 0.0) + (
+                    _time.perf_counter_ns() - t0
+                ) / 1e9
             realn_ops = np.ascontiguousarray(realn_ops)
             realn_counts = np.ascontiguousarray(realn_counts)
             steps = ctx["steps"]
@@ -311,6 +344,7 @@ def run_fast(
             steps = 0
 
         staged = ctx["staged"]
+        tsp = _time.perf_counter() if _PROF else 0.0
         blob, removed, (n_realn, tot_len, cells), rows, tasks_used = (
             nat.splice_apply_format(
                 staged["arena"], staged["spans"], staged["line_index"],
@@ -325,6 +359,8 @@ def run_fast(
                 format_float,
             )
         )
+        if _PROF:
+            _tick("splice_format", tsp)
         state["task_counter"] += tasks_used
         stats.realigned_range_count += n_realn
         stats.realigned_range_total_length += tot_len
@@ -333,7 +369,10 @@ def run_fast(
             stats.removed_tag_counts[k] = stats.removed_tag_counts.get(k, 0) + v
         if rows is not None and realigned_ranges is not None:
             realigned_ranges.extend(rows)
+        tw = _time.perf_counter() if _PROF else 0.0
         writer.write_raw(blob)
+        if _PROF:
+            _tick("write", tw)
 
     # ---- pipeline drive (mirrors the object path's threaded drain) -------
     MAX_IN_FLIGHT = max(1, cfg.pipeline_depth)
@@ -438,6 +477,10 @@ def run_fast(
         realign_flight.append(finish_rewrite(in_flight.popleft()))
     while realign_flight:
         finish_realign(realign_flight.popleft())
+    if _PROF:
+        total = sum(prof.values())
+        parts = ", ".join(f"{k} {v:.3f}s" for k, v in sorted(prof.items()))
+        log_time(f"[fastlane prof] {parts} (sum {total:.3f}s)")
 
 
 def _next_pow2(n: int) -> int:
