@@ -319,7 +319,7 @@ def _kernel_metrics(
             return acc + out[5][2], query
         return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[6]))[0]
 
-    jax.block_until_ready(fused_loop(dev, 1))  # compile + warm
+    jax.block_until_ready(fused_loop(dev, iters))  # compile + warm
     t0 = time.perf_counter()
     jax.block_until_ready(fused_loop(dev, iters))
     dt = time.perf_counter() - t0
@@ -348,7 +348,7 @@ def _kernel_metrics(
         return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), qp))[0]
 
     rw_args = dev[:6]
-    jax.block_until_ready(rewrite_loop(rw_args, packed, 1))
+    jax.block_until_ready(rewrite_loop(rw_args, packed, iters))  # compile + warm
     t0 = time.perf_counter()
     jax.block_until_ready(rewrite_loop(rw_args, packed, iters))
     dt = time.perf_counter() - t0
@@ -388,7 +388,7 @@ def _kernel_metrics(
             return acc + counts[0], ref
         return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), ref))[0]
 
-    jax.block_until_ready(dp_loop(dref, dq, drl, dql, zq, zq2, 1))
+    jax.block_until_ready(dp_loop(dref, dq, drl, dql, zq, zq2, iters))  # compile + warm
     t0 = time.perf_counter()
     jax.block_until_ready(dp_loop(dref, dq, drl, dql, zq, zq2, iters))
     dt = time.perf_counter() - t0
