@@ -209,3 +209,109 @@ def test_fastlane_odd_batch_sizes(msa_files, founder_seqs, tmp_path):
             device_batch_size=bs,
         )
         assert fast[0] == slow[0], f"batch size {bs}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fastlane_fuzz_equivalence(msa_files, founder_seqs, tmp_path, seed):
+    """Randomized differential test: arbitrary flags/CIGARs/tags/mates
+    must produce identical bytes through both lanes."""
+    rng = np.random.default_rng(100 + seed)
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    names = [s for s in stripped if s != "REF"]
+    lines = ["@HD\tVN:1.6"]
+    for sid, s in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(s)}")
+
+    def rand_cigar(read_len):
+        """Valid CIGAR consuming read_len query bases."""
+        parts = []
+        q = 0
+        if rng.random() < 0.3:
+            h = int(rng.integers(1, 5))
+            parts.append(f"{h}H")
+        if rng.random() < 0.3:
+            sc = int(rng.integers(1, 8))
+            parts.append(f"{sc}S")
+            q += sc
+        while q < read_len:
+            r = rng.random()
+            n = int(rng.integers(1, min(20, read_len - q) + 1))
+            if r < 0.55:
+                parts.append(f"{n}=")
+                q += n
+            elif r < 0.7:
+                parts.append(f"{n}X")
+                q += n
+            elif r < 0.8:
+                parts.append(f"{n}I")
+                q += n
+            elif r < 0.9:
+                parts.append(f"{int(rng.integers(1, 6))}D")
+            elif r < 0.95:
+                parts.append(f"{int(rng.integers(1, 4))}P")
+            else:
+                parts.append(f"{int(rng.integers(1, 6))}N")
+        if rng.random() < 0.2:
+            parts.append(f"{int(rng.integers(1, 5))}H")
+        return "".join(parts), q
+
+    def rand_tags():
+        out = []
+        for _ in range(int(rng.integers(0, 6))):
+            r = rng.random()
+            if r < 0.3:
+                out.append(
+                    f"{rng.choice(['AS','XS','NM','ZZ','xy'])}:i:"
+                    f"{int(rng.integers(-1000, 1000))}"
+                )
+            elif r < 0.45:
+                out.append(f"ZF:f:{rng.choice(['1.5','-0.25','2','1e2','0.1'])}")
+            elif r < 0.6:
+                out.append(f"MD:Z:{int(rng.integers(0, 100))}A{int(rng.integers(0, 50))}")
+            elif r < 0.7:
+                out.append("XA:A:" + chr(int(rng.integers(33, 126))))
+            elif r < 0.85:
+                sub = rng.choice(["c", "C", "s", "S", "i", "I"])
+                items = ",".join(
+                    str(int(rng.integers(0, 100))) for _ in range(int(rng.integers(0, 4)))
+                )
+                out.append(f"ZB:B:{sub}" + ("," + items if items else ""))
+            else:
+                out.append("CO:Z:free text 123")
+        return out
+
+    for i in range(150):
+        sid = names[int(rng.integers(len(names)))]
+        s = stripped[sid]
+        read_len = int(rng.integers(20, 120))
+        pos = int(rng.integers(0, len(s) - 200))
+        cigar, qlen = rand_cigar(read_len)
+        seq = s[pos:pos + qlen].decode() if qlen else "A"
+        if qlen == 0:
+            cigar = "1="
+            qlen = 1
+        flag = int(rng.choice([0, 16, 1 | 32, 1 | 16, 4, 1024, 256, 512]))
+        if rng.random() < 0.3:
+            rnext, pnext = "=", int(rng.integers(1, len(s)))
+        elif rng.random() < 0.5:
+            other = names[int(rng.integers(len(names)))]
+            rnext, pnext = f"test/{other}", int(rng.integers(1, 1000))
+        else:
+            rnext, pnext = "*", 0
+        qual = "".join(chr(33 + int(x)) for x in rng.integers(0, 42, qlen))
+        fields = [
+            f"q{i}", str(flag), f"test/{sid}", str(pos + 1),
+            str(int(rng.integers(0, 61))), cigar, rnext, str(pnext),
+            str(int(rng.integers(-500, 500))), seq, qual,
+        ] + rand_tags()
+        lines.append("\t".join(fields))
+    sam = ("\n".join(lines) + "\n").encode()
+
+    index_path, _, _ = msa_files
+    fast = _run(sam, index_path, tmp_path, fastlane=True, name=f"fz{seed}",
+                device_batch_size=16)
+    slow = _run(sam, index_path, tmp_path, fastlane=False, name=f"sz{seed}",
+                device_batch_size=16)
+    assert fast[0] == slow[0]
+    assert fast[2] == slow[2]
+    assert fast[1].removed_tag_counts == slow[1].removed_tag_counts
