@@ -172,7 +172,7 @@ def _run() -> None:
     with open(ref_path, "wb") as fh:
         fh.write(b">test\n" + ref_seq + b"\n")
 
-    batch_size = 4096
+    batch_size = 8192
     n = 12 * batch_size
     records = synthesise_records(founders, n)
     lines = ["@HD\tVN:1.6"]

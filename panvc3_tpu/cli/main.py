@@ -153,7 +153,7 @@ def cmd_project_alignments(argv=None) -> int:
     p.add_argument("-g", "--gap-opening-cost", type=int, default=0)
     p.add_argument("-e", "--gap-extension-cost", type=int, default=-1)
     p.add_argument("--engine", choices=("host", "device"), default="device")
-    p.add_argument("--device-batch-size", type=int, default=4096)
+    p.add_argument("--device-batch-size", type=int, default=8192)
     p.add_argument(
         "--pipeline-depth",
         type=int,
