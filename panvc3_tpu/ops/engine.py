@@ -23,9 +23,9 @@ from .rank_select import DeviceGapIndex
 from .realign_batch import realign_batch_finish, realign_batch_start
 from .rewrite_batch import (
     expand_cigars,
-    fetch_rewrite_outputs,
-    pack_query,
-    rewrite_device_kernel_packed,
+    fetch_gap_outputs,
+    reconstruct_main_code,
+    rewrite_gap_kernel_packed,
 )
 
 import jax
@@ -82,14 +82,13 @@ class BatchProjector:
             self.index = replicate(mesh, self.index)
 
         # Flat reference buffer; rebuilt when new chromosomes get loaded.
-        self._ref_flat = np.zeros(0, dtype=np.uint8)
+        self._ref_flat = None
+        self._ref_flat_host = np.zeros(0, dtype=np.uint8)
         self._ref_off: dict[int, int] = {}
 
     def _ensure_refs(self, ref_seqs: dict[int, bytes]) -> None:
         if set(ref_seqs) == set(self._ref_off):
             return
-        import jax
-
         parts = []
         off = 0
         self._ref_off = {}
@@ -97,14 +96,28 @@ class BatchProjector:
             self._ref_off[rid] = off
             parts.append(np.frombuffer(seq, dtype=np.uint8))
             off += len(seq)
-        flat = np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
-        # keep resident on device; rebuilt only when a new chromosome loads
-        if self.mesh is not None:
-            from ..parallel.mesh import replicate
+        # host-resident flat reference (the gap-geometry kernel never ships
+        # reference bytes to the device; the =/X comparison is host work)
+        self._ref_flat_host = (
+            np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
+        )
+        self._ref_flat = None  # device copy built lazily (fused path only)
 
-            self._ref_flat = replicate(self.mesh, jax.numpy.asarray(flat))
-        else:
-            self._ref_flat = jax.device_put(flat)
+    @property
+    def ref_flat_dev(self):
+        """Device copy of the flat reference (fused kernel path only)."""
+        if self._ref_flat is None:
+            import jax
+
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                self._ref_flat = replicate(
+                    self.mesh, jax.numpy.asarray(self._ref_flat_host)
+                )
+            else:
+                self._ref_flat = jax.device_put(self._ref_flat_host)
+        return self._ref_flat
 
     # fused-path shape buckets (overflow falls back to the split path)
     FUSED_RUN_PAD = 16
@@ -153,14 +166,14 @@ class BatchProjector:
             pad_ref_units=max(2, _next_pow2(max_ref_units)),
             pad_query=max(2, _next_pow2(max_q)),
         )
+        # the split path's gap-geometry kernel needs only these four arrays
+        # (16 B/record on the wire); the fused path additionally uses the
+        # unpadded batch arrays directly
         kernel_inputs = dict(
             src_seq=batch.src_seq,
             dst_seq=batch.dst_seq,
             rec_src_pos=batch.rec_src_pos,
-            ref_off=batch.ref_off,
-            ops=batch.ops,
-            counts=batch.counts,
-            query=batch.query,
+            n_ref_units=batch.n_ref_units,
         )
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
         use_fused = (
@@ -198,14 +211,14 @@ class BatchProjector:
 
             out = fused_projection_kernel(
                 self.index,
-                self._ref_flat,
-                kernel_inputs["src_seq"],
-                kernel_inputs["dst_seq"],
-                kernel_inputs["rec_src_pos"],
-                kernel_inputs["ref_off"],
-                kernel_inputs["ops"],
-                kernel_inputs["counts"],
-                kernel_inputs["query"],
+                self.ref_flat_dev,
+                batch.src_seq,
+                batch.dst_seq,
+                batch.rec_src_pos,
+                batch.ref_off,
+                batch.ops,
+                batch.counts,
+                batch.query,
                 np.float32(self.gap_opening_cost),
                 np.float32(self.gap_extension_cost),
                 batch.pad_ref_units,
@@ -216,20 +229,18 @@ class BatchProjector:
             )
             return ("fused", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg)
 
-        out = rewrite_device_kernel_packed(
+        out = rewrite_gap_kernel_packed(
             self.index,
-            self._ref_flat,
             kernel_inputs["src_seq"],
             kernel_inputs["dst_seq"],
             kernel_inputs["rec_src_pos"],
-            kernel_inputs["ref_off"],
-            kernel_inputs["ops"],
-            kernel_inputs["counts"],
-            pack_query(np.asarray(kernel_inputs["query"])),
+            kernel_inputs["n_ref_units"],
             batch.pad_ref_units,
-            batch.query.shape[1],
         )
-        return ("split", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad)
+        # snapshot the host reference flat: a later batch's _ensure_refs may
+        # rebuild it while this batch is still in flight
+        return ("split", records, queries, dst_ref_ids, batch, out, ref_seqs,
+                cfg, n_pad, self._ref_flat_host)
 
     def finish_batch(self, handle) -> list[ProjectionResult]:
         """Fetch and post-process a batch started with start_batch."""
@@ -248,13 +259,19 @@ class BatchProjector:
             return None
         if handle[0] == "fused":
             return ("fused_done", self._finish_fused(handle))
-        _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad = handle
+        (_, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad,
+         ref_flat_host) = handle
         b = len(records)
-        dst_pos_a, d_run, main_code = fetch_rewrite_outputs(out, batch.pad_ref_units)
+        dst_pos_a, d_run, isgap = fetch_gap_outputs(out, batch.pad_ref_units)
         if n_pad:
             dst_pos_a = dst_pos_a[:b]
             d_run = d_run[:b]
-            main_code = main_code[:b]
+            isgap = isgap[:b]
+        main_code = reconstruct_main_code(
+            batch.unit_op, batch.unit_count, batch.unit_rec, b,
+            batch.pad_ref_units, dst_pos_a.astype(np.int32), d_run, isgap,
+            np.asarray(batch.query), ref_flat_host, batch.ref_off,
+        )
 
         native = get_native()
         if native is not None:

@@ -370,6 +370,183 @@ def finalize_rewrite(
     return positions, cigars
 
 
+# ---------------------------------------------------------------------------
+# Gap-geometry kernel ("rewrite v3"): the device computes ONLY the
+# coordinate/gap structure — per ref unit its inter-position deletion run
+# and whether the destination column is a gap.  The =/X character
+# comparison is host work (the host already holds the query and the
+# reference contig bytes), so neither the query nor the reference ships to
+# the device at all.  Wire cost drops from ~220 B/read to ~60 B/read and
+# the kernel loses the two character gathers; profiling showed the tool
+# fetch-bound on exactly those bytes.
+#
+# Inputs per record: src/dst sequence ids, source position, ref-unit count
+# (16 B).  Outputs: dst_pos, isgap bitmask (R/8 B), sparse deletion runs.
+# ---------------------------------------------------------------------------
+
+
+def _gap_math(index, src_seq, dst_seq, rec_src_pos, n_ref_units, R):
+    """(initial dst positions, d_run int32[B, R], isgap int32[B, R])."""
+    r = jnp.arange(R, dtype=jnp.int32)[None, :]
+    valid = r < n_ref_units[:, None]
+    pos = jnp.where(valid, rec_src_pos[:, None] + r, 0)
+    s = src_seq[:, None]
+    d = dst_seq[:, None]
+    aligned = index.select0(s, pos + 1)
+    excess, isgap = index.rank0_and_bit(d, aligned)
+    initial = index.rank0(dst_seq, index.select0(src_seq, rec_src_pos + 1))
+    isgap = jnp.where(valid, isgap, 0)
+    nongap = jnp.where(valid, 1 - isgap, 0)
+    prev_excess = jnp.concatenate(
+        [initial[:, None], (excess + nongap)[:, :-1]], axis=1
+    )
+    d_run = jnp.where(valid, jnp.maximum(excess - prev_excess, 0), 0).astype(
+        jnp.int32
+    )
+    return initial, d_run, isgap
+
+
+def _gap_math_packed(index, src_seq, dst_seq, rec_src_pos, n_ref_units, R):
+    """Gap kernel with wire-packed outputs: isgap as a bitmask and the
+    (rare) non-zero deletion runs as per-record sparse slots."""
+    initial, d_run, isgap = _gap_math(
+        index, src_seq, dst_seq, rec_src_pos, n_ref_units, R
+    )
+    B = d_run.shape[0]
+    # bitmask: 8 units per byte, little-endian bit order
+    bits = isgap.astype(jnp.uint8).reshape(B, R // 8, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+    gapbits = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
+
+    nz = d_run > 0
+    slot = jnp.cumsum(nz.astype(jnp.int32), axis=1) - 1
+    d_n = jnp.sum(nz, axis=1).astype(jnp.int32)
+    K = D_SPARSE_SLOTS
+    scatter_to = jnp.where(nz, jnp.clip(slot, 0, K - 1), K)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], d_run.shape)
+    d_vals = jnp.zeros((B, K), jnp.uint8).at[
+        bidx.reshape(-1), scatter_to.reshape(-1)
+    ].set(jnp.minimum(d_run, 255).astype(jnp.uint8).reshape(-1), mode="drop")
+    d_pos = jnp.zeros((B, K), jnp.uint8).at[
+        bidx.reshape(-1), scatter_to.reshape(-1)
+    ].set(
+        jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None, :], d_run.shape
+        ).astype(jnp.uint8).reshape(-1),
+        mode="drop",
+    )
+    overflow = (
+        jnp.sum(jnp.where(d_n > K, 1, 0))
+        + jnp.sum(jnp.where(d_run >= 255, 1, 0))
+        + jnp.where(R > 255, 1, 0)
+    ).astype(jnp.int32)
+    return initial, gapbits, d_vals, d_pos, d_n, overflow, d_run
+
+
+rewrite_gap_kernel_packed = jax.jit(_gap_math_packed, static_argnames=("R",))
+
+
+def fetch_gap_outputs(out, R: int):
+    """(dst_pos, d_run int32[B, R], isgap uint8[B, R]) from the packed gap
+    kernel; falls back to the full deletion-run array only on overflow."""
+    dst_pos, gapbits, d_vals, d_pos, d_n, overflow = jax.device_get(out[:6])
+    b = dst_pos.shape[0]
+    isgap = np.unpackbits(gapbits, axis=1, bitorder="little", count=R)
+    if int(overflow):
+        d_run = jax.device_get(out[6])
+    else:
+        d_run = np.zeros((b, R), dtype=np.int32)
+        k = np.arange(D_SPARSE_SLOTS)[None, :]
+        valid = k < d_n[:, None]
+        rows = np.broadcast_to(np.arange(b)[:, None], valid.shape)[valid]
+        d_run[rows, d_pos[valid].astype(np.int64)] = d_vals[valid]
+    return dst_pos, d_run, isgap
+
+
+def reconstruct_main_code(
+    unit_op: np.ndarray,     # int8[total_units] flat unit stream
+    unit_count: np.ndarray,  # int32[total_units]
+    unit_rec: np.ndarray,    # int32[total_units]
+    b: int,
+    R: int,
+    dst_pos: np.ndarray,     # int32[B]
+    d_run: np.ndarray,       # int32[B, R]
+    isgap: np.ndarray,       # uint8[B, R] (zero beyond the valid region)
+    query2d: np.ndarray,     # uint8[B, Lq] dna5-normalised
+    ref_flat: np.ndarray,    # uint8[] raw host reference bytes (concat)
+    ref_off: np.ndarray,     # int32[B] per-record offset into ref_flat
+) -> np.ndarray:
+    """Host-side emitted-op reconstruction (the character-comparison half
+    of rewrite_cigar.hh:80-152): given the device's gap geometry, compare
+    query vs reference bytes locally and emit =/X/I/D/CODE_NONE per ref
+    unit.  Matches rewrite_math's main_code on the valid region exactly
+    (the device clamps the query index the same way)."""
+    unit_op = np.asarray(unit_op)
+    unit_count = np.asarray(unit_count, dtype=np.int64)
+    unit_rec = np.asarray(unit_rec)
+    is_ref = _IS_REF_OP[unit_op]
+    is_m = _IS_MTYPE_OP[unit_op]
+    is_q = _IS_QUERY_OP[unit_op]
+
+    # per-unit exclusive query prefix within each record
+    qc = np.where(is_m | is_q, unit_count, 0)
+    cq = np.cumsum(qc)
+    excl_q = cq - qc
+    if len(unit_rec):
+        starts = np.r_[0, np.flatnonzero(np.diff(unit_rec)) + 1]
+        present = unit_rec[starts]
+        first_q = np.zeros(b, dtype=np.int64)
+        first_q[present] = excl_q[starts]
+        qpos_flat = excl_q - first_q[unit_rec]
+        # within-record ref-unit column
+        isr = is_ref.astype(np.int64)
+        cr = np.cumsum(isr)
+        excl_r = cr - isr
+        first_r = np.zeros(b, dtype=np.int64)
+        first_r[present] = excl_r[starts]
+        col_flat = excl_r - first_r[unit_rec]
+    else:
+        qpos_flat = np.zeros(0, dtype=np.int64)
+        col_flat = np.zeros(0, dtype=np.int64)
+
+    rows = unit_rec[is_ref]
+    col = col_flat[is_ref]
+    mtype_u = is_m[is_ref]
+    qpos_u = qpos_flat[is_ref]
+
+    # reference position per unit: excess = dst_pos + cum(d_run) +
+    # shifted-cum(nongap) (the prev_excess recurrence of rewrite_math;
+    # contributions beyond the valid region only affect positions that are
+    # never gathered)
+    cum_d = np.cumsum(d_run, axis=1, dtype=np.int64)
+    ng = (1 - isgap).astype(np.int64)
+    cum_ng = np.concatenate(
+        [np.zeros((b, 1), np.int64), np.cumsum(ng, axis=1)[:, :-1]], axis=1
+    )
+    excess = dst_pos[:, None].astype(np.int64) + cum_d + cum_ng
+
+    refpos = excess[rows, col]
+    # clamp like the device gather (jax clips out-of-bounds indices); only
+    # out-of-range units on malformed records reach the clamp
+    ref_flat = np.asarray(ref_flat)
+    idx = np.clip(
+        ref_off[rows].astype(np.int64) + refpos, 0, max(0, len(ref_flat) - 1)
+    )
+    dst_char = ref_flat[idx]
+    lq = query2d.shape[1]
+    qchar = query2d[rows, np.minimum(qpos_u, lq - 1)]
+    gap = isgap[rows, col].astype(bool)
+    eq = qchar == dst_char
+    code_u = np.where(
+        mtype_u,
+        np.where(gap, I, np.where(eq, EQ, X)),
+        np.where(gap, CODE_NONE, D),
+    ).astype(np.int8)
+    main_code = np.full((b, R), CODE_NONE, np.int8)
+    main_code[rows, col] = code_u
+    return main_code
+
+
 def rewrite_batch(
     index: DeviceGapIndex,
     ref_flat,

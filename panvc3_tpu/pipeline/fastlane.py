@@ -65,9 +65,9 @@ def run_fast(
 
     from ..ops.realign_batch import realign_device_kernel
     from ..ops.rewrite_batch import (
-        fetch_rewrite_outputs,
-        pack_query,
-        rewrite_device_kernel_packed,
+        fetch_gap_outputs,
+        reconstruct_main_code,
+        rewrite_gap_kernel_packed,
     )
     from .project_alignments import PRESERVED_TAGS
 
@@ -176,19 +176,16 @@ def run_fast(
             off[k] = v
 
         O, R, Lq = staged["O"], staged["R"], staged["Lq"]
-        ops2d = np.frombuffer(staged["ops"], np.int8).reshape(kept, O)
-        counts2d = np.frombuffer(staged["counts"], np.int32).reshape(kept, O)
-        query2d = np.frombuffer(staged["query"], np.uint8).reshape(kept, Lq)
 
+        # gap-geometry kernel inputs only (16 B/record on the wire); the
+        # query/reference stay host-side for the C/numpy comparison
         kernel_inputs = dict(
             src_seq=src_dev[ref_id],
             dst_seq=dst_dev[dst_rids],
             rec_src_pos=np.ascontiguousarray(fields[:, 2]),
-            ref_off=state["ref_off"][dst_rids],
-            ops=ops2d,
-            counts=counts2d,
-            query=query2d,
+            n_ref_units=np.frombuffer(staged["n_ref_units"], np.int32),
         )
+        ref_off_rec = state["ref_off"][dst_rids]
         # batch-dimension bucketing (same scheme as BatchProjector.start_batch)
         target = batch_size
         bucket = min(target, _next_pow2(kept))
@@ -200,18 +197,13 @@ def run_fast(
 
         if _PROF:
             t0 = _tick("stage_arrays", t0)
-        out = rewrite_device_kernel_packed(
+        out = rewrite_gap_kernel_packed(
             bp.index,
-            bp._ref_flat,
             kernel_inputs["src_seq"],
             kernel_inputs["dst_seq"],
             kernel_inputs["rec_src_pos"],
-            kernel_inputs["ref_off"],
-            kernel_inputs["ops"],
-            kernel_inputs["counts"],
-            pack_query(kernel_inputs["query"]),
+            kernel_inputs["n_ref_units"],
             R,
-            Lq,
         )
         if _PROF:
             t0 = _tick("rewrite_dispatch", t0)
@@ -241,6 +233,8 @@ def run_fast(
             "R": R,
             "Lq": Lq,
             "snap": snap,
+            "ref_off_rec": ref_off_rec,
+            "ref_flat_host": bp._ref_flat_host,
         }
 
     def finish_rewrite(ctx):
@@ -252,12 +246,20 @@ def run_fast(
         staged = ctx["staged"]
         kept = ctx["kept"]
         t0 = _time.perf_counter() if _PROF else 0.0
-        dst_pos_a, d_run, main_code = fetch_rewrite_outputs(ctx["out"], ctx["R"])
+        dst_pos_a, d_run, isgap = fetch_gap_outputs(ctx["out"], ctx["R"])
         if _PROF:
             t0 = _tick("rewrite_fetch", t0)
         dst_pos_a = np.ascontiguousarray(dst_pos_a[:kept].astype(np.int32))
         d_run = d_run[:kept]
-        main_code = main_code[:kept]
+        isgap = isgap[:kept]
+        main_code = reconstruct_main_code(
+            np.frombuffer(staged["unit_op"], np.int8),
+            np.frombuffer(staged["unit_count"], np.int32),
+            np.frombuffer(staged["unit_rec"], np.int32),
+            kept, ctx["R"], dst_pos_a, d_run, isgap,
+            np.frombuffer(staged["query"], np.uint8).reshape(kept, ctx["Lq"]),
+            ctx["ref_flat_host"], ctx["ref_off_rec"],
+        )
 
         n_ref_units = np.frombuffer(staged["n_ref_units"], np.int32)
         valid = np.arange(ctx["R"])[None, :] < n_ref_units[:, None]
