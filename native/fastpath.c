@@ -1400,3 +1400,291 @@ cleanup_null:
     PyBuffer_Release(&preserved_b);
     return NULL;
 }
+
+/* ------------------------------------------------------------------ */
+/* finalize_reconstruct: finalize_rewrite + host character comparison in
+ * one pass (rewrite v3).  The device ships only gap geometry (dst_pos,
+ * isgap bitmask, sparse deletion runs); the emitted op per ref unit is
+ * reconstructed here by comparing the dna5-normalised query byte against
+ * the raw reference byte (rewrite_cigar.hh:80-152 semantics; index
+ * clamped like the device gather).
+ *
+ * finalize_reconstruct(unit_op y*, unit_count y*, rec_n_units y*,
+ *                      dst_pos y*(i32 B),
+ *                      d_vals y*(u8 B*K), d_pos y*(u8 B*K), d_n y*(i32 B),
+ *                      K, d_full y*(i32 B*R or empty), use_full,
+ *                      gapbits y*(u8 B*ceil(R/8)), R,
+ *                      query y*(u8 B*Lq), Lq,
+ *                      ref_list (list: dst ref id -> bytes), dst_rids y*)
+ *   -> (run_ops, run_lens, runs_per_rec, indel i32[n*9])  (same as
+ *      finalize_rewrite)                                               */
+PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
+{
+    Py_buffer uop_b, ucnt_b, nunits_b, dstpos_b;
+    Py_buffer dvals_b, dpos_b, dn_b, dfull_b, gap_b, query_b, dstrid_b;
+    PyObject *ref_list;
+    long K, use_full, R, Lq;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*ly*ly*ly*lO!y*",
+                          &uop_b, &ucnt_b, &nunits_b, &dstpos_b,
+                          &dvals_b, &dpos_b, &dn_b, &K,
+                          &dfull_b, &use_full, &gap_b, &R,
+                          &query_b, &Lq, &PyList_Type, &ref_list,
+                          &dstrid_b))
+        return NULL;
+    dna5_init();
+
+    const int8_t *unit_op = uop_b.buf;
+    const int32_t *unit_count = ucnt_b.buf;
+    const int32_t *rec_n_units = nunits_b.buf;
+    const int32_t *dst_pos = dstpos_b.buf;
+    const uint8_t *d_vals = dvals_b.buf;
+    const uint8_t *d_pos = dpos_b.buf;
+    const int32_t *d_n = dn_b.buf;
+    const int32_t *d_full = dfull_b.buf;
+    const uint8_t *gapbits = gap_b.buf;
+    const unsigned char *query = query_b.buf;
+    const int32_t *dst_rids = dstrid_b.buf;
+
+    Py_ssize_t total_units = uop_b.len;
+    Py_ssize_t n_rec = nunits_b.len / sizeof(int32_t);
+    Py_ssize_t gap_stride = n_rec ? gap_b.len / n_rec : 0;
+
+    Py_ssize_t cap = total_units * 2 + 16;
+    int8_t *run_ops = PyMem_Malloc(cap);
+    int32_t *run_lens = PyMem_Malloc(cap * sizeof(int32_t));
+    int32_t *runs_per_rec = PyMem_Malloc(n_rec * sizeof(int32_t));
+    int32_t *indel = NULL;
+    size_t indel_cap = 0, n_indel = 0;
+    if (!run_ops || !run_lens || !runs_per_rec) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+
+    #define INDEL_ROW2(REC, RL, RLEN, QL, QLEN, CF, CE, CR, CQ)           \
+        do {                                                              \
+            if ((n_indel + 1) * 9 > indel_cap) {                          \
+                size_t ncap = indel_cap ? indel_cap * 2 : 9 * 64;         \
+                int32_t *ni = PyMem_Realloc(indel, ncap * sizeof(int32_t)); \
+                if (!ni) {                                                \
+                    PyErr_NoMemory();                                     \
+                    goto fail;                                            \
+                }                                                         \
+                indel = ni;                                               \
+                indel_cap = ncap;                                         \
+            }                                                             \
+            int32_t *row_ = indel + n_indel * 9;                          \
+            row_[0] = (int32_t)(REC); row_[1] = (int32_t)(RL);            \
+            row_[2] = (int32_t)(RLEN); row_[3] = (int32_t)(QL);           \
+            row_[4] = (int32_t)(QLEN); row_[5] = (int32_t)(CF);           \
+            row_[6] = (int32_t)(CE); row_[7] = (int32_t)(CR);             \
+            row_[8] = (int32_t)(CQ);                                      \
+            ++n_indel;                                                    \
+        } while (0)
+
+    Py_ssize_t u = 0;      /* flat unit cursor */
+    Py_ssize_t out = 0;    /* emitted run cursor */
+
+    for (Py_ssize_t rec = 0; rec < n_rec; ++rec) {
+        Py_ssize_t rec_start = out;
+        int32_t nu = rec_n_units[rec];
+        int8_t cur_op = -1;
+        int64_t cur_len = 0;
+
+        const unsigned char *refc = NULL;
+        Py_ssize_t reflen = 0;
+        {
+            PyObject *ref_obj = PyList_GET_ITEM(ref_list, dst_rids[rec]);
+            char *rc_;
+            if (PyBytes_AsStringAndSize(ref_obj, &rc_, &reflen) < 0)
+                goto fail;
+            refc = (const unsigned char *)rc_;
+        }
+        const uint8_t *gb = gapbits + (size_t)rec * gap_stride;
+        const unsigned char *qrow = query + (size_t)rec * Lq;
+
+        int64_t ref_cursor = dst_pos[rec];
+        int64_t qpos = 0;
+        int32_t r = 0;              /* ref-unit index */
+        int32_t si = 0;             /* sparse deletion-run cursor */
+
+        #define EMIT2(OP, LEN)                                           \
+            do {                                                          \
+                if ((LEN) > 0) {                                          \
+                    if ((OP) == cur_op)                                   \
+                        cur_len += (LEN);                                 \
+                    else {                                                \
+                        if (cur_len > 0) {                                \
+                            run_ops[out] = cur_op;                        \
+                            run_lens[out] = (int32_t)cur_len;             \
+                            ++out;                                        \
+                        }                                                 \
+                        cur_op = (OP);                                    \
+                        cur_len = (LEN);                                  \
+                    }                                                     \
+                }                                                         \
+            } while (0)
+
+        for (int32_t k = 0; k < nu; ++k, ++u) {
+            int8_t op = unit_op[u];
+            int32_t cnt = unit_count[u];
+            if (pv3_is_ref_op(op)) {
+                int32_t d;
+                if (use_full) {
+                    d = d_full[(size_t)rec * R + r];
+                } else if (si < d_n[rec] &&
+                           d_pos[(size_t)rec * K + si] == (uint8_t)r) {
+                    d = d_vals[(size_t)rec * K + si];
+                    ++si;
+                } else {
+                    d = 0;
+                }
+                int gap = (gb[r >> 3] >> (r & 7)) & 1;
+                ref_cursor += d;
+                EMIT2(OP_D, d);
+                if (pv3_is_mtype_op(op)) {
+                    int8_t code;
+                    if (gap) {
+                        code = OP_I;
+                    } else {
+                        int64_t qi = qpos < Lq - 1 ? qpos : Lq - 1;
+                        int64_t ri = ref_cursor;
+                        if (ri < 0)
+                            ri = 0;
+                        if (ri > reflen - 1)
+                            ri = reflen > 0 ? reflen - 1 : 0;
+                        unsigned char qc = qrow[qi];
+                        unsigned char rc = reflen ? refc[ri] : 0;
+                        code = (qc == rc) ? OP_EQ : OP_X;
+                    }
+                    EMIT2(code, 1);
+                    qpos += 1;
+                } else {
+                    /* D/N unit: dst gap drops it, non-gap keeps 'D' */
+                    if (!gap)
+                        EMIT2(OP_D, 1);
+                }
+                ref_cursor += gap ? 0 : 1;
+                ++r;
+            } else {
+                if (op == OP_I || op == OP_S)
+                    qpos += cnt;
+                EMIT2(op, cnt);
+            }
+        }
+        if (cur_len > 0) {
+            run_ops[out] = cur_op;
+            run_lens[out] = (int32_t)cur_len;
+            ++out;
+        }
+        #undef EMIT2
+        runs_per_rec[rec] = (int32_t)(out - rec_start);
+
+        /* indel-run detection over [rec_start, out) (checker semantics,
+         * indel_run_checker.cc:31-121) — identical to finalize_rewrite */
+        {
+            int64_t ref_pos = dst_pos[rec], query_pos = 0;
+            int64_t ref_loc = ref_pos, query_loc = 0;
+            Py_ssize_t cig_first = 0;
+            int run_type = 0;
+            Py_ssize_t n_ops_rec = out - rec_start;
+            for (Py_ssize_t i = 0; i < n_ops_rec; ++i) {
+                int64_t ref_before = ref_pos, query_before = query_pos;
+                int prev_type = run_type;
+                if (run_type == 0) {
+                    ref_loc = ref_pos;
+                    query_loc = query_pos;
+                    cig_first = i;
+                }
+                int8_t op = run_ops[rec_start + i];
+                int32_t count = run_lens[rec_start + i];
+                int report = 0;
+                switch (op) {
+                case OP_H: case OP_P:
+                    run_type = 0;
+                    report = (prev_type == 3);
+                    break;
+                case OP_I:
+                    query_pos += count;
+                    run_type |= 1;
+                    break;
+                case OP_D:
+                    ref_pos += count;
+                    run_type |= 2;
+                    break;
+                case OP_S:
+                    query_pos += count;
+                    run_type = 0;
+                    report = (prev_type == 3);
+                    break;
+                case OP_N:
+                    ref_pos += count;
+                    run_type = 0;
+                    report = (prev_type == 3);
+                    break;
+                default:
+                    ref_pos += count;
+                    query_pos += count;
+                    run_type = 0;
+                    report = (prev_type == 3);
+                    break;
+                }
+                if (report)
+                    INDEL_ROW2(rec, ref_loc, ref_before - ref_loc,
+                               query_loc, query_before - query_loc,
+                               cig_first, i, ref_pos, query_pos);
+            }
+            if (run_type == 3)
+                INDEL_ROW2(rec, ref_loc, ref_pos - ref_loc,
+                           query_loc, query_pos - query_loc,
+                           cig_first, n_ops_rec, ref_pos, query_pos);
+        }
+    }
+    #undef INDEL_ROW2
+
+    {
+        PyObject *res = Py_BuildValue(
+            "(y#y#y#y#)",
+            (char *)run_ops, (Py_ssize_t)out,
+            (char *)run_lens, (Py_ssize_t)(out * sizeof(int32_t)),
+            (char *)runs_per_rec, (Py_ssize_t)(n_rec * sizeof(int32_t)),
+            (char *)(indel ? indel : (int32_t *)""),
+            (Py_ssize_t)(n_indel * 9 * sizeof(int32_t)));
+        PyMem_Free(run_ops);
+        PyMem_Free(run_lens);
+        PyMem_Free(runs_per_rec);
+        PyMem_Free(indel);
+        goto release;
+        (void)res;
+    release:
+        PyBuffer_Release(&uop_b);
+        PyBuffer_Release(&ucnt_b);
+        PyBuffer_Release(&nunits_b);
+        PyBuffer_Release(&dstpos_b);
+        PyBuffer_Release(&dvals_b);
+        PyBuffer_Release(&dpos_b);
+        PyBuffer_Release(&dn_b);
+        PyBuffer_Release(&dfull_b);
+        PyBuffer_Release(&gap_b);
+        PyBuffer_Release(&query_b);
+        PyBuffer_Release(&dstrid_b);
+        return res;
+    }
+
+fail:
+    PyMem_Free(run_ops);
+    PyMem_Free(run_lens);
+    PyMem_Free(runs_per_rec);
+    PyMem_Free(indel);
+    PyBuffer_Release(&uop_b);
+    PyBuffer_Release(&ucnt_b);
+    PyBuffer_Release(&nunits_b);
+    PyBuffer_Release(&dstpos_b);
+    PyBuffer_Release(&dvals_b);
+    PyBuffer_Release(&dpos_b);
+    PyBuffer_Release(&dn_b);
+    PyBuffer_Release(&dfull_b);
+    PyBuffer_Release(&gap_b);
+    PyBuffer_Release(&query_b);
+    PyBuffer_Release(&dstrid_b);
+    return NULL;
+}

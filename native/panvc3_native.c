@@ -1080,6 +1080,9 @@ static PyMethodDef methods[] = {
     {"splice_apply_format", pv3_splice_apply_format, METH_VARARGS,
      "Splice device results, apply tag surgery and format SAM text for a "
      "batch."},
+    {"finalize_reconstruct", pv3_finalize_reconstruct, METH_VARARGS,
+     "finalize_rewrite + host character comparison from gap geometry "
+     "(rewrite v3)."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -267,10 +267,13 @@ class BatchProjector:
             dst_pos_a = dst_pos_a[:b]
             d_run = d_run[:b]
             isgap = isgap[:b]
+        ref_lens = np.fromiter(
+            (len(ref_seqs[r]) for r in dst_ref_ids), dtype=np.int64, count=b
+        )
         main_code = reconstruct_main_code(
             batch.unit_op, batch.unit_count, batch.unit_rec, b,
             batch.pad_ref_units, dst_pos_a.astype(np.int32), d_run, isgap,
-            np.asarray(batch.query), ref_flat_host, batch.ref_off,
+            np.asarray(batch.query), ref_flat_host, batch.ref_off, ref_lens,
         )
 
         native = get_native()

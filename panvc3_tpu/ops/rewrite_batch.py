@@ -475,6 +475,7 @@ def reconstruct_main_code(
     query2d: np.ndarray,     # uint8[B, Lq] dna5-normalised
     ref_flat: np.ndarray,    # uint8[] raw host reference bytes (concat)
     ref_off: np.ndarray,     # int32[B] per-record offset into ref_flat
+    ref_len: np.ndarray | None = None,  # int64[B] per-record contig length
 ) -> np.ndarray:
     """Host-side emitted-op reconstruction (the character-comparison half
     of rewrite_cigar.hh:80-152): given the device's gap geometry, compare
@@ -526,9 +527,12 @@ def reconstruct_main_code(
     excess = dst_pos[:, None].astype(np.int64) + cum_d + cum_ng
 
     refpos = excess[rows, col]
-    # clamp like the device gather (jax clips out-of-bounds indices); only
-    # out-of-range units on malformed records reach the clamp
+    # clamp within the record's contig (matches the native
+    # finalize_reconstruct; only out-of-range units on malformed records
+    # reach the clamp)
     ref_flat = np.asarray(ref_flat)
+    if ref_len is not None:
+        refpos = np.clip(refpos, 0, np.maximum(ref_len[rows] - 1, 0))
     idx = np.clip(
         ref_off[rows].astype(np.int64) + refpos, 0, max(0, len(ref_flat) - 1)
     )

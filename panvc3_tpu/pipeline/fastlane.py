@@ -65,8 +65,7 @@ def run_fast(
 
     from ..ops.realign_batch import realign_device_kernel
     from ..ops.rewrite_batch import (
-        fetch_gap_outputs,
-        reconstruct_main_code,
+        D_SPARSE_SLOTS,
         rewrite_gap_kernel_packed,
     )
     from .project_alignments import PRESERVED_TAGS
@@ -246,30 +245,40 @@ def run_fast(
         staged = ctx["staged"]
         kept = ctx["kept"]
         t0 = _time.perf_counter() if _PROF else 0.0
-        dst_pos_a, d_run, isgap = fetch_gap_outputs(ctx["out"], ctx["R"])
+        dst_pos, gapbits, d_vals, d_pos, d_n, overflow = jax.device_get(
+            ctx["out"][:6]
+        )
+        use_full = int(overflow) != 0
+        if use_full:
+            d_full = np.ascontiguousarray(
+                jax.device_get(ctx["out"][6])[:kept]
+            )
+        else:
+            d_full = np.zeros(0, np.int32)
         if _PROF:
             t0 = _tick("rewrite_fetch", t0)
-        dst_pos_a = np.ascontiguousarray(dst_pos_a[:kept].astype(np.int32))
-        d_run = d_run[:kept]
-        isgap = isgap[:kept]
-        main_code = reconstruct_main_code(
-            np.frombuffer(staged["unit_op"], np.int8),
-            np.frombuffer(staged["unit_count"], np.int32),
-            np.frombuffer(staged["unit_rec"], np.int32),
-            kept, ctx["R"], dst_pos_a, d_run, isgap,
-            np.frombuffer(staged["query"], np.uint8).reshape(kept, ctx["Lq"]),
-            ctx["ref_flat_host"], ctx["ref_off_rec"],
-        )
-
-        n_ref_units = np.frombuffer(staged["n_ref_units"], np.int32)
-        valid = np.arange(ctx["R"])[None, :] < n_ref_units[:, None]
-        run_ops_b, run_lens_b, runs_per_rec_b, indel_b = nat.finalize_rewrite(
-            staged["unit_op"],
-            staged["unit_count"],
-            staged["n_units"],
-            np.ascontiguousarray(d_run[valid]),
-            np.ascontiguousarray(main_code[valid]),
-            dst_pos_a,
+        dst_pos_a = np.ascontiguousarray(dst_pos[:kept].astype(np.int32))
+        snap = ctx["snap"]
+        ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
+        run_ops_b, run_lens_b, runs_per_rec_b, indel_b = (
+            nat.finalize_reconstruct(
+                staged["unit_op"],
+                staged["unit_count"],
+                staged["n_units"],
+                dst_pos_a,
+                np.ascontiguousarray(d_vals[:kept]),
+                np.ascontiguousarray(d_pos[:kept]),
+                np.ascontiguousarray(d_n[:kept]),
+                D_SPARSE_SLOTS,
+                d_full,
+                int(use_full),
+                np.ascontiguousarray(gapbits[:kept]),
+                ctx["R"],
+                staged["query"],
+                ctx["Lq"],
+                ref_list,
+                ctx["dst_rids"],
+            )
         )
         nruns = len(indel_b) // 36
         if _PROF:
@@ -279,8 +288,6 @@ def run_fast(
         Rp = Qp = S = 0
         if nruns:
             t0 = t0p = _time.perf_counter_ns()
-            snap = ctx["snap"]
-            ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
             ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b = (
                 nat.stage_realign_runs(
                     indel_b, ctx["dst_rids"], ref_list, staged["query"],
