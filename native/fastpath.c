@@ -1439,7 +1439,7 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
     const int32_t *dst_pos = dstpos_b.buf;
     const uint8_t *d_vals = dvals_b.buf;
     const uint8_t *d_pos = dpos_b.buf;
-    const int32_t *d_n = dn_b.buf;
+    const uint8_t *d_n = dn_b.buf;
     const int32_t *d_full = dfull_b.buf;
     const uint8_t *gapbits = gap_b.buf;
     const unsigned char *query = query_b.buf;

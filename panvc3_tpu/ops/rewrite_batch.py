@@ -219,7 +219,7 @@ _QUERY_DECODE = jnp.asarray(
     np.array([65, 67, 71, 84, 78, 0, 0, 0], dtype=np.uint8)  # "ACGTN" + pad
 )
 
-D_SPARSE_SLOTS = 16  # non-zero deletion runs per record (overflow -> refetch)
+D_SPARSE_SLOTS = 8  # non-zero deletion runs per record (overflow -> refetch)
 
 
 def pack_query(query: np.ndarray) -> np.ndarray:
@@ -440,7 +440,9 @@ def _gap_math_packed(index, src_seq, dst_seq, rec_src_pos, n_ref_units, R):
         + jnp.sum(jnp.where(d_run >= 255, 1, 0))
         + jnp.where(R > 255, 1, 0)
     ).astype(jnp.int32)
-    return initial, gapbits, d_vals, d_pos, d_n, overflow, d_run
+    # wire-packed count: valid (<= R <= 255) whenever overflow == 0
+    d_n8 = jnp.minimum(d_n, 255).astype(jnp.uint8)
+    return initial, gapbits, d_vals, d_pos, d_n8, overflow, d_run
 
 
 rewrite_gap_kernel_packed = jax.jit(_gap_math_packed, static_argnames=("R",))

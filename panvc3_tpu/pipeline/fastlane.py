@@ -33,6 +33,10 @@ FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
 # fetch, splice+format, write)
 _PROF = os.environ.get("PANVC3_FASTLANE_PROF") == "1"
 
+# PANVC3_D2H_PREFETCH=1: issue copy_to_host_async right after each device
+# dispatch (helps on directly attached TPUs; blocks on the axon tunnel)
+_D2H_PREFETCH = os.environ.get("PANVC3_D2H_PREFETCH") == "1"
+
 
 def fastlane_eligible(cfg, reader, writer, mesh) -> bool:
     """The fast lane covers the default tool configuration: SAM text in and
@@ -107,6 +111,7 @@ def run_fast(
     state = {
         "rec_global": 0,   # input records consumed before current batch
         "task_counter": 0,  # 4-record task groups emitted
+        "realign_fetch_ns": 0,  # stage-B half of the realignment timing
         "ref_off": np.zeros(max(1, len(dst_entries)), dtype=np.int32),
     }
     prof: dict[str, float] = {}
@@ -204,6 +209,13 @@ def run_fast(
             kernel_inputs["n_ref_units"],
             R,
         )
+        # D2H prefetch right after dispatch overlaps the transfer with host
+        # work on backends with true async copies; the axon tunnel BLOCKS
+        # in copy_to_host_async (measured: the tool hangs), so this is
+        # opt-in for directly attached TPUs
+        if _D2H_PREFETCH:
+            for a in out[:6]:
+                a.copy_to_host_async()
         if _PROF:
             t0 = _tick("rewrite_dispatch", t0)
 
@@ -314,6 +326,9 @@ def run_fast(
                 Rp,
                 Qp,
             )
+            if _D2H_PREFETCH:
+                for a in rh:
+                    a.copy_to_host_async()
             bp.realignment_time_ns += _time.perf_counter_ns() - t0
             if _PROF:
                 prof["realign_stage"] = prof.get("realign_stage", 0.0) + (
@@ -339,7 +354,9 @@ def run_fast(
         if ctx["rh"] is not None:
             t0 = _time.perf_counter_ns()
             realn_ops, realn_counts = jax.device_get(ctx["rh"])
-            bp.realignment_time_ns += _time.perf_counter_ns() - t0
+            # workers A and B must touch disjoint counters (GIL += is not
+            # atomic); folded together after the joins
+            state["realign_fetch_ns"] += _time.perf_counter_ns() - t0
             if _PROF:
                 prof["realign_fetch"] = prof.get("realign_fetch", 0.0) + (
                     _time.perf_counter_ns() - t0
@@ -383,38 +400,58 @@ def run_fast(
         if _PROF:
             _tick("write", tw)
 
-    # ---- pipeline drive (mirrors the object path's threaded drain) -------
+    # ---- pipeline drive --------------------------------------------------
+    # Two worker threads: A runs finish_rewrite (rewrite fetch + finalize +
+    # realign dispatch), B runs finish_realign (realign fetch + splice +
+    # write).  Both fetches release the GIL, so the realign wait of batch k
+    # overlaps the rewrite wait of batch k+1; FIFO queues preserve output
+    # order (the role of the reference's serial output queue,
+    # project_alignments.cc:920-927).
     MAX_IN_FLIGHT = max(1, cfg.pipeline_depth)
     worker_error: list[BaseException] = []
     work_q = None
-    worker = None
+    workers: list = []
     if cfg.threaded_pipeline:
         import queue as _queue
         import threading
-        import collections
 
         work_q = _queue.Queue(maxsize=MAX_IN_FLIGHT)
+        stage3_q: _queue.Queue = _queue.Queue(maxsize=MAX_IN_FLIGHT)
 
-        def _worker_loop():
-            rflight = collections.deque()
+        def _worker_a():
             try:
                 while True:
                     item = work_q.get()
                     if item is None:
-                        while rflight:
-                            finish_realign(rflight.popleft())
+                        stage3_q.put(None)
                         return
-                    rflight.append(finish_rewrite(item))
-                    if len(rflight) >= MAX_IN_FLIGHT:
-                        finish_realign(rflight.popleft())
+                    stage3_q.put(finish_rewrite(item))
             except BaseException as exc:  # propagate to the main thread
                 worker_error.append(exc)
+                stage3_q.put(None)
                 while True:
                     if work_q.get() is None:
                         return
 
-        worker = threading.Thread(target=_worker_loop, daemon=True)
-        worker.start()
+        def _worker_b():
+            try:
+                while True:
+                    item = stage3_q.get()
+                    if item is None:
+                        return
+                    finish_realign(item)
+            except BaseException as exc:
+                worker_error.append(exc)
+                while True:
+                    if stage3_q.get() is None:
+                        return
+
+        workers = [
+            threading.Thread(target=_worker_a, daemon=True),
+            threading.Thread(target=_worker_b, daemon=True),
+        ]
+        for w in workers:
+            w.start()
 
     import collections
 
@@ -477,15 +514,17 @@ def run_fast(
             form_batches()
         form_batches(eof=True)
     finally:
-        if worker is not None:
+        if workers:
             work_q.put(None)
-            worker.join()
-    if worker is not None and worker_error:
+            for w in workers:
+                w.join()
+    if workers and worker_error:
         raise worker_error[0]
     while in_flight:
         realign_flight.append(finish_rewrite(in_flight.popleft()))
     while realign_flight:
         finish_realign(realign_flight.popleft())
+    bp.realignment_time_ns += state["realign_fetch_ns"]
     if _PROF:
         total = sum(prof.values())
         parts = ", ".join(f"{k} {v:.3f}s" for k, v in sorted(prof.items()))
