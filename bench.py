@@ -172,8 +172,10 @@ def _run() -> None:
     with open(ref_path, "wb") as fh:
         fh.write(b">test\n" + ref_seq + b"\n")
 
-    batch_size = 8192
-    n = 12 * batch_size
+    import os
+
+    batch_size = int(os.environ.get("PANVC3_BENCH_BATCH", "8192"))
+    n = 98304 // batch_size * batch_size if batch_size <= 98304 else batch_size
     records = synthesise_records(founders, n)
     lines = ["@HD\tVN:1.6"]
     names = {}
@@ -305,6 +307,7 @@ def _kernel_metrics(
     from functools import partial
 
     iters = 20
+    ref_flat_dev = bp.ref_flat_dev
 
     @partial(jax.jit, static_argnames=("n_iters",))
     def fused_loop(args, n_iters):
@@ -312,7 +315,7 @@ def _kernel_metrics(
             acc, query = carry
             query = query.at[0, 0].set((acc % 4 + 65).astype(jnp.uint8))
             out = fused_projection_kernel(
-                bp.index, bp._ref_flat, *args[:6], query, go, ge, R, U,
+                bp.index, ref_flat_dev, *args[:6], query, go, ge, R, U,
                 BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD,
                 pool,
             )
@@ -330,27 +333,32 @@ def _kernel_metrics(
         file=sys.stderr,
     )
 
-    # the default split path's rewrite kernel, same single-dispatch loop
-    from panvc3_tpu.ops.rewrite_batch import pack_query, rewrite_device_kernel_packed
+    # the default split path's gap-geometry kernel, same single-dispatch loop
+    from panvc3_tpu.ops.rewrite_batch import rewrite_gap_kernel_packed
 
-    packed = jax.device_put(pack_query(np.asarray(batch.query)))
+    n_units_dev = jax.device_put(np.asarray(batch.n_ref_units))
 
     @partial(jax.jit, static_argnames=("n_iters",))
-    def rewrite_loop(args, qp, n_iters):
+    def rewrite_loop(args, nu, n_iters):
         def body(i, carry):
-            acc, qp = carry
-            qp = qp.at[0, 0].set((acc % 16).astype(jnp.uint8))
-            out = rewrite_device_kernel_packed(
-                bp.index, bp._ref_flat, *args[:6], qp,
-                batch.pad_ref_units, batch.query.shape[1],
+            acc, pos = carry
+            pos = pos.at[0].set(acc % 7)
+            out = rewrite_gap_kernel_packed(
+                bp.index, args[0], args[1], pos, nu, batch.pad_ref_units,
             )
-            return acc + out[0][0], qp
-        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), qp))[0]
+            # consume every packed output so XLA cannot dead-code-eliminate
+            # the per-unit expansion (gapbits/d_vals depend on all of it)
+            acc = (
+                acc + out[0][0] + out[1][0, 0].astype(jnp.int32)
+                + out[2][0, 0].astype(jnp.int32) + out[4][0].astype(jnp.int32)
+            )
+            return acc, pos
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[2]))[0]
 
-    rw_args = dev[:6]
-    jax.block_until_ready(rewrite_loop(rw_args, packed, iters))  # compile + warm
+    rw_args = (dev[0], dev[1], dev[2])
+    jax.block_until_ready(rewrite_loop(rw_args, n_units_dev, iters))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(rewrite_loop(rw_args, packed, iters))
+    jax.block_until_ready(rewrite_loop(rw_args, n_units_dev, iters))
     dt = time.perf_counter() - t0
     kernel_rewrite_reads_per_s = len(recs) * iters / dt
     print(

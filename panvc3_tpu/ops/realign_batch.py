@@ -282,8 +282,11 @@ def realign_batch_start(
     Q = pad_query if pad_query is not None else max(1, max(len(q) for q in queries))
     ref_arr = np.zeros((b, R), dtype=np.uint8)
     q_arr = np.zeros((b, Q), dtype=np.uint8)
-    rq = np.zeros((b, R), dtype=np.int32)
-    qq = np.zeros((b, Q), dtype=np.int32)
+    # quality arrays are dead at trace time when quality scoring is off —
+    # ship 4-byte dummies over the latency-bound link instead of zeros
+    use_quality = ref_quals is not None
+    rq = np.zeros((b, R) if use_quality else (1, 1), dtype=np.int32)
+    qq = np.zeros((b, Q) if use_quality else (1, 1), dtype=np.int32)
     rl = np.zeros(b, dtype=np.int32)
     ql = np.zeros(b, dtype=np.int32)
     for i, (r, q) in enumerate(zip(refs, queries)):
@@ -291,10 +294,10 @@ def realign_batch_start(
         q_arr[i, :len(q)] = np.frombuffer(q, dtype=np.uint8)
         rl[i] = len(r)
         ql[i] = len(q)
-        if ref_quals is not None:
+        if use_quality:
             rq[i, :len(r)] = ref_quals[i]
-        if query_quals is not None:
-            qq[i, :len(q)] = query_quals[i]
+            if query_quals is not None:
+                qq[i, :len(q)] = query_quals[i]
     return realign_device_kernel(
         ref_arr,
         q_arr,

@@ -138,6 +138,16 @@ def run_fast(
 
     reporter.extra_cb = realign_status
 
+    # Fetch prefetch pool: device_get releases the GIL and the tunnel
+    # round-trip is latency-bound (~30 ms) — issuing the gets from a small
+    # pool right after each dispatch lets several batches' round trips
+    # overlap, while workers A/B keep all host mutation single-threaded.
+    fetch_pool = None
+    if cfg.threaded_pipeline:
+        from concurrent.futures import ThreadPoolExecutor
+
+        fetch_pool = ThreadPoolExecutor(max_workers=4)
+
     def start_batch(lines):
         """Parse + stage + dispatch the rewrite kernel; returns a context
         dict or None when the whole block was filtered out."""
@@ -216,6 +226,11 @@ def run_fast(
         if _D2H_PREFETCH:
             for a in out[:6]:
                 a.copy_to_host_async()
+        fut = (
+            fetch_pool.submit(jax.device_get, out[:6])
+            if fetch_pool is not None
+            else None
+        )
         if _PROF:
             t0 = _tick("rewrite_dispatch", t0)
 
@@ -235,6 +250,7 @@ def run_fast(
 
         return {
             "staged": staged,
+            "fut": fut,
             "fields": fields,
             "dst_rids": np.ascontiguousarray(dst_rids),
             "kept": kept,
@@ -257,9 +273,12 @@ def run_fast(
         staged = ctx["staged"]
         kept = ctx["kept"]
         t0 = _time.perf_counter() if _PROF else 0.0
-        dst_pos, gapbits, d_vals, d_pos, d_n, overflow = jax.device_get(
-            ctx["out"][:6]
-        )
+        if ctx["fut"] is not None:
+            dst_pos, gapbits, d_vals, d_pos, d_n, overflow = ctx["fut"].result()
+        else:
+            dst_pos, gapbits, d_vals, d_pos, d_n, overflow = jax.device_get(
+                ctx["out"][:6]
+            )
         use_full = int(overflow) != 0
         if use_full:
             d_full = np.ascontiguousarray(
@@ -311,8 +330,11 @@ def run_fast(
                 rq = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
                 qq = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
             else:
-                rq = np.zeros((S, Rp), np.int32)
-                qq = np.zeros((S, Qp), np.int32)
+                # the kernel ignores quality arrays when use_quality is
+                # False (trace-time branch) — ship 4-byte dummies, not
+                # (S, Rp) zero blocks, over the latency-bound tunnel
+                rq = np.zeros((1, 1), np.int32)
+                qq = np.zeros((1, 1), np.int32)
             rh = realign_device_kernel(
                 np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
                 np.frombuffer(q_b, np.uint8).reshape(S, Qp),
@@ -329,6 +351,8 @@ def run_fast(
             if _D2H_PREFETCH:
                 for a in rh:
                     a.copy_to_host_async()
+            if fetch_pool is not None:
+                ctx["rfut"] = fetch_pool.submit(jax.device_get, rh)
             bp.realignment_time_ns += _time.perf_counter_ns() - t0
             if _PROF:
                 prof["realign_stage"] = prof.get("realign_stage", 0.0) + (
@@ -353,7 +377,10 @@ def run_fast(
 
         if ctx["rh"] is not None:
             t0 = _time.perf_counter_ns()
-            realn_ops, realn_counts = jax.device_get(ctx["rh"])
+            if ctx.get("rfut") is not None:
+                realn_ops, realn_counts = ctx["rfut"].result()
+            else:
+                realn_ops, realn_counts = jax.device_get(ctx["rh"])
             # workers A and B must touch disjoint counters (GIL += is not
             # atomic); folded together after the joins
             state["realign_fetch_ns"] += _time.perf_counter_ns() - t0
@@ -518,6 +545,8 @@ def run_fast(
             work_q.put(None)
             for w in workers:
                 w.join()
+        if fetch_pool is not None:
+            fetch_pool.shutdown(wait=True)
     if workers and worker_error:
         raise worker_error[0]
     while in_flight:
