@@ -242,6 +242,61 @@ def realign_device_kernel(
     return _traceback_batch(trace, ref, query, query_len, ref_len, R, Q)
 
 
+# ---------------------------------------------------------------------------
+# Single-buffer wire format for the fast lane (integer-scoring path): one u8
+# array each way to cut tunnel RPCs and bytes.  Input row (R+Q+4 B):
+# [ref R | query Q | ref_len u16 LE | query_len u16 LE].  Output row
+# ((R+Q)/2 + 1 B): [ops nibble-packed (R+Q)/2 | count u8]; valid since the
+# run buckets keep R+Q < 256 and op codes are 4-bit.
+# ---------------------------------------------------------------------------
+
+
+def pack_realign_wire_input(
+    ref: np.ndarray, query: np.ndarray, rl: np.ndarray, ql: np.ndarray
+) -> np.ndarray:
+    s, r = ref.shape
+    q = query.shape[1]
+    out = np.empty((s, r + q + 4), dtype=np.uint8)
+    out[:, :r] = ref
+    out[:, r:r + q] = query
+    out[:, r + q:r + q + 2] = rl.astype("<u2").view(np.uint8).reshape(s, 2)
+    out[:, r + q + 2:] = ql.astype("<u2").view(np.uint8).reshape(s, 2)
+    return out
+
+
+def _realign_wire(packed_in, go, ge, R, Q):
+    p = packed_in
+    ref = p[:, :R]
+    query = p[:, R:R + Q]
+    tail = p[:, R + Q:].astype(jnp.int32)
+    rl = tail[:, 0] | (tail[:, 1] << 8)
+    ql = tail[:, 2] | (tail[:, 3] << 8)
+    sub = _substitution_scores(ref, query, None, None, False)
+    trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
+    ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
+    nib = (ops.astype(jnp.uint8)) & 0xF
+    packed_ops = nib[:, 0::2] | (nib[:, 1::2] << 4)
+    return jnp.concatenate(
+        [packed_ops, jnp.minimum(count, 255).astype(jnp.uint8)[:, None]], axis=1
+    )
+
+
+realign_device_kernel_wire = jax.jit(_realign_wire, static_argnames=("R", "Q"))
+
+
+def unpack_realign_wire(wire: np.ndarray, steps: int):
+    """(ops int8[S, steps], count int32[S]) from a fetched wire buffer.
+    Nibble 15 decodes from the int8 padding byte 127 (127 & 0xF == 15);
+    entries past ``count`` are never read downstream."""
+    s = wire.shape[0]
+    half = steps // 2
+    ops = np.empty((s, steps), dtype=np.int8)
+    ops[:, 0::2] = (wire[:, :half] & 0xF).astype(np.int8)
+    ops[:, 1::2] = (wire[:, :half] >> 4).astype(np.int8)
+    count = wire[:, half].astype(np.int32)
+    return ops, count
+
+
 def realign_batch(
     refs: list[bytes],
     queries: list[bytes],

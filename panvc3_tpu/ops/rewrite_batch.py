@@ -448,6 +448,67 @@ def _gap_math_packed(index, src_seq, dst_seq, rec_src_pos, n_ref_units, R):
 rewrite_gap_kernel_packed = jax.jit(_gap_math_packed, static_argnames=("R",))
 
 
+# ---------------------------------------------------------------------------
+# Single-buffer wire format: the tunnel charges per RPC as well as per byte,
+# so the fast lane ships ONE u8 array each way.  Input row (10 B/record):
+# [pos i32 LE | n_units u16 LE | src u16 LE | dst u16 LE].  Output row
+# (5 + R/8 + 2K B): [dst_pos i32 LE | d_n u8 | gapbits R/8 | d_pos K | d_vals K].
+# ---------------------------------------------------------------------------
+
+GAP_WIRE_IN = 10
+
+
+def gap_wire_row_bytes(R: int) -> int:
+    return 5 + R // 8 + 2 * D_SPARSE_SLOTS
+
+
+def pack_gap_wire_input(
+    pos: np.ndarray, n_units: np.ndarray, src: np.ndarray, dst: np.ndarray
+) -> np.ndarray:
+    b = len(pos)
+    out = np.empty((b, GAP_WIRE_IN), dtype=np.uint8)
+    out[:, 0:4] = pos.astype("<i4").view(np.uint8).reshape(b, 4)
+    out[:, 4:6] = n_units.astype("<u2").view(np.uint8).reshape(b, 2)
+    out[:, 6:8] = src.astype("<u2").view(np.uint8).reshape(b, 2)
+    out[:, 8:10] = dst.astype("<u2").view(np.uint8).reshape(b, 2)
+    return out
+
+
+def _gap_math_wire(index, packed_in, R):
+    p = packed_in.astype(jnp.int32)
+    pos = p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | (p[:, 3] << 24)
+    n_units = p[:, 4] | (p[:, 5] << 8)
+    src = p[:, 6] | (p[:, 7] << 8)
+    dst = p[:, 8] | (p[:, 9] << 8)
+    initial, gapbits, d_vals, d_pos, d_n8, overflow, d_run = _gap_math_packed(
+        index, src, dst, pos, n_units, R
+    )
+    pos_bytes = jnp.stack(
+        [((initial >> k) & 0xFF).astype(jnp.uint8) for k in (0, 8, 16, 24)],
+        axis=1,
+    )
+    wire = jnp.concatenate(
+        [pos_bytes, d_n8[:, None], gapbits, d_pos, d_vals], axis=1
+    )
+    return wire, overflow, d_run
+
+
+rewrite_gap_kernel_wire = jax.jit(_gap_math_wire, static_argnames=("R",))
+
+
+def unpack_gap_wire(wire: np.ndarray, R: int):
+    """Split a fetched wire buffer back into (dst_pos i32, d_n u8,
+    gapbits u8[B, R/8], d_pos u8[B, K], d_vals u8[B, K]); all contiguous."""
+    b = wire.shape[0]
+    K = D_SPARSE_SLOTS
+    dst_pos = np.ascontiguousarray(wire[:, 0:4]).view("<i4").reshape(b)
+    d_n = np.ascontiguousarray(wire[:, 4])
+    gapbits = np.ascontiguousarray(wire[:, 5:5 + R // 8])
+    d_pos = np.ascontiguousarray(wire[:, 5 + R // 8:5 + R // 8 + K])
+    d_vals = np.ascontiguousarray(wire[:, 5 + R // 8 + K:5 + R // 8 + 2 * K])
+    return dst_pos, d_n, gapbits, d_pos, d_vals
+
+
 def fetch_gap_outputs(out, R: int):
     """(dst_pos, d_run int32[B, R], isgap uint8[B, R]) from the packed gap
     kernel; falls back to the full deletion-run array only on overflow."""

@@ -38,15 +38,25 @@ _PROF = os.environ.get("PANVC3_FASTLANE_PROF") == "1"
 _D2H_PREFETCH = os.environ.get("PANVC3_D2H_PREFETCH") == "1"
 
 
-def fastlane_eligible(cfg, reader, writer, mesh) -> bool:
+def fastlane_eligible(cfg, reader, writer, mesh, batch_engine=None) -> bool:
     """The fast lane covers the default tool configuration: SAM text in and
-    out, integer-scoring realignment, single-device dispatch."""
+    out, integer-scoring realignment, single-device dispatch.  Device
+    sequence ids must fit the u16 wire format (a >65k-sequence shard should
+    use --msa-index-chr-shard anyway)."""
     return (
         get_native() is not None
         and not reader.is_bam
         and not writer.bam
         and not cfg.fused_kernel
         and mesh is None
+        and (
+            batch_engine is None
+            or max(
+                max(batch_engine.src_dev_ids, default=0),
+                max(batch_engine.dst_dev_ids, default=0),
+            )
+            < 65536
+        )
     )
 
 
@@ -67,10 +77,17 @@ def run_fast(
     """Drive the full projection pipeline over raw line batches."""
     import jax
 
-    from ..ops.realign_batch import realign_device_kernel
+    from ..ops.realign_batch import (
+        pack_realign_wire_input,
+        realign_device_kernel,
+        realign_device_kernel_wire,
+        unpack_realign_wire,
+    )
     from ..ops.rewrite_batch import (
         D_SPARSE_SLOTS,
-        rewrite_gap_kernel_packed,
+        pack_gap_wire_input,
+        rewrite_gap_kernel_wire,
+        unpack_gap_wire,
     )
     from .project_alignments import PRESERVED_TAGS
 
@@ -191,13 +208,14 @@ def run_fast(
 
         O, R, Lq = staged["O"], staged["R"], staged["Lq"]
 
-        # gap-geometry kernel inputs only (16 B/record on the wire); the
-        # query/reference stay host-side for the C/numpy comparison
-        kernel_inputs = dict(
-            src_seq=src_dev[ref_id],
-            dst_seq=dst_dev[dst_rids],
-            rec_src_pos=np.ascontiguousarray(fields[:, 2]),
-            n_ref_units=np.frombuffer(staged["n_ref_units"], np.int32),
+        # gap-geometry kernel input: one packed u8 array (10 B/record on
+        # the wire); the query/reference stay host-side for the C/numpy
+        # comparison
+        packed_in = pack_gap_wire_input(
+            np.ascontiguousarray(fields[:, 2]),
+            np.frombuffer(staged["n_ref_units"], np.int32),
+            src_dev[ref_id],
+            dst_dev[dst_rids],
         )
         ref_off_rec = state["ref_off"][dst_rids]
         # batch-dimension bucketing (same scheme as BatchProjector.start_batch)
@@ -205,29 +223,22 @@ def run_fast(
         bucket = min(target, _next_pow2(kept))
         n_pad = bucket - kept if kept < bucket else 0
         if n_pad:
-            for k, arr in kernel_inputs.items():
-                pad = np.repeat(arr[:1], n_pad, axis=0)
-                kernel_inputs[k] = np.concatenate([arr, pad], axis=0)
+            packed_in = np.concatenate(
+                [packed_in, np.repeat(packed_in[:1], n_pad, axis=0)], axis=0
+            )
 
         if _PROF:
             t0 = _tick("stage_arrays", t0)
-        out = rewrite_gap_kernel_packed(
-            bp.index,
-            kernel_inputs["src_seq"],
-            kernel_inputs["dst_seq"],
-            kernel_inputs["rec_src_pos"],
-            kernel_inputs["n_ref_units"],
-            R,
-        )
+        out = rewrite_gap_kernel_wire(bp.index, packed_in, R)
         # D2H prefetch right after dispatch overlaps the transfer with host
         # work on backends with true async copies; the axon tunnel BLOCKS
         # in copy_to_host_async (measured: the tool hangs), so this is
         # opt-in for directly attached TPUs
         if _D2H_PREFETCH:
-            for a in out[:6]:
+            for a in out[:2]:
                 a.copy_to_host_async()
         fut = (
-            fetch_pool.submit(jax.device_get, out[:6])
+            fetch_pool.submit(jax.device_get, out[:2])
             if fetch_pool is not None
             else None
         )
@@ -274,21 +285,21 @@ def run_fast(
         kept = ctx["kept"]
         t0 = _time.perf_counter() if _PROF else 0.0
         if ctx["fut"] is not None:
-            dst_pos, gapbits, d_vals, d_pos, d_n, overflow = ctx["fut"].result()
+            wire, overflow = ctx["fut"].result()
         else:
-            dst_pos, gapbits, d_vals, d_pos, d_n, overflow = jax.device_get(
-                ctx["out"][:6]
-            )
+            wire, overflow = jax.device_get(ctx["out"][:2])
         use_full = int(overflow) != 0
         if use_full:
             d_full = np.ascontiguousarray(
-                jax.device_get(ctx["out"][6])[:kept]
+                jax.device_get(ctx["out"][2])[:kept]
             )
         else:
             d_full = np.zeros(0, np.int32)
         if _PROF:
             t0 = _tick("rewrite_fetch", t0)
-        dst_pos_a = np.ascontiguousarray(dst_pos[:kept].astype(np.int32))
+        dst_pos_a, d_n, gapbits, d_pos, d_vals = unpack_gap_wire(
+            wire[:kept], ctx["R"]
+        )
         snap = ctx["snap"]
         ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
         run_ops_b, run_lens_b, runs_per_rec_b, indel_b = (
@@ -297,13 +308,13 @@ def run_fast(
                 staged["unit_count"],
                 staged["n_units"],
                 dst_pos_a,
-                np.ascontiguousarray(d_vals[:kept]),
-                np.ascontiguousarray(d_pos[:kept]),
-                np.ascontiguousarray(d_n[:kept]),
+                d_vals,
+                d_pos,
+                d_n,
                 D_SPARSE_SLOTS,
                 d_full,
                 int(use_full),
-                np.ascontiguousarray(gapbits[:kept]),
+                gapbits,
                 ctx["R"],
                 staged["query"],
                 ctx["Lq"],
@@ -316,6 +327,7 @@ def run_fast(
             t0 = _tick("finalize", t0)
 
         rh = None
+        rh_wire = False
         Rp = Qp = S = 0
         if nruns:
             t0 = t0p = _time.perf_counter_ns()
@@ -326,30 +338,44 @@ def run_fast(
                     staged["arena"], staged["spans"], int(use_quality),
                 )
             )
-            if use_quality:
-                rq = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
-                qq = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
+            rh_wire = not use_quality and (Rp + Qp) % 2 == 0 and Rp + Qp < 256
+            if rh_wire:
+                rh = realign_device_kernel_wire(
+                    pack_realign_wire_input(
+                        np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
+                        np.frombuffer(q_b, np.uint8).reshape(S, Qp),
+                        np.frombuffer(rl_b, np.int32),
+                        np.frombuffer(ql_b, np.int32),
+                    ),
+                    go,
+                    ge,
+                    Rp,
+                    Qp,
+                )
             else:
-                # the kernel ignores quality arrays when use_quality is
-                # False (trace-time branch) — ship 4-byte dummies, not
-                # (S, Rp) zero blocks, over the latency-bound tunnel
-                rq = np.zeros((1, 1), np.int32)
-                qq = np.zeros((1, 1), np.int32)
-            rh = realign_device_kernel(
-                np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
-                np.frombuffer(q_b, np.uint8).reshape(S, Qp),
-                np.frombuffer(rl_b, np.int32),
-                np.frombuffer(ql_b, np.int32),
-                go,
-                ge,
-                rq,
-                qq,
-                use_quality,
-                Rp,
-                Qp,
-            )
+                if use_quality:
+                    rq = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
+                    qq = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
+                else:
+                    # dead at trace time when quality scoring is off —
+                    # ship 4-byte dummies, not (S, Rp) zero blocks
+                    rq = np.zeros((1, 1), np.int32)
+                    qq = np.zeros((1, 1), np.int32)
+                rh = realign_device_kernel(
+                    np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
+                    np.frombuffer(q_b, np.uint8).reshape(S, Qp),
+                    np.frombuffer(rl_b, np.int32),
+                    np.frombuffer(ql_b, np.int32),
+                    go,
+                    ge,
+                    rq,
+                    qq,
+                    use_quality,
+                    Rp,
+                    Qp,
+                )
             if _D2H_PREFETCH:
-                for a in rh:
+                for a in rh if isinstance(rh, tuple) else (rh,):
                     a.copy_to_host_async()
             if fetch_pool is not None:
                 ctx["rfut"] = fetch_pool.submit(jax.device_get, rh)
@@ -365,6 +391,7 @@ def run_fast(
             runs_per_rec=runs_per_rec_b,
             indel=indel_b,
             rh=rh,
+            rh_wire=rh is not None and rh_wire,
             steps=Rp + Qp,
         )
         return ctx
@@ -378,9 +405,9 @@ def run_fast(
         if ctx["rh"] is not None:
             t0 = _time.perf_counter_ns()
             if ctx.get("rfut") is not None:
-                realn_ops, realn_counts = ctx["rfut"].result()
+                fetched = ctx["rfut"].result()
             else:
-                realn_ops, realn_counts = jax.device_get(ctx["rh"])
+                fetched = jax.device_get(ctx["rh"])
             # workers A and B must touch disjoint counters (GIL += is not
             # atomic); folded together after the joins
             state["realign_fetch_ns"] += _time.perf_counter_ns() - t0
@@ -388,9 +415,13 @@ def run_fast(
                 prof["realign_fetch"] = prof.get("realign_fetch", 0.0) + (
                     _time.perf_counter_ns() - t0
                 ) / 1e9
-            realn_ops = np.ascontiguousarray(realn_ops)
-            realn_counts = np.ascontiguousarray(realn_counts)
             steps = ctx["steps"]
+            if ctx["rh_wire"]:
+                realn_ops, realn_counts = unpack_realign_wire(fetched, steps)
+            else:
+                realn_ops, realn_counts = fetched
+                realn_ops = np.ascontiguousarray(realn_ops)
+                realn_counts = np.ascontiguousarray(realn_counts)
         else:
             realn_ops = np.zeros(0, np.int8)
             realn_counts = np.zeros(0, np.int32)

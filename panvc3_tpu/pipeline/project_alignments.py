@@ -479,7 +479,7 @@ def run_project_alignments(
 
         from .fastlane import fastlane_eligible, run_fast
 
-        if cfg.fastlane and fastlane_eligible(cfg, reader, writer, mesh):
+        if cfg.fastlane and fastlane_eligible(cfg, reader, writer, mesh, batch_engine):
             run_fast(
                 reader, writer, cfg, stats, batch_engine,
                 input_header, out_header, src_entries, dst_entries,

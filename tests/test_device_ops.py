@@ -329,3 +329,95 @@ def test_table_budget_policy_and_large_n_fallback():
     assert np.array_equal(
         np.asarray(idx2.select0(jnp.asarray(seq), jnp.asarray(ks))), gv.select0(ks)
     )
+
+
+class TestWireFormats:
+    """Packed single-buffer wire variants must match the multi-array
+    kernels exactly (the fast lane ships these over the tunnel)."""
+
+    def test_gap_wire_matches_packed(self):
+        import jax
+
+        from panvc3_tpu.bitvec import GapBitVector
+        from panvc3_tpu.ops.rank_select import DeviceGapIndex
+        from panvc3_tpu.ops.rewrite_batch import (
+            pack_gap_wire_input,
+            rewrite_gap_kernel_packed,
+            rewrite_gap_kernel_wire,
+            unpack_gap_wire,
+        )
+
+        rng = np.random.default_rng(3)
+        n_cols = 800
+        vecs = []
+        for _ in range(3):
+            gaps = rng.random(n_cols) < 0.08
+            s = np.where(gaps, ord("-"), ord("A")).astype(np.uint8)
+            vecs.append(GapBitVector.from_gap_string(s.tobytes()))
+        index = DeviceGapIndex.build(vecs)
+
+        B, R = 64, 32
+        src = rng.integers(0, 3, B).astype(np.int32)
+        dst = rng.integers(0, 3, B).astype(np.int32)
+        n_units = rng.integers(1, R + 1, B).astype(np.int32)
+        max_pos = min(v.n_zeros for v in vecs) - R - 2
+        pos = rng.integers(0, max_pos, B).astype(np.int32)
+
+        ref = rewrite_gap_kernel_packed(index, src, dst, pos, n_units, R)
+        initial, gapbits, d_vals, d_pos, d_n8, overflow, d_run = [
+            np.asarray(x) for x in ref
+        ]
+
+        wire, overflow_w, d_run_w = rewrite_gap_kernel_wire(
+            index, pack_gap_wire_input(pos, n_units, src, dst), R
+        )
+        wire = np.asarray(wire)
+        dst_pos_u, d_n_u, gapbits_u, d_pos_u, d_vals_u = unpack_gap_wire(
+            wire, R
+        )
+        np.testing.assert_array_equal(dst_pos_u, initial)
+        np.testing.assert_array_equal(d_n_u, d_n8)
+        np.testing.assert_array_equal(gapbits_u, gapbits)
+        np.testing.assert_array_equal(d_pos_u, d_pos)
+        np.testing.assert_array_equal(d_vals_u, d_vals)
+        assert int(overflow_w) == int(overflow)
+        np.testing.assert_array_equal(np.asarray(d_run_w), d_run)
+
+    def test_realign_wire_matches_kernel(self):
+        from panvc3_tpu.ops.realign_batch import (
+            pack_realign_wire_input,
+            realign_device_kernel,
+            realign_device_kernel_wire,
+            unpack_realign_wire,
+        )
+
+        rng = np.random.default_rng(5)
+        S, R, Q = 48, 8, 8
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        ref = rng.choice(bases, (S, R)).astype(np.uint8)
+        q = rng.choice(bases, (S, Q)).astype(np.uint8)
+        rl = rng.integers(1, R + 1, S).astype(np.int32)
+        ql = rng.integers(1, Q + 1, S).astype(np.int32)
+        ref[np.arange(R)[None, :] >= rl[:, None]] = 0
+        q[np.arange(Q)[None, :] >= ql[:, None]] = 0
+        go, ge = np.float32(0), np.float32(-1)
+
+        ops_ref, count_ref = [
+            np.asarray(x)
+            for x in realign_device_kernel(
+                ref, q, rl, ql, go, ge,
+                np.zeros((1, 1), np.int32), np.zeros((1, 1), np.int32),
+                False, R, Q,
+            )
+        ]
+        wire = np.asarray(
+            realign_device_kernel_wire(
+                pack_realign_wire_input(ref, q, rl, ql), go, ge, R, Q
+            )
+        )
+        ops_w, count_w = unpack_realign_wire(wire, R + Q)
+        np.testing.assert_array_equal(count_w, count_ref)
+        for i in range(S):
+            np.testing.assert_array_equal(
+                ops_w[i, : count_w[i]], ops_ref[i, : count_ref[i]]
+            )
