@@ -386,15 +386,18 @@ def finalize_rewrite(
 
 
 def _gap_math(index, src_seq, dst_seq, rec_src_pos, n_ref_units, R):
-    """(initial dst positions, d_run int32[B, R], isgap int32[B, R])."""
+    """(initial dst positions, d_run int32[B, R], isgap int32[B, R]).
+
+    The R units of a record are CONSECUTIVE source positions, so select0
+    loads one contiguous ``zsel`` slice per record (select0_consecutive)
+    and rank0_and_bit is one combined-table gather per unit — values
+    beyond ``n_ref_units`` are garbage and masked here."""
     r = jnp.arange(R, dtype=jnp.int32)[None, :]
     valid = r < n_ref_units[:, None]
-    pos = jnp.where(valid, rec_src_pos[:, None] + r, 0)
-    s = src_seq[:, None]
-    d = dst_seq[:, None]
-    aligned = index.select0(s, pos + 1)
-    excess, isgap = index.rank0_and_bit(d, aligned)
-    initial = index.rank0(dst_seq, index.select0(src_seq, rec_src_pos + 1))
+    aligned = index.select0_consecutive(src_seq, rec_src_pos + 1, R)
+    excess, isgap = index.rank0_and_bit(dst_seq[:, None], aligned)
+    # aligned[:, 0] == select0(src, pos + 1) independent of n_ref_units
+    initial = index.rank0(dst_seq, aligned[:, 0])
     isgap = jnp.where(valid, isgap, 0)
     nongap = jnp.where(valid, 1 - isgap, 0)
     prev_excess = jnp.concatenate(
@@ -422,19 +425,18 @@ def _gap_math_packed(index, src_seq, dst_seq, rec_src_pos, n_ref_units, R):
     slot = jnp.cumsum(nz.astype(jnp.int32), axis=1) - 1
     d_n = jnp.sum(nz, axis=1).astype(jnp.int32)
     K = D_SPARSE_SLOTS
-    scatter_to = jnp.where(nz, jnp.clip(slot, 0, K - 1), K)
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], d_run.shape)
-    d_vals = jnp.zeros((B, K), jnp.uint8).at[
-        bidx.reshape(-1), scatter_to.reshape(-1)
-    ].set(jnp.minimum(d_run, 255).astype(jnp.uint8).reshape(-1), mode="drop")
-    d_pos = jnp.zeros((B, K), jnp.uint8).at[
-        bidx.reshape(-1), scatter_to.reshape(-1)
-    ].set(
-        jnp.broadcast_to(
-            jnp.arange(R, dtype=jnp.int32)[None, :], d_run.shape
-        ).astype(jnp.uint8).reshape(-1),
-        mode="drop",
+    # compact the <=K non-zero runs per record via one-hot reductions
+    # (TPU scatters serialize; a (B, K, R) masked sum stays on the VPU)
+    sel = nz[:, None, :] & (
+        slot[:, None, :] == jnp.arange(K, dtype=jnp.int32)[None, :, None]
     )
+    d_vals = jnp.sum(
+        jnp.where(sel, jnp.minimum(d_run, 255)[:, None, :], 0), axis=2
+    ).astype(jnp.uint8)
+    d_pos = jnp.sum(
+        jnp.where(sel, jnp.arange(R, dtype=jnp.int32)[None, None, :], 0),
+        axis=2,
+    ).astype(jnp.uint8)
     overflow = (
         jnp.sum(jnp.where(d_n > K, 1, 0))
         + jnp.sum(jnp.where(d_run >= 255, 1, 0))

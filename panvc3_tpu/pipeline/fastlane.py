@@ -94,6 +94,18 @@ def run_fast(
     nat = get_native()
     bp = batch_engine
 
+    # Event-based projection geometry (ops/event_geometry.py): the gap
+    # structure under a read is determined by the ~1-per-100bp columns
+    # where the src/dst gap vectors differ, so the whole rewrite-geometry
+    # device dispatch (and its tunnel round trip) reduces to host
+    # searchsorted + event decoding.  PANVC3_EVENT_GEOMETRY=0 restores
+    # the device gap kernel.
+    event_geo = None
+    if os.environ.get("PANVC3_EVENT_GEOMETRY") != "0":
+        from ..ops.event_geometry import EventGeometry
+
+        event_geo = EventGeometry(src_entries, dst_entries, ref_id_mapping)
+
     refmap = {name.encode(): i for i, name in enumerate(input_header.ref_names)}
     rim = np.asarray(ref_id_mapping, dtype=np.int32)
     src_dev = np.asarray(bp.src_dev_ids, dtype=np.int32)
@@ -200,48 +212,47 @@ def run_fast(
 
         dst_rids = rim[ref_id]
         snap = ref_seqs.require(int(r) for r in np.unique(dst_rids))
-        bp._ensure_refs(snap)
-        off = state["ref_off"]
-        off[:] = 0
-        for k, v in bp._ref_off.items():
-            off[k] = v
 
         O, R, Lq = staged["O"], staged["R"], staged["Lq"]
 
-        # gap-geometry kernel input: one packed u8 array (10 B/record on
-        # the wire); the query/reference stay host-side for the C/numpy
-        # comparison
-        packed_in = pack_gap_wire_input(
-            np.ascontiguousarray(fields[:, 2]),
-            np.frombuffer(staged["n_ref_units"], np.int32),
-            src_dev[ref_id],
-            dst_dev[dst_rids],
-        )
-        ref_off_rec = state["ref_off"][dst_rids]
-        # batch-dimension bucketing (same scheme as BatchProjector.start_batch)
-        target = batch_size
-        bucket = min(target, _next_pow2(kept))
-        n_pad = bucket - kept if kept < bucket else 0
-        if n_pad:
-            packed_in = np.concatenate(
-                [packed_in, np.repeat(packed_in[:1], n_pad, axis=0)], axis=0
+        out = fut = None
+        if event_geo is None:
+            bp._ensure_refs(snap)
+            # gap-geometry kernel input: one packed u8 array (10 B/record
+            # on the wire); the query/reference stay host-side for the
+            # C/numpy comparison
+            packed_in = pack_gap_wire_input(
+                np.ascontiguousarray(fields[:, 2]),
+                np.frombuffer(staged["n_ref_units"], np.int32),
+                src_dev[ref_id],
+                dst_dev[dst_rids],
             )
+            # batch-dimension bucketing (same scheme as
+            # BatchProjector.start_batch)
+            target = batch_size
+            bucket = min(target, _next_pow2(kept))
+            n_pad = bucket - kept if kept < bucket else 0
+            if n_pad:
+                packed_in = np.concatenate(
+                    [packed_in, np.repeat(packed_in[:1], n_pad, axis=0)],
+                    axis=0,
+                )
 
-        if _PROF:
-            t0 = _tick("stage_arrays", t0)
-        out = rewrite_gap_kernel_wire(bp.index, packed_in, R)
-        # D2H prefetch right after dispatch overlaps the transfer with host
-        # work on backends with true async copies; the axon tunnel BLOCKS
-        # in copy_to_host_async (measured: the tool hangs), so this is
-        # opt-in for directly attached TPUs
-        if _D2H_PREFETCH:
-            for a in out[:2]:
-                a.copy_to_host_async()
-        fut = (
-            fetch_pool.submit(jax.device_get, out[:2])
-            if fetch_pool is not None
-            else None
-        )
+            if _PROF:
+                t0 = _tick("stage_arrays", t0)
+            out = rewrite_gap_kernel_wire(bp.index, packed_in, R)
+            # D2H prefetch right after dispatch overlaps the transfer with
+            # host work on backends with true async copies; the axon
+            # tunnel BLOCKS in copy_to_host_async (measured: the tool
+            # hangs), so this is opt-in for directly attached TPUs
+            if _D2H_PREFETCH:
+                for a in out[:2]:
+                    a.copy_to_host_async()
+            fut = (
+                fetch_pool.submit(jax.device_get, out[:2])
+                if fetch_pool is not None
+                else None
+            )
         if _PROF:
             t0 = _tick("rewrite_dispatch", t0)
 
@@ -271,8 +282,6 @@ def run_fast(
             "R": R,
             "Lq": Lq,
             "snap": snap,
-            "ref_off_rec": ref_off_rec,
-            "ref_flat_host": bp._ref_flat_host,
         }
 
     def finish_rewrite(ctx):
@@ -284,22 +293,37 @@ def run_fast(
         staged = ctx["staged"]
         kept = ctx["kept"]
         t0 = _time.perf_counter() if _PROF else 0.0
-        if ctx["fut"] is not None:
-            wire, overflow = ctx["fut"].result()
-        else:
-            wire, overflow = jax.device_get(ctx["out"][:2])
-        use_full = int(overflow) != 0
-        if use_full:
-            d_full = np.ascontiguousarray(
-                jax.device_get(ctx["out"][2])[:kept]
+        if event_geo is not None:
+            fields = ctx["fields"]
+            dst_pos_a, gapbits, d_vals, d_pos, d_n, use_full, d_full = (
+                event_geo.batch(
+                    fields[:, 1],
+                    fields[:, 2],
+                    np.frombuffer(staged["n_ref_units"], np.int32),
+                    ctx["R"],
+                    D_SPARSE_SLOTS,
+                )
             )
+            d_full = np.ascontiguousarray(d_full)
+            if _PROF:
+                t0 = _tick("rewrite_fetch", t0)
         else:
-            d_full = np.zeros(0, np.int32)
-        if _PROF:
-            t0 = _tick("rewrite_fetch", t0)
-        dst_pos_a, d_n, gapbits, d_pos, d_vals = unpack_gap_wire(
-            wire[:kept], ctx["R"]
-        )
+            if ctx["fut"] is not None:
+                wire, overflow = ctx["fut"].result()
+            else:
+                wire, overflow = jax.device_get(ctx["out"][:2])
+            use_full = int(overflow) != 0
+            if use_full:
+                d_full = np.ascontiguousarray(
+                    jax.device_get(ctx["out"][2])[:kept]
+                )
+            else:
+                d_full = np.zeros(0, np.int32)
+            if _PROF:
+                t0 = _tick("rewrite_fetch", t0)
+            dst_pos_a, d_n, gapbits, d_pos, d_vals = unpack_gap_wire(
+                wire[:kept], ctx["R"]
+            )
         snap = ctx["snap"]
         ref_list = [snap.get(rid, b"") for rid in range(len(dst_entries))]
         run_ops_b, run_lens_b, runs_per_rec_b, indel_b = (

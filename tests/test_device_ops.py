@@ -421,3 +421,62 @@ class TestWireFormats:
             np.testing.assert_array_equal(
                 ops_w[i, : count_w[i]], ops_ref[i, : count_ref[i]]
             )
+
+    def test_event_geometry_matches_gap_kernel(self):
+        """Host event-based geometry == device gap kernel on random MSAs
+        (the fast lane substitutes the former for the latter)."""
+        import jax
+
+        from panvc3_tpu.bitvec import GapBitVector
+        from panvc3_tpu.msa_index import SequenceEntry
+        from panvc3_tpu.ops.event_geometry import EventGeometry
+        from panvc3_tpu.ops.rank_select import DeviceGapIndex
+        from panvc3_tpu.ops.rewrite_batch import _gap_math
+
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            n_cols = 600
+            vecs = []
+            for _ in range(3):
+                gaps = rng.random(n_cols) < (0.02 + 0.1 * trial)
+                s = np.where(gaps, ord("-"), ord("A")).astype(np.uint8)
+                vecs.append(GapBitVector.from_gap_string(s.tobytes()))
+            entries = [SequenceEntry(str(i), v) for i, v in enumerate(vecs)]
+            src_entries = entries
+            dst_entries = [entries[0]]
+            rim = [0, 0, 0]
+            index = DeviceGapIndex.build(vecs)
+
+            B, R = 128, 48
+            K = 8
+            ref_ids = rng.integers(0, 3, B).astype(np.int32)
+            src_dev = ref_ids  # dev id == entry order here
+            n_units = rng.integers(0, R + 1, B).astype(np.int32)
+            max_pos = min(v.n_zeros for v in vecs) - R - 2
+            pos = rng.integers(0, max_pos, B).astype(np.int32)
+
+            initial, d_run, isgap = [
+                np.asarray(x)
+                for x in jax.jit(_gap_math, static_argnames=("R",))(
+                    index, src_dev, np.zeros(B, np.int32), pos, n_units, R
+                )
+            ]
+
+            eg = EventGeometry(src_entries, dst_entries, rim)
+            dst_pos, gapbits, d_vals, d_pos, d_n, use_full, d_full = eg.batch(
+                ref_ids, pos, n_units, R, K
+            )
+            np.testing.assert_array_equal(dst_pos, initial)
+            got_isgap = np.unpackbits(
+                gapbits, axis=1, bitorder="little", count=R
+            )
+            np.testing.assert_array_equal(got_isgap, isgap.astype(np.uint8))
+            if use_full:
+                got_d = np.asarray(d_full).reshape(B, R)
+            else:
+                got_d = np.zeros((B, R), np.int32)
+                kk = np.arange(K)[None, :]
+                valid = kk < d_n[:, None]
+                rw = np.broadcast_to(np.arange(B)[:, None], valid.shape)[valid]
+                got_d[rw, d_pos[valid].astype(np.int64)] = d_vals[valid]
+            np.testing.assert_array_equal(got_d, d_run)
