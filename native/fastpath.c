@@ -39,6 +39,13 @@ static void dna5_init(void)
     dna5_table['u'] = 'T';
 }
 
+/* error propagation out of GIL-free loops: 1 = ValueError (msg),
+   2 = MemoryError, 3 = Python error already set on the thread state */
+typedef struct {
+    int kind;
+    char msg[160];
+} fp_err;
+
 static inline int32_t next_pow2_i32(int32_t n)
 {
     int32_t p = 1;
@@ -92,6 +99,10 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
     int8_t *f_ops = NULL;
     int32_t *f_counts = NULL;
     pv3_strbuf arena = {NULL, 0, 0};
+    const char **line_ptr = NULL;
+    Py_ssize_t *line_len_a = NULL;
+    PyThreadState *ts = NULL;
+    fp_err err = {0, {0}};
 
     long c_flags = 0, c_ref_missing = 0, c_seq_missing = 0;
     long n_records = 0; /* record counter incl. skipped (global indexing) */
@@ -101,12 +112,25 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
     Py_ssize_t memo_len[2] = {0, 0};
     long memo_id[2] = {-1, -1};
 
+    /* prepass: borrow every line's byte pointer so the parse loop can run
+       without the GIL (the list keeps the bytes objects alive) */
+    line_ptr = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(char *));
+    line_len_a = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(Py_ssize_t));
+    if (!line_ptr || !line_len_a)
+        goto oom;
     for (Py_ssize_t li = 0; li < n_lines; ++li) {
-        PyObject *item = PyList_GET_ITEM(lines, li);
-        char *line;
-        Py_ssize_t line_len;
-        if (PyBytes_AsStringAndSize(item, &line, &line_len) < 0)
+        char *lp;
+        if (PyBytes_AsStringAndSize(PyList_GET_ITEM(lines, li), &lp,
+                                    &line_len_a[li]) < 0)
             goto fail;
+        line_ptr[li] = lp;
+    }
+
+    ts = PyEval_SaveThread();
+
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        const char *line = line_ptr[li];
+        Py_ssize_t line_len = line_len_a[li];
         while (line_len > 0 &&
                (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
             --line_len;
@@ -138,9 +162,10 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
             p = tab + 1;
         }
         if (n_fields < 11) {
-            PyErr_Format(PyExc_ValueError, "truncated SAM record: %.100s",
-                         line);
-            goto fail;
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg,
+                     "truncated SAM record: %.100s", line);
+            goto loop_err;
         }
         /* p now points at the first tag byte (or == end) */
 
@@ -150,9 +175,10 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
             fp_parse_long(fields[4], fields[4] + flens[4], &mapq) != 0 ||
             fp_parse_long(fields[7], fields[7] + flens[7], &pnext) != 0 ||
             fp_parse_long(fields[8], fields[8] + flens[8], &tlen) != 0) {
-            PyErr_Format(PyExc_ValueError, "malformed SAM record: %.100s",
-                         line);
-            goto fail;
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg,
+                     "malformed SAM record: %.100s", line);
+            goto loop_err;
         }
         pos -= 1;
         pnext -= 1;
@@ -164,18 +190,26 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                 memcmp(memo_name[0], fields[2], flens[2]) == 0) {
                 ref_id = memo_id[0];
             } else {
+                /* memo miss: take the GIL back for the dict lookup */
+                PyEval_RestoreThread(ts);
                 PyObject *key =
                     PyBytes_FromStringAndSize(fields[2], flens[2]);
-                if (!key)
-                    goto fail;
-                PyObject *v = PyDict_GetItem(refmap, key);
-                Py_DECREF(key);
+                PyObject *v = key ? PyDict_GetItem(refmap, key) : NULL;
+                Py_XDECREF(key);
+                if (!key) {
+                    err.kind = 3;
+                    ts = PyEval_SaveThread();
+                    goto loop_err;
+                }
                 if (!v) {
-                    PyErr_Format(PyExc_ValueError,
-                                 "unknown reference '%.100s'", fields[2]);
-                    goto fail;
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "unknown reference '%.100s'", fields[2]);
+                    ts = PyEval_SaveThread();
+                    goto loop_err;
                 }
                 ref_id = PyLong_AsLong(v);
+                ts = PyEval_SaveThread();
                 /* memo points into line memory; the lines list keeps the
                    bytes objects alive for the whole call */
                 memo_name[0] = fields[2];
@@ -192,17 +226,24 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                    memcmp(memo_name[1], fields[6], flens[6]) == 0) {
             mate_ref_id = memo_id[1];
         } else {
+            PyEval_RestoreThread(ts);
             PyObject *key = PyBytes_FromStringAndSize(fields[6], flens[6]);
-            if (!key)
-                goto fail;
-            PyObject *v = PyDict_GetItem(refmap, key);
-            Py_DECREF(key);
+            PyObject *v = key ? PyDict_GetItem(refmap, key) : NULL;
+            Py_XDECREF(key);
+            if (!key) {
+                err.kind = 3;
+                ts = PyEval_SaveThread();
+                goto loop_err;
+            }
             if (!v) {
-                PyErr_Format(PyExc_ValueError,
-                             "unknown mate reference '%.100s'", fields[6]);
-                goto fail;
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown mate reference '%.100s'", fields[6]);
+                ts = PyEval_SaveThread();
+                goto loop_err;
             }
             mate_ref_id = PyLong_AsLong(v);
+            ts = PyEval_SaveThread();
             memo_name[1] = fields[6];
             memo_len[1] = flens[6];
             memo_id[1] = mate_ref_id;
@@ -216,9 +257,10 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                 const char *fend = tab ? tab : end;
                 const char *c1 = memchr(tp, ':', fend - tp);
                 if (!c1 || c1 + 2 > fend || c1[2] != ':') {
-                    PyErr_Format(PyExc_ValueError,
-                                 "malformed tag field: %.50s", tp);
-                    goto fail;
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "malformed tag field: %.50s", tp);
+                    goto loop_err;
                 }
                 tp = tab ? tab + 1 : end;
             }
@@ -261,20 +303,21 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                     char oc = (c < cend) ? *c : 0;
                     int8_t code = pv3_op_code_table[(unsigned char)oc];
                     if (c == d0 || c == cend || (code == 0 && oc != 'M')) {
-                        PyErr_Format(PyExc_ValueError,
-                                     "invalid CIGAR: '%.50s'", fields[5]);
-                        goto fail;
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "invalid CIGAR: '%.50s'", fields[5]);
+                        goto loop_err;
                     }
                     ++c;
                     if (n_ops_total + 1 > cap_ops) {
                         size_t ncap = cap_ops ? cap_ops * 2 : 1024;
-                        int8_t *no_ = PyMem_Realloc(f_ops, ncap);
+                        int8_t *no_ = realloc(f_ops, ncap);
                         int32_t *nc =
-                            PyMem_Realloc(f_counts, ncap * sizeof(int32_t));
+                            realloc(f_counts, ncap * sizeof(int32_t));
                         if (no_) f_ops = no_;
                         if (nc) f_counts = nc;
                         if (!no_ || !nc)
-                            goto oom;
+                            goto loop_err;
                         cap_ops = ncap;
                     }
                     f_ops[n_ops_total] = code;
@@ -294,12 +337,12 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         /* ---- record bookkeeping ---- */
         if (n_rec + 1 > cap_rec) {
             size_t ncap = cap_rec ? cap_rec * 2 : 1024;
-            int32_t *a = PyMem_Realloc(r_line, ncap * sizeof(int32_t));
-            int32_t *b = PyMem_Realloc(r_i32, ncap * 7 * sizeof(int32_t));
-            int32_t *cc = PyMem_Realloc(r_nops, ncap * sizeof(int32_t));
-            int32_t *d = PyMem_Realloc(r_refunits, ncap * sizeof(int32_t));
-            int32_t *e = PyMem_Realloc(r_spans, ncap * 8 * sizeof(int32_t));
-            int32_t *f = PyMem_Realloc(r_units, ncap * sizeof(int32_t));
+            int32_t *a = realloc(r_line, ncap * sizeof(int32_t));
+            int32_t *b = realloc(r_i32, ncap * 7 * sizeof(int32_t));
+            int32_t *cc = realloc(r_nops, ncap * sizeof(int32_t));
+            int32_t *d = realloc(r_refunits, ncap * sizeof(int32_t));
+            int32_t *e = realloc(r_spans, ncap * 8 * sizeof(int32_t));
+            int32_t *f = realloc(r_units, ncap * sizeof(int32_t));
             if (a) r_line = a;
             if (b) r_i32 = b;
             if (cc) r_nops = cc;
@@ -307,7 +350,7 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
             if (e) r_spans = e;
             if (f) r_units = f;
             if (!a || !b || !cc || !d || !e || !f)
-                goto oom;
+                goto loop_err;
             cap_rec = ncap;
         }
         r_line[n_rec] = (int32_t)rec_no;
@@ -326,7 +369,7 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         int32_t *sp = r_spans + n_rec * 8;
         size_t base = arena.len;
         if (pv3_sb_put(&arena, line, (size_t)line_len) < 0)
-            goto oom;
+            goto loop_err;
         sp[0] = (int32_t)(base + (fields[0] - line));
         sp[1] = (int32_t)flens[0];
         sp[2] = (int32_t)(base + (fields[9] - line));
@@ -336,7 +379,23 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         sp[6] = (int32_t)(base + (p - line));
         sp[7] = (int32_t)(end - p);
         ++n_rec;
+        continue;
+    loop_err:
+        if (!err.kind)
+            err.kind = 2;
+        break;
     }
+
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+    if (err.kind == 1) {
+        PyErr_SetString(PyExc_ValueError, err.msg);
+        goto fail;
+    }
+    if (err.kind == 2)
+        goto oom;
+    if (err.kind == 3)
+        goto fail; /* error indicator already set */
 
     /* ---- pass 2: padded device arrays + unit stream ---- */
     {
@@ -474,14 +533,16 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
             "spans", (char *)r_spans,
             (Py_ssize_t)(n_rec * 8 * sizeof(int32_t)));
 
-        PyMem_Free(r_line);
-        PyMem_Free(r_i32);
-        PyMem_Free(r_nops);
-        PyMem_Free(r_refunits);
-        PyMem_Free(r_units);
-        PyMem_Free(r_spans);
-        PyMem_Free(f_ops);
-        PyMem_Free(f_counts);
+        free(r_line);
+        free(r_i32);
+        free(r_nops);
+        free(r_refunits);
+        free(r_units);
+        free(r_spans);
+        free(f_ops);
+        free(f_counts);
+        PyMem_Free(line_ptr);
+        PyMem_Free(line_len_a);
         free(arena.buf);
         return res;
     }
@@ -489,14 +550,16 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
 oom:
     PyErr_NoMemory();
 fail:
-    PyMem_Free(r_line);
-    PyMem_Free(r_i32);
-    PyMem_Free(r_nops);
-    PyMem_Free(r_refunits);
-    PyMem_Free(r_units);
-    PyMem_Free(r_spans);
-    PyMem_Free(f_ops);
-    PyMem_Free(f_counts);
+    free(r_line);
+    free(r_i32);
+    free(r_nops);
+    free(r_refunits);
+    free(r_units);
+    free(r_spans);
+    free(f_ops);
+    free(f_counts);
+    PyMem_Free(line_ptr);
+    PyMem_Free(line_len_a);
     free(arena.buf);
     return NULL;
 }
@@ -626,8 +689,27 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
     PyObject *ql_out = PyBytes_FromStringAndSize(NULL, S * sizeof(int32_t));
     PyObject *rq_out = NULL, *qq_out = NULL;
     int32_t *prq = NULL, *pqq = NULL;
+    const unsigned char **refs = NULL;
+    Py_ssize_t *reflens = NULL;
+    long bad_rec = -1;
     if (!ref_out || !q_out || !rl_out || !ql_out)
         goto fail;
+    {
+        Py_ssize_t n_refs = PyList_GET_SIZE(ref_list);
+        refs = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(char *));
+        reflens = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(Py_ssize_t));
+        if (!refs || !reflens) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+        for (Py_ssize_t i = 0; i < n_refs; ++i) {
+            char *rc_;
+            if (PyBytes_AsStringAndSize(PyList_GET_ITEM(ref_list, i), &rc_,
+                                        &reflens[i]) < 0)
+                goto fail;
+            refs[i] = (const unsigned char *)rc_;
+        }
+    }
     if (want_quality) {
         rq_out = PyBytes_FromStringAndSize(NULL, S * Rp * sizeof(int32_t));
         qq_out = PyBytes_FromStringAndSize(NULL, S * Qp * sizeof(int32_t));
@@ -647,22 +729,19 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
     memset(prl, 0, S * sizeof(int32_t));
     memset(pql, 0, S * sizeof(int32_t));
 
+    Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t i = 0; i < n; ++i) {
         const int32_t *row = indel + i * 9;
         int32_t rec = row[0];
         int32_t r0 = row[1], rl = row[2], q0 = row[3], qlen = row[4];
-        PyObject *ref_obj = PyList_GET_ITEM(ref_list, dstref[rec]);
-        char *refc;
-        Py_ssize_t reflen;
-        if (PyBytes_AsStringAndSize(ref_obj, &refc, &reflen) < 0)
-            goto fail;
+        const unsigned char *refc = refs[dstref[rec]];
+        Py_ssize_t reflen = reflens[dstref[rec]];
         if (r0 < 0 || (Py_ssize_t)r0 + rl > reflen || rl > Rp ||
             qlen > Qp || (long)q0 + qlen > lq) {
-            PyErr_Format(PyExc_ValueError,
-                         "realign run out of bounds (rec %d)", rec);
-            goto fail;
+            bad_rec = rec;
+            break;
         }
-        const unsigned char *rs = (const unsigned char *)refc + r0;
+        const unsigned char *rs = refc + r0;
         for (int32_t k = 0; k < rl; ++k)
             pr[i * Rp + k] = dna5_table[rs[k]];
         memcpy(pq + i * Qp, query + (size_t)rec * lq + q0, qlen);
@@ -687,6 +766,12 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
             }
         }
     }
+    Py_END_ALLOW_THREADS
+    if (bad_rec >= 0) {
+        PyErr_Format(PyExc_ValueError, "realign run out of bounds (rec %ld)",
+                     bad_rec);
+        goto fail;
+    }
 
     {
         PyObject *res = Py_BuildValue(
@@ -694,6 +779,8 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args)
             S,
             rq_out ? rq_out : Py_NewRef(Py_None),
             qq_out ? qq_out : Py_NewRef(Py_None));
+        PyMem_Free(refs);
+        PyMem_Free(reflens);
         PyBuffer_Release(&indel_b);
         PyBuffer_Release(&dstref_b);
         PyBuffer_Release(&query_b);
@@ -709,6 +796,8 @@ fail:
     Py_XDECREF(ql_out);
     Py_XDECREF(rq_out);
     Py_XDECREF(qq_out);
+    PyMem_Free(refs);
+    PyMem_Free(reflens);
     PyBuffer_Release(&indel_b);
     PyBuffer_Release(&dstref_b);
     PyBuffer_Release(&query_b);
@@ -729,6 +818,18 @@ typedef struct {
     int synth;        /* 0 pass-through; 1 OA, 2 XB, 3 YB, 4 XI,
                          5 XR, 6 XP, 7 YR, 8 YP */
 } tagitem;
+
+/* removed-tag key occurrence, recorded GIL-free and folded into the
+   Python counter dict after the loop (key points into the arena) */
+typedef struct {
+    const char *key;
+    int klen;
+} remkey;
+
+/* realigned-range row recorded GIL-free; tuples built after the loop */
+typedef struct {
+    long ref_pos, ref_len, q_off, q_len, task_id;
+} rrow;
 
 static int tag_key_cmp(const void *a, const void *b)
 {
@@ -801,48 +902,70 @@ static int cig_flush(cig_emit *ce)
 }
 
 /* canonicalize an integer token: parse + reprint */
-static int sb_put_canon_int(pv3_strbuf *sb, const char *s, const char *end)
+static int sb_put_canon_int(pv3_strbuf *sb, const char *s, const char *end,
+                            fp_err *err)
 {
     long v;
     if (fp_parse_long(s, end, &v) != 0) {
-        PyErr_Format(PyExc_ValueError, "malformed integer tag value: %.50s",
-                     s);
+        err->kind = 1;
+        snprintf(err->msg, sizeof err->msg,
+                 "malformed integer tag value: %.50s", s);
         return -1;
     }
-    return pv3_sb_put_long(sb, v);
+    if (pv3_sb_put_long(sb, v) < 0) {
+        err->kind = 2;
+        return -1;
+    }
+    return 0;
 }
 
+/* Called without the GIL (ts holds the saved thread state); reacquires it
+   only for the format_float callback.  The value span is copied out so
+   strtod cannot scan past `end` into the next arena byte. */
 static int sb_put_canon_float(pv3_strbuf *sb, const char *s, const char *end,
-                              PyObject *float_fmt)
+                              PyObject *float_fmt, PyThreadState **ts,
+                              fp_err *err)
 {
+    char tmp[64];
+    size_t n = (size_t)(end - s);
     char *stop;
+    if (n == 0 || n >= sizeof tmp)
+        goto malformed;
+    memcpy(tmp, s, n);
+    tmp[n] = 0;
     errno = 0;
-    double v = strtod(s, &stop);
-    if (stop != end || s == end || errno != 0) {
-        PyErr_Format(PyExc_ValueError, "malformed float tag value: %.50s", s);
-        return -1;
+    double v = strtod(tmp, &stop);
+    if (stop != tmp + n || errno != 0)
+        goto malformed;
+    {
+        int rc = -1;
+        if (*ts) {
+            PyEval_RestoreThread(*ts);
+            *ts = NULL;
+        }
+        PyObject *f = PyFloat_FromDouble(v);
+        PyObject *out =
+            f ? PyObject_CallFunctionObjArgs(float_fmt, f, NULL) : NULL;
+        Py_XDECREF(f);
+        if (out) {
+            Py_ssize_t sl;
+            const char *sc = PyUnicode_AsUTF8AndSize(out, &sl);
+            if (sc && pv3_sb_put(sb, sc, (size_t)sl) == 0)
+                rc = 0;
+            Py_DECREF(out);
+        }
+        if (rc < 0)
+            err->kind = 3; /* error indicator set (or OOM from sb: raise) */
+        if (rc < 0 && !PyErr_Occurred())
+            PyErr_NoMemory();
+        *ts = PyEval_SaveThread();
+        return rc;
     }
-    PyObject *f = PyFloat_FromDouble(v);
-    if (!f)
-        return -1;
-    PyObject *out = PyObject_CallFunctionObjArgs(float_fmt, f, NULL);
-    Py_DECREF(f);
-    if (!out)
-        return -1;
-    Py_ssize_t sl;
-    const char *sc = PyUnicode_AsUTF8AndSize(out, &sl);
-    int rc = sc ? pv3_sb_put(sb, sc, (size_t)sl) : -1;
-    Py_DECREF(out);
-    return rc;
-}
-
-static int sb_put_str_obj(pv3_strbuf *sb, PyObject *s)
-{
-    Py_ssize_t n;
-    const char *p = PyUnicode_AsUTF8AndSize(s, &n);
-    if (!p)
-        return -1;
-    return pv3_sb_put(sb, p, (size_t)n);
+malformed:
+    err->kind = 1;
+    snprintf(err->msg, sizeof err->msg, "malformed float tag value: %.50s",
+             s);
+    return -1;
 }
 
 PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
@@ -892,6 +1015,14 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
     PyObject *removed = NULL;
     PyObject *ranges = NULL;
     tagitem *items = NULL;
+    const char **out_nm = NULL, **in_nm = NULL;
+    int *out_nml = NULL, *in_nml = NULL;
+    remkey *rem = NULL;
+    size_t rem_n = 0, rem_cap = 0;
+    rrow *rrows = NULL;
+    size_t rrow_n = 0, rrow_cap = 0;
+    PyThreadState *ts = NULL;
+    fp_err err = {0, {0}};
 
     /* tag-name config: 7-tuple (xr, xp, yr, yp, xb, yb, xi) of str|None */
     const char *tn[7] = {0};
@@ -912,10 +1043,31 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
     }
     /* index into tn[]: 0=XR 1=XP 2=YR 3=YP 4=XB 5=YB 6=XI */
 
-    removed = PyDict_New();
-    ranges = want_ranges ? PyList_New(0) : NULL;
-    if (!removed || (want_ranges && !ranges))
-        goto fail;
+    /* pre-extract reference-name UTF8 pointers (borrowed; the lists keep
+       the str objects alive for the call) so the loop can drop the GIL */
+    Py_ssize_t n_out = PyList_GET_SIZE(out_names);
+    Py_ssize_t n_in = PyList_GET_SIZE(in_names);
+    out_nm = PyMem_Malloc((n_out ? n_out : 1) * sizeof(char *));
+    out_nml = PyMem_Malloc((n_out ? n_out : 1) * sizeof(int));
+    in_nm = PyMem_Malloc((n_in ? n_in : 1) * sizeof(char *));
+    in_nml = PyMem_Malloc((n_in ? n_in : 1) * sizeof(int));
+    if (!out_nm || !out_nml || !in_nm || !in_nml)
+        goto oom;
+    for (Py_ssize_t i = 0; i < n_out; ++i) {
+        Py_ssize_t l;
+        out_nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(out_names, i),
+                                            &l);
+        if (!out_nm[i])
+            goto fail;
+        out_nml[i] = (int)l;
+    }
+    for (Py_ssize_t i = 0; i < n_in; ++i) {
+        Py_ssize_t l;
+        in_nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(in_names, i), &l);
+        if (!in_nm[i])
+            goto fail;
+        in_nml[i] = (int)l;
+    }
 
     long run_base = 0;     /* cursor into run_ops/run_lens */
     Py_ssize_t icur = 0;   /* cursor into indel rows */
@@ -924,9 +1076,14 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
 
     /* scratch tag items */
     size_t items_cap = 64;
-    items = PyMem_Malloc(items_cap * sizeof(tagitem));
+    items = malloc(items_cap * sizeof(tagitem));
     if (!items)
         goto oom;
+
+    /* the per-record loop touches only raw buffers — run it without the
+       GIL so the pipeline's parse / finalize / format threads overlap
+       (sb_put_canon_float reacquires for the format_float callback) */
+    ts = PyEval_SaveThread();
 
     for (Py_ssize_t k = 0; k < kept; ++k) {
         const int32_t *col = fields + k * 7;
@@ -959,16 +1116,14 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
         if (pv3_sb_put(&sb, arena + sp[0], sp[1]) < 0 ||
             pv3_sb_putc(&sb, '\t') < 0 ||
             pv3_sb_put_long(&sb, flag) < 0 || pv3_sb_putc(&sb, '\t') < 0)
-            goto fail;
-        {
-            PyObject *nm = PyList_GET_ITEM(out_names, dst_ref);
-            if (sb_put_str_obj(&sb, nm) < 0 || pv3_sb_putc(&sb, '\t') < 0)
-                goto fail;
-        }
+            goto loop_err;
+        if (pv3_sb_put(&sb, out_nm[dst_ref], out_nml[dst_ref]) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0)
+            goto loop_err;
         if (pv3_sb_put_long(&sb, dst_pos[k] + 1) < 0 ||
             pv3_sb_putc(&sb, '\t') < 0 ||
             pv3_sb_put_long(&sb, mapq) < 0 || pv3_sb_putc(&sb, '\t') < 0)
-            goto fail;
+            goto loop_err;
 
         /* ---- CIGAR splice (ops/engine._splice + collapse_cigar) ---- */
         {
@@ -978,7 +1133,7 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                 for (long r = 0; r < nr; ++r)
                     if (cig_push(&ce, run_ops[run_base + r],
                                  run_lens[run_base + r]) < 0)
-                        goto fail;
+                        goto loop_err;
             } else {
                 long copy_from = 0;
                 for (Py_ssize_t t = ir0; t < icur; ++t) {
@@ -987,7 +1142,7 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                     for (long r = copy_from; r < cs; ++r)
                         if (cig_push(&ce, run_ops[run_base + r],
                                      run_lens[run_base + r]) < 0)
-                            goto fail;
+                            goto loop_err;
                     copy_from = cend;
                     /* realigned ops: reversed RLE of the traceback row */
                     {
@@ -995,7 +1150,7 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                         const int8_t *ro = realn_ops + (size_t)t * steps;
                         for (long j = cnt - 1; j >= 0; --j)
                             if (cig_push(&ce, ro[j], 1) < 0)
-                                goto fail;
+                                goto loop_err;
                     }
                     g_realn += 1;
                     {
@@ -1004,27 +1159,31 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                         g_cells += rl * ql;
                     }
                     if (want_ranges) {
-                        PyObject *q = PyUnicode_DecodeUTF8(
-                            arena + sp[0], sp[1], "strict");
-                        PyObject *tup = q ? Py_BuildValue(
-                            "(llNl)", (long)row[7], (long)row[2], q,
-                            task_id) : NULL;
-                        if (!tup || PyList_Append(ranges, tup) < 0) {
-                            Py_XDECREF(tup);
-                            goto fail;
+                        if (rrow_n + 1 > rrow_cap) {
+                            size_t ncap = rrow_cap ? rrow_cap * 2 : 64;
+                            rrow *nr_ = realloc(rrows, ncap * sizeof(rrow));
+                            if (!nr_)
+                                goto loop_err;
+                            rrows = nr_;
+                            rrow_cap = ncap;
                         }
-                        Py_DECREF(tup);
+                        rrows[rrow_n].ref_pos = (long)row[7];
+                        rrows[rrow_n].ref_len = (long)row[2];
+                        rrows[rrow_n].q_off = (long)sp[0];
+                        rrows[rrow_n].q_len = (long)sp[1];
+                        rrows[rrow_n].task_id = task_id;
+                        ++rrow_n;
                     }
                 }
                 for (long r = copy_from; r < nr; ++r)
                     if (cig_push(&ce, run_ops[run_base + r],
                                  run_lens[run_base + r]) < 0)
-                        goto fail;
+                        goto loop_err;
             }
             if (cig_flush(&ce) < 0)
-                goto fail;
+                goto loop_err;
             if (!ce.ever && pv3_sb_putc(&sb, '*') < 0)
-                goto fail;
+                goto loop_err;
             run_base += nr;
         }
 
@@ -1038,17 +1197,16 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
             out_mate_pos = -1;
         }
         if (pv3_sb_putc(&sb, '\t') < 0)
-            goto fail;
+            goto loop_err;
         if (mate_ref < 0) {
             if (pv3_sb_putc(&sb, '*') < 0)
-                goto fail;
+                goto loop_err;
         } else if (dst_mate == dst_ref) {
             if (pv3_sb_putc(&sb, '=') < 0)
-                goto fail;
+                goto loop_err;
         } else {
-            PyObject *nm = PyList_GET_ITEM(out_names, dst_mate);
-            if (sb_put_str_obj(&sb, nm) < 0)
-                goto fail;
+            if (pv3_sb_put(&sb, out_nm[dst_mate], out_nml[dst_mate]) < 0)
+                goto loop_err;
         }
         if (pv3_sb_putc(&sb, '\t') < 0 ||
             pv3_sb_put_long(&sb, out_mate_pos + 1) < 0 ||
@@ -1057,7 +1215,7 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
             pv3_sb_put(&sb, arena + sp[2], sp[3]) < 0 ||
             pv3_sb_putc(&sb, '\t') < 0 ||
             pv3_sb_put(&sb, arena + sp[4], sp[5]) < 0)
-            goto fail;
+            goto loop_err;
 
         /* ---- tag surgery ---- */
         size_t n_items = 0;
@@ -1093,10 +1251,10 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                 if (!replaced) {
                     if (n_items + 1 > items_cap) {
                         items_cap *= 2;
-                        tagitem *ni = PyMem_Realloc(
-                            items, items_cap * sizeof(tagitem));
+                        tagitem *ni =
+                            realloc(items, items_cap * sizeof(tagitem));
                         if (!ni)
-                            goto oom;
+                            goto loop_err;
                         items = ni;
                     }
                     items[n_items++] = it;
@@ -1126,18 +1284,17 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                     }
                     items[w++] = items[q];
                 } else {
-                    PyObject *key = PyUnicode_DecodeUTF8(
-                        items[q].key, items[q].klen, "strict");
-                    if (!key)
-                        goto fail;
-                    PyObject *cur = PyDict_GetItem(removed, key);
-                    long c = cur ? PyLong_AsLong(cur) : 0;
-                    PyObject *nv = PyLong_FromLong(c + 1);
-                    int rc = nv ? PyDict_SetItem(removed, key, nv) : -1;
-                    Py_XDECREF(nv);
-                    Py_DECREF(key);
-                    if (rc < 0)
-                        goto fail;
+                    if (rem_n + 1 > rem_cap) {
+                        size_t ncap = rem_cap ? rem_cap * 2 : 64;
+                        remkey *nr_ = realloc(rem, ncap * sizeof(remkey));
+                        if (!nr_)
+                            goto loop_err;
+                        rem = nr_;
+                        rem_cap = ncap;
+                    }
+                    rem[rem_n].key = items[q].key;
+                    rem[rem_n].klen = items[q].klen;
+                    ++rem_n;
                 }
             }
             n_items = w;
@@ -1182,10 +1339,10 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                 if (!replaced) {
                     if (n_items + 1 > items_cap) {
                         items_cap *= 2;
-                        tagitem *ni = PyMem_Realloc(
-                            items, items_cap * sizeof(tagitem));
+                        tagitem *ni =
+                            realloc(items, items_cap * sizeof(tagitem));
                         if (!ni)
-                            goto oom;
+                            goto loop_err;
                         items = ni;
                     }
                     items[n_items++] = it;
@@ -1199,76 +1356,80 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
             if (pv3_sb_putc(&sb, '\t') < 0 ||
                 pv3_sb_put(&sb, it->key, it->klen) < 0 ||
                 pv3_sb_putc(&sb, ':') < 0)
-                goto fail;
+                goto loop_err;
             if (it->synth == 0) {
                 if (pv3_sb_putc(&sb, it->typ) < 0 ||
                     pv3_sb_putc(&sb, ':') < 0)
-                    goto fail;
+                    goto loop_err;
                 const char *v = it->val, *vend = it->val + it->vlen;
                 switch (it->typ) {
                 case 'i':
-                    if (sb_put_canon_int(&sb, v, vend) < 0)
-                        goto fail;
+                    if (sb_put_canon_int(&sb, v, vend, &err) < 0)
+                        goto loop_err;
                     break;
                 case 'f':
-                    if (sb_put_canon_float(&sb, v, vend, float_fmt) < 0)
-                        goto fail;
+                    if (sb_put_canon_float(&sb, v, vend, float_fmt, &ts,
+                                           &err) < 0)
+                        goto loop_err;
                     break;
                 case 'A':
                 case 'Z':
                 case 'H':
                     if (pv3_sb_put(&sb, v, it->vlen) < 0)
-                        goto fail;
+                        goto loop_err;
                     break;
                 case 'B': {
                     if (v >= vend) {
-                        PyErr_SetString(PyExc_ValueError,
-                                        "empty B tag value");
-                        goto fail;
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "empty B tag value");
+                        goto loop_err;
                     }
                     char sub = *v++;
                     int is_f = (sub == 'f' || sub == 'F');
                     if (pv3_sb_putc(&sb, sub) < 0)
-                        goto fail;
+                        goto loop_err;
                     while (v < vend) {
                         const char *comma = memchr(v, ',', vend - v);
                         const char *iend = comma ? comma : vend;
                         if (iend > v) {
                             if (pv3_sb_putc(&sb, ',') < 0)
-                                goto fail;
+                                goto loop_err;
                             if (is_f) {
                                 if (sb_put_canon_float(&sb, v, iend,
-                                                       float_fmt) < 0)
-                                    goto fail;
-                            } else if (sb_put_canon_int(&sb, v, iend) < 0)
-                                goto fail;
+                                                       float_fmt, &ts,
+                                                       &err) < 0)
+                                    goto loop_err;
+                            } else if (sb_put_canon_int(&sb, v, iend,
+                                                        &err) < 0)
+                                goto loop_err;
                         }
                         v = comma ? comma + 1 : vend;
                     }
                     break;
                 }
                 default:
-                    PyErr_Format(PyExc_ValueError,
-                                 "unknown tag type '%c'", it->typ);
-                    goto fail;
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "unknown tag type '%c'", it->typ);
+                    goto loop_err;
                 }
                 continue;
             }
             switch (it->synth) {
             case 1: { /* OA:Z: prev + RNAME,pos,strand,CIGAR,MAPQ,NM; */
                 if (pv3_sb_put(&sb, "Z:", 2) < 0)
-                    goto fail;
+                    goto loop_err;
                 if (oa_prev_len &&
                     pv3_sb_put(&sb, oa_prev, oa_prev_len) < 0)
-                    goto fail;
-                PyObject *nm = PyList_GET_ITEM(in_names, ref_id);
-                if (sb_put_str_obj(&sb, nm) < 0 ||
+                    goto loop_err;
+                if (pv3_sb_put(&sb, in_nm[ref_id], in_nml[ref_id]) < 0 ||
                     pv3_sb_putc(&sb, ',') < 0 ||
                     pv3_sb_put_long(&sb, src_pos) < 0 ||
                     pv3_sb_putc(&sb, ',') < 0 ||
                     pv3_sb_putc(&sb, (flag & 0x10) ? '-' : '+') < 0 ||
                     pv3_sb_putc(&sb, ',') < 0)
-                    goto fail;
+                    goto loop_err;
                 {
                     const int8_t *po = ops2d + k * O;
                     const int32_t *pc = counts2d + k * O;
@@ -1277,24 +1438,25 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                         if (pv3_sb_put_long(&sb, pc[j]) < 0 ||
                             pv3_sb_putc(&sb,
                                         pv3_op_char_table[po[j]]) < 0)
-                            goto fail;
+                            goto loop_err;
                     }
                 }
                 if (pv3_sb_putc(&sb, ',') < 0 ||
                     pv3_sb_put_long(&sb, mapq) < 0 ||
                     pv3_sb_putc(&sb, ',') < 0)
-                    goto fail;
+                    goto loop_err;
                 if (nm_val && sb_put_canon_int(&sb, nm_val,
-                                               nm_val + nm_vlen) < 0)
-                    goto fail;
+                                               nm_val + nm_vlen,
+                                               &err) < 0)
+                    goto loop_err;
                 if (pv3_sb_putc(&sb, ';') < 0)
-                    goto fail;
+                    goto loop_err;
                 break;
             }
             case 2:   /* XB: B:I query ranges (q0, q0+ql) */
             case 3: { /* YB: B:I ref ranges (checker_ref, +rl) */
                 if (pv3_sb_put(&sb, "B:I", 3) < 0)
-                    goto fail;
+                    goto loop_err;
                 for (Py_ssize_t t = ir0; t < icur; ++t) {
                     const int32_t *row = indel + t * 9;
                     long a, b;
@@ -1309,39 +1471,93 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                         pv3_sb_put_long(&sb, a) < 0 ||
                         pv3_sb_putc(&sb, ',') < 0 ||
                         pv3_sb_put_long(&sb, b) < 0)
-                        goto fail;
+                        goto loop_err;
                 }
                 break;
             }
             case 4: /* XI */
                 if (pv3_sb_put(&sb, "i:", 2) < 0 ||
                     pv3_sb_put_long(&sb, rec_idx_value) < 0)
-                    goto fail;
+                    goto loop_err;
                 break;
             case 5: /* XR: original ref id */
                 if (pv3_sb_put(&sb, "i:", 2) < 0 ||
                     pv3_sb_put_long(&sb, ref_id) < 0)
-                    goto fail;
+                    goto loop_err;
                 break;
             case 6: /* XP: original pos */
                 if (pv3_sb_put(&sb, "i:", 2) < 0 ||
                     pv3_sb_put_long(&sb, src_pos) < 0)
-                    goto fail;
+                    goto loop_err;
                 break;
             case 7: /* YR: original mate ref id */
                 if (pv3_sb_put(&sb, "i:", 2) < 0 ||
                     pv3_sb_put_long(&sb, mate_ref) < 0)
-                    goto fail;
+                    goto loop_err;
                 break;
             case 8: /* YP: original mate pos */
                 if (pv3_sb_put(&sb, "i:", 2) < 0 ||
                     pv3_sb_put_long(&sb, mate_pos) < 0)
-                    goto fail;
+                    goto loop_err;
                 break;
             }
         }
         if (pv3_sb_putc(&sb, '\n') < 0)
+            goto loop_err;
+        continue;
+    loop_err:
+        if (!err.kind)
+            err.kind = 2; /* default: allocation failure */
+        break;
+    }
+
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+    if (err.kind == 1) {
+        PyErr_SetString(PyExc_ValueError, err.msg);
+        goto fail;
+    }
+    if (err.kind == 2) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    if (err.kind == 3)
+        goto fail; /* error indicator already set by the callback */
+
+    /* fold removed-tag occurrences into the counter dict */
+    removed = PyDict_New();
+    if (!removed)
+        goto fail;
+    for (size_t i = 0; i < rem_n; ++i) {
+        PyObject *key =
+            PyUnicode_DecodeUTF8(rem[i].key, rem[i].klen, "strict");
+        if (!key)
             goto fail;
+        PyObject *cur = PyDict_GetItem(removed, key);
+        long c = cur ? PyLong_AsLong(cur) : 0;
+        PyObject *nv = PyLong_FromLong(c + 1);
+        int rc = nv ? PyDict_SetItem(removed, key, nv) : -1;
+        Py_XDECREF(nv);
+        Py_DECREF(key);
+        if (rc < 0)
+            goto fail;
+    }
+    if (want_ranges) {
+        ranges = PyList_New(0);
+        if (!ranges)
+            goto fail;
+        for (size_t i = 0; i < rrow_n; ++i) {
+            PyObject *q = PyUnicode_DecodeUTF8(
+                arena + rrows[i].q_off, rrows[i].q_len, "strict");
+            PyObject *tup = q ? Py_BuildValue(
+                "(llNl)", rrows[i].ref_pos, rrows[i].ref_len, q,
+                rrows[i].task_id) : NULL;
+            if (!tup || PyList_Append(ranges, tup) < 0) {
+                Py_XDECREF(tup);
+                goto fail;
+            }
+            Py_DECREF(tup);
+        }
     }
 
     {
@@ -1351,7 +1567,13 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
         PyObject *res = Py_BuildValue(
             "(N N (lll) N l)", blob, removed, g_realn, g_len, g_cells,
             ranges ? ranges : Py_NewRef(Py_None), tasks_used);
-        PyMem_Free(items);
+        free(items);
+        free(rem);
+        free(rrows);
+        PyMem_Free(out_nm);
+        PyMem_Free(out_nml);
+        PyMem_Free(in_nm);
+        PyMem_Free(in_nml);
         free(sb.buf);
         PyBuffer_Release(&arena_b);
         PyBuffer_Release(&spans_b);
@@ -1376,7 +1598,13 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
 oom:
     PyErr_NoMemory();
 fail:
-    PyMem_Free(items);
+    free(items);
+    free(rem);
+    free(rrows);
+    PyMem_Free(out_nm);
+    PyMem_Free(out_nml);
+    PyMem_Free(in_nm);
+    PyMem_Free(in_nml);
     free(sb.buf);
     Py_XDECREF(removed);
     Py_XDECREF(ranges);
@@ -1398,6 +1626,339 @@ cleanup_null:
     PyBuffer_Release(&matedst_b);
     PyBuffer_Release(&refmap_b);
     PyBuffer_Release(&preserved_b);
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* event_geometry_batch: C implementation of EventGeometry.batch
+ * (ops/event_geometry.py).  Per record, the projection geometry is read
+ * off the precomputed per-(src,dst)-pair difference events with two
+ * binary searches, and dst_pos via select0 on the source gap bitvector +
+ * rank0 on the destination one (msa_index.hh:239-258 semantics).
+ *
+ * event_geometry_batch(ref_ids y*(i32 B), pos y*(i32 B),
+ *                      n_units y*(i32 B), R, K,
+ *                      group (list: rid -> None | 9-tuple(
+ *                          gap_start y*, gap_end y*, del_b y*, del_len y*
+ *                          (all i64), src_words y*(u32), src_rank y*(i64),
+ *                          src_nzeros int, dst_words y*(u32),
+ *                          dst_rank y*(i64))))
+ *   -> (dst_pos i32[B], gapbits u8[B*ceil(R/8)], d_vals u8[B*K],
+ *       d_pos u8[B*K], d_n u8[B], use_full int, d_full i32[B*R]|b"")
+ * Outputs are bit-identical to the numpy implementation (enforced by
+ * tests/test_device_ops.py).                                           */
+
+typedef struct {
+    const int64_t *gap_start, *gap_end, *del_b, *del_len;
+    Py_ssize_t n_gap, n_del;
+    const uint32_t *src_words;
+    const int64_t *src_rank;
+    Py_ssize_t src_nw;
+    int64_t src_nzeros;
+    const uint32_t *dst_words;
+    const int64_t *dst_rank;
+    Py_ssize_t dst_nw;
+    int present;
+} eg_pair;
+
+static inline int popcount32_c(uint32_t x)
+{
+#if defined(__GNUC__) || defined(__clang__)
+    return __builtin_popcount(x);
+#else
+    x = x - ((x >> 1) & 0x55555555u);
+    x = (x & 0x33333333u) + ((x >> 2) & 0x33333333u);
+    x = (x + (x >> 4)) & 0x0F0F0F0Fu;
+    return (int)((x * 0x01010101u) >> 24);
+#endif
+}
+
+/* zeros strictly before position pos */
+static inline int64_t eg_rank0(const uint32_t *words, const int64_t *rank,
+                               int64_t pos)
+{
+    int64_t w = pos >> 5;
+    uint32_t mask = (pos & 31) ? ((1u << (pos & 31)) - 1u) : 0u;
+    return rank[w] + popcount32_c(~words[w] & mask);
+}
+
+/* aligned position of the k-th zero (1-based), nw = number of words */
+static inline int64_t eg_select0(const uint32_t *words, const int64_t *rank,
+                                 Py_ssize_t nw, int64_t k)
+{
+    /* last word index w with rank[w] < k (rank has nw+1 entries) */
+    Py_ssize_t lo = 0, hi = nw + 1; /* searchsorted_left over rank */
+    while (lo < hi) {
+        Py_ssize_t mid = (lo + hi) / 2;
+        if (rank[mid] < k)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    Py_ssize_t w = lo - 1;
+    int64_t rem = k - rank[w];
+    uint32_t inv = ~words[w];
+    int64_t posn = 0, cur = 0;
+    int width = 16;
+    uint32_t shifted = inv;
+    while (width) {
+        uint32_t lower = shifted & ((1u << width) - 1u);
+        int cnt = popcount32_c(lower);
+        if (cnt < rem - cur) {
+            cur += cnt;
+            posn += width;
+            shifted >>= width;
+        } else {
+            shifted = lower;
+        }
+        width >>= 1;
+    }
+    return ((int64_t)w << 5) + posn;
+}
+
+static inline Py_ssize_t eg_searchsorted(const int64_t *a, Py_ssize_t n,
+                                         int64_t v)
+{
+    /* left insertion point */
+    Py_ssize_t lo = 0, hi = n;
+    while (lo < hi) {
+        Py_ssize_t mid = (lo + hi) / 2;
+        if (a[mid] < v)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    return lo;
+}
+
+PyObject *pv3_event_geometry_batch(PyObject *self, PyObject *args)
+{
+    Py_buffer rid_b, pos_b, nunits_b;
+    long R, K;
+    PyObject *group;
+    if (!PyArg_ParseTuple(args, "y*y*y*llO!", &rid_b, &pos_b, &nunits_b,
+                          &R, &K, &PyList_Type, &group))
+        return NULL;
+
+    const int32_t *ref_ids = rid_b.buf;
+    const int32_t *pos = pos_b.buf;
+    const int32_t *n_units = nunits_b.buf;
+    Py_ssize_t B = pos_b.len / sizeof(int32_t);
+    Py_ssize_t n_rids = PyList_GET_SIZE(group);
+    Py_ssize_t gstride = (R + 7) / 8;
+
+    eg_pair *pairs = NULL;
+    Py_buffer *views = NULL; /* 8 buffer views per present pair */
+    Py_ssize_t n_views = 0;
+    PyObject *dstpos_o = NULL, *gap_o = NULL, *dvals_o = NULL;
+    PyObject *dpos_o = NULL, *dn_o = NULL, *dfull_o = NULL;
+    int64_t *tmp_rows = NULL, *tmp_rr = NULL, *tmp_ll = NULL;
+    size_t tmp_n = 0, tmp_cap = 0;
+    long bad_rid = -1;
+    int oom_flag = 0;
+
+    pairs = PyMem_Calloc(n_rids ? n_rids : 1, sizeof(eg_pair));
+    views = PyMem_Calloc((n_rids ? n_rids : 1) * 8, sizeof(Py_buffer));
+    if (!pairs || !views) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (Py_ssize_t i = 0; i < n_rids; ++i) {
+        PyObject *t = PyList_GET_ITEM(group, i);
+        if (t == Py_None)
+            continue;
+        long src_nzeros;
+        Py_buffer *v = views + n_views;
+        if (!PyArg_ParseTuple(t, "y*y*y*y*y*y*ly*y*",
+                              &v[0], &v[1], &v[2], &v[3], &v[4], &v[5],
+                              &src_nzeros, &v[6], &v[7]))
+            goto fail;
+        n_views += 8;
+        eg_pair *pe = pairs + i;
+        pe->gap_start = v[0].buf;
+        pe->gap_end = v[1].buf;
+        pe->del_b = v[2].buf;
+        pe->del_len = v[3].buf;
+        pe->n_gap = v[0].len / 8;
+        pe->n_del = v[2].len / 8;
+        pe->src_words = v[4].buf;
+        pe->src_rank = v[5].buf;
+        pe->src_nw = v[4].len / 4;
+        pe->src_nzeros = src_nzeros;
+        pe->dst_words = v[6].buf;
+        pe->dst_rank = v[7].buf;
+        pe->dst_nw = v[6].len / 4;
+        pe->present = 1;
+    }
+
+    dstpos_o = PyBytes_FromStringAndSize(NULL, B * sizeof(int32_t));
+    gap_o = PyBytes_FromStringAndSize(NULL, B * gstride);
+    dvals_o = PyBytes_FromStringAndSize(NULL, B * K);
+    dpos_o = PyBytes_FromStringAndSize(NULL, B * K);
+    dn_o = PyBytes_FromStringAndSize(NULL, B);
+    if (!dstpos_o || !gap_o || !dvals_o || !dpos_o || !dn_o)
+        goto fail;
+    int32_t *dst_pos = (int32_t *)PyBytes_AS_STRING(dstpos_o);
+    uint8_t *gapbits = (uint8_t *)PyBytes_AS_STRING(gap_o);
+    uint8_t *d_vals = (uint8_t *)PyBytes_AS_STRING(dvals_o);
+    uint8_t *d_pos = (uint8_t *)PyBytes_AS_STRING(dpos_o);
+    uint8_t *d_n = (uint8_t *)PyBytes_AS_STRING(dn_o);
+    memset(gapbits, 0, B * gstride);
+    memset(d_vals, 0, B * K);
+    memset(d_pos, 0, B * K);
+    memset(d_n, 0, B);
+
+    int use_full = R > 255;
+
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t k = 0; k < B; ++k) {
+        int32_t rid = ref_ids[k];
+        if (rid < 0 || rid >= n_rids || !pairs[rid].present) {
+            bad_rid = rid;
+            break;
+        }
+        const eg_pair *pe = pairs + rid;
+        int64_t p = pos[k];
+        int64_t n = n_units[k] < R ? n_units[k] : R;
+
+        /* dst_pos = dst.rank0(src.select0(clip(p+1, 1, src_nzeros))) */
+        int64_t kk = p + 1;
+        int64_t hi_clip = pe->src_nzeros > 1 ? pe->src_nzeros : 1;
+        if (kk < 1)
+            kk = 1;
+        if (kk > hi_clip)
+            kk = hi_clip;
+        int64_t acol = eg_select0(pe->src_words, pe->src_rank, pe->src_nw,
+                                  kk);
+        dst_pos[k] = (int32_t)eg_rank0(pe->dst_words, pe->dst_rank, acol);
+
+        /* gap runs overlapping [p, p+n) */
+        if (pe->n_gap) {
+            Py_ssize_t lo = eg_searchsorted(pe->gap_end, pe->n_gap, p);
+            Py_ssize_t hi = eg_searchsorted(pe->gap_start, pe->n_gap,
+                                            p + n);
+            uint8_t *gb = gapbits + k * gstride;
+            for (Py_ssize_t e = lo; e < hi; ++e) {
+                int64_t a = pe->gap_start[e] - p;
+                int64_t b = pe->gap_end[e] - p;
+                if (a < 0)
+                    a = 0;
+                if (b > n - 1)
+                    b = n - 1;
+                for (int64_t r = a; r <= b; ++r)
+                    gb[r >> 3] |= (uint8_t)(1u << (r & 7));
+            }
+        }
+
+        /* deletion boundaries in (p, p+n) */
+        if (pe->n_del) {
+            Py_ssize_t lo = eg_searchsorted(pe->del_b, pe->n_del, p + 1);
+            Py_ssize_t hi = eg_searchsorted(pe->del_b, pe->n_del, p + n);
+            Py_ssize_t cnt = hi - lo;
+            if (cnt > 0) {
+                if (tmp_n + (size_t)cnt > tmp_cap) {
+                    size_t ncap = tmp_cap ? tmp_cap * 2 : 256;
+                    while (ncap < tmp_n + (size_t)cnt)
+                        ncap *= 2;
+                    int64_t *nr = realloc(tmp_rows, ncap * sizeof(int64_t));
+                    int64_t *nrr = realloc(tmp_rr, ncap * sizeof(int64_t));
+                    int64_t *nll = realloc(tmp_ll, ncap * sizeof(int64_t));
+                    if (nr) tmp_rows = nr;
+                    if (nrr) tmp_rr = nrr;
+                    if (nll) tmp_ll = nll;
+                    if (!nr || !nrr || !nll) {
+                        oom_flag = 1;
+                        break;
+                    }
+                    tmp_cap = ncap;
+                }
+                for (Py_ssize_t e = lo; e < hi; ++e) {
+                    tmp_rows[tmp_n] = k;
+                    tmp_rr[tmp_n] = pe->del_b[e] - p;
+                    tmp_ll[tmp_n] = pe->del_len[e];
+                    if (pe->del_len[e] > 255)
+                        use_full = 1;
+                    ++tmp_n;
+                }
+                if (cnt > K)
+                    use_full = 1;
+            }
+        }
+    }
+    Py_END_ALLOW_THREADS
+    if (oom_flag) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    if (bad_rid >= 0 || (bad_rid < -1)) {
+        PyErr_Format(PyExc_ValueError,
+                     "record references index-less ref id %ld",
+                     (long)bad_rid);
+        goto fail;
+    }
+
+    if (use_full) {
+        dfull_o = PyBytes_FromStringAndSize(NULL, B * R * sizeof(int32_t));
+        if (!dfull_o)
+            goto fail;
+        int32_t *d_full = (int32_t *)PyBytes_AS_STRING(dfull_o);
+        memset(d_full, 0, B * R * sizeof(int32_t));
+        for (size_t i = 0; i < tmp_n; ++i)
+            d_full[tmp_rows[i] * R + tmp_rr[i]] += (int32_t)tmp_ll[i];
+    } else {
+        dfull_o = PyBytes_FromStringAndSize("", 0);
+        if (!dfull_o)
+            goto fail;
+        /* per-row instances are contiguous and rr-ascending */
+        for (size_t i = 0; i < tmp_n;) {
+            int64_t row = tmp_rows[i];
+            size_t j = i;
+            while (j < tmp_n && tmp_rows[j] == row)
+                ++j;
+            d_n[row] = (uint8_t)(j - i);
+            for (size_t q = i; q < j; ++q) {
+                d_vals[row * K + (q - i)] = (uint8_t)tmp_ll[q];
+                d_pos[row * K + (q - i)] = (uint8_t)tmp_rr[q];
+            }
+            i = j;
+        }
+    }
+
+    {
+        PyObject *res = Py_BuildValue("(NNNNNiN)", dstpos_o, gap_o,
+                                      dvals_o, dpos_o, dn_o, use_full,
+                                      dfull_o);
+        free(tmp_rows);
+        free(tmp_rr);
+        free(tmp_ll);
+        for (Py_ssize_t i = 0; i < n_views; ++i)
+            PyBuffer_Release(&views[i]);
+        PyMem_Free(views);
+        PyMem_Free(pairs);
+        PyBuffer_Release(&rid_b);
+        PyBuffer_Release(&pos_b);
+        PyBuffer_Release(&nunits_b);
+        return res;
+    }
+
+fail:
+    free(tmp_rows);
+    free(tmp_rr);
+    free(tmp_ll);
+    Py_XDECREF(dstpos_o);
+    Py_XDECREF(gap_o);
+    Py_XDECREF(dvals_o);
+    Py_XDECREF(dpos_o);
+    Py_XDECREF(dn_o);
+    Py_XDECREF(dfull_o);
+    if (views)
+        for (Py_ssize_t i = 0; i < n_views; ++i)
+            PyBuffer_Release(&views[i]);
+    PyMem_Free(views);
+    PyMem_Free(pairs);
+    PyBuffer_Release(&rid_b);
+    PyBuffer_Release(&pos_b);
+    PyBuffer_Release(&nunits_b);
     return NULL;
 }
 
@@ -1450,24 +2011,49 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
     Py_ssize_t gap_stride = n_rec ? gap_b.len / n_rec : 0;
 
     Py_ssize_t cap = total_units * 2 + 16;
-    int8_t *run_ops = PyMem_Malloc(cap);
-    int32_t *run_lens = PyMem_Malloc(cap * sizeof(int32_t));
-    int32_t *runs_per_rec = PyMem_Malloc(n_rec * sizeof(int32_t));
+    int8_t *run_ops = malloc(cap ? cap : 1);
+    int32_t *run_lens = malloc((cap ? cap : 1) * sizeof(int32_t));
+    int32_t *runs_per_rec = malloc((n_rec ? n_rec : 1) * sizeof(int32_t));
     int32_t *indel = NULL;
     size_t indel_cap = 0, n_indel = 0;
+    const unsigned char **refs = NULL;
+    Py_ssize_t *reflens = NULL;
+    PyThreadState *ts = NULL;
+    int oom_flag = 0;
     if (!run_ops || !run_lens || !runs_per_rec) {
         PyErr_NoMemory();
         goto fail;
     }
 
+    /* pre-extract destination reference byte pointers (borrowed; the list
+       keeps the bytes alive) so the record loop can drop the GIL */
+    {
+        Py_ssize_t n_refs = PyList_GET_SIZE(ref_list);
+        refs = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(char *));
+        reflens = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(Py_ssize_t));
+        if (!refs || !reflens) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+        for (Py_ssize_t i = 0; i < n_refs; ++i) {
+            char *rc_;
+            if (PyBytes_AsStringAndSize(PyList_GET_ITEM(ref_list, i), &rc_,
+                                        &reflens[i]) < 0)
+                goto fail;
+            refs[i] = (const unsigned char *)rc_;
+        }
+    }
+
+    ts = PyEval_SaveThread();
+
     #define INDEL_ROW2(REC, RL, RLEN, QL, QLEN, CF, CE, CR, CQ)           \
         do {                                                              \
             if ((n_indel + 1) * 9 > indel_cap) {                          \
                 size_t ncap = indel_cap ? indel_cap * 2 : 9 * 64;         \
-                int32_t *ni = PyMem_Realloc(indel, ncap * sizeof(int32_t)); \
+                int32_t *ni = realloc(indel, ncap * sizeof(int32_t));     \
                 if (!ni) {                                                \
-                    PyErr_NoMemory();                                     \
-                    goto fail;                                            \
+                    oom_flag = 1;                                         \
+                    goto loop_end;                                        \
                 }                                                         \
                 indel = ni;                                               \
                 indel_cap = ncap;                                         \
@@ -1490,15 +2076,8 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
         int8_t cur_op = -1;
         int64_t cur_len = 0;
 
-        const unsigned char *refc = NULL;
-        Py_ssize_t reflen = 0;
-        {
-            PyObject *ref_obj = PyList_GET_ITEM(ref_list, dst_rids[rec]);
-            char *rc_;
-            if (PyBytes_AsStringAndSize(ref_obj, &rc_, &reflen) < 0)
-                goto fail;
-            refc = (const unsigned char *)rc_;
-        }
+        const unsigned char *refc = refs[dst_rids[rec]];
+        Py_ssize_t reflen = reflens[dst_rids[rec]];
         const uint8_t *gb = gapbits + (size_t)rec * gap_stride;
         const unsigned char *qrow = query + (size_t)rec * Lq;
 
@@ -1639,7 +2218,14 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
                            cig_first, n_ops_rec, ref_pos, query_pos);
         }
     }
+loop_end:
     #undef INDEL_ROW2
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+    if (oom_flag) {
+        PyErr_NoMemory();
+        goto fail;
+    }
 
     {
         PyObject *res = Py_BuildValue(
@@ -1649,10 +2235,12 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
             (char *)runs_per_rec, (Py_ssize_t)(n_rec * sizeof(int32_t)),
             (char *)(indel ? indel : (int32_t *)""),
             (Py_ssize_t)(n_indel * 9 * sizeof(int32_t)));
-        PyMem_Free(run_ops);
-        PyMem_Free(run_lens);
-        PyMem_Free(runs_per_rec);
-        PyMem_Free(indel);
+        free(run_ops);
+        free(run_lens);
+        free(runs_per_rec);
+        free(indel);
+        PyMem_Free(refs);
+        PyMem_Free(reflens);
         goto release;
         (void)res;
     release:
@@ -1671,10 +2259,12 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
     }
 
 fail:
-    PyMem_Free(run_ops);
-    PyMem_Free(run_lens);
-    PyMem_Free(runs_per_rec);
-    PyMem_Free(indel);
+    free(run_ops);
+    free(run_lens);
+    free(runs_per_rec);
+    free(indel);
+    PyMem_Free(refs);
+    PyMem_Free(reflens);
     PyBuffer_Release(&uop_b);
     PyBuffer_Release(&ucnt_b);
     PyBuffer_Release(&nunits_b);

@@ -1083,6 +1083,9 @@ static PyMethodDef methods[] = {
     {"finalize_reconstruct", pv3_finalize_reconstruct, METH_VARARGS,
      "finalize_rewrite + host character comparison from gap geometry "
      "(rewrite v3)."},
+    {"event_geometry_batch", pv3_event_geometry_batch, METH_VARARGS,
+     "Per-record projection geometry from precomputed MSA-difference "
+     "events (C EventGeometry.batch)."},
     {NULL, NULL, 0, NULL},
 };
 

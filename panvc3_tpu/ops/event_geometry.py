@@ -113,6 +113,30 @@ class EventGeometry:
                 cache[key] = build_pair_events(s, d)
             self.events.append(cache[key])
 
+        # native fast path: per-rid buffer tuples for event_geometry_batch
+        self._native = None
+        self._native_group: list[tuple | None] = []
+        import os
+
+        if os.environ.get("PANVC3_EVENT_GEOMETRY_NATIVE") != "0":
+            from ..native import get_native
+
+            nat = get_native()
+            if nat is not None and hasattr(nat, "event_geometry_batch"):
+                self._native = nat
+                for pe, s, d in zip(self.events, self.src_gv, self.dst_gv):
+                    if pe is None:
+                        self._native_group.append(None)
+                        continue
+                    self._native_group.append((
+                        np.ascontiguousarray(pe.gap_start),
+                        np.ascontiguousarray(pe.gap_end),
+                        np.ascontiguousarray(pe.del_b),
+                        np.ascontiguousarray(pe.del_len),
+                        s.words, s.block_rank0, int(s.n_zeros),
+                        d.words, d.block_rank0,
+                    ))
+
     def batch(
         self,
         ref_ids: np.ndarray,   # int32[B] input reference id per record
@@ -124,6 +148,25 @@ class EventGeometry:
         """(dst_pos i32[B], gapbits u8[B, R/8], d_vals u8[B, K],
         d_pos u8[B, K], d_n u8[B], use_full, d_full i32[B*R or 0])."""
         B = len(pos)
+        if self._native is not None:
+            gs = (R + 7) // 8
+            dp_b, gap_b, dv_b, dpos_b, dn_b, use_full, df_b = (
+                self._native.event_geometry_batch(
+                    np.ascontiguousarray(ref_ids, dtype=np.int32),
+                    np.ascontiguousarray(pos, dtype=np.int32),
+                    np.ascontiguousarray(n_units, dtype=np.int32),
+                    R, K, self._native_group,
+                )
+            )
+            return (
+                np.frombuffer(dp_b, np.int32),
+                np.frombuffer(gap_b, np.uint8).reshape(B, gs),
+                np.frombuffer(dv_b, np.uint8).reshape(B, K),
+                np.frombuffer(dpos_b, np.uint8).reshape(B, K),
+                np.frombuffer(dn_b, np.uint8),
+                use_full,
+                np.frombuffer(df_b, np.int32),
+            )
         dst_pos = np.zeros(B, np.int32)
         paint = np.zeros((B, R + 1), np.int16)
         rows_parts: list[np.ndarray] = []

@@ -480,3 +480,58 @@ class TestWireFormats:
                 rw = np.broadcast_to(np.arange(B)[:, None], valid.shape)[valid]
                 got_d[rw, d_pos[valid].astype(np.int64)] = d_vals[valid]
             np.testing.assert_array_equal(got_d, d_run)
+
+    def test_event_geometry_native_matches_numpy(self):
+        """The C event_geometry_batch is bit-identical to the numpy
+        implementation, including the use_full (dense deletion) path and
+        position clamping at sequence edges."""
+        import os
+
+        from panvc3_tpu.bitvec import GapBitVector
+        from panvc3_tpu.msa_index import SequenceEntry
+        from panvc3_tpu.native import get_native
+        from panvc3_tpu.ops.event_geometry import EventGeometry
+
+        if get_native() is None:
+            import pytest
+
+            pytest.skip("native extension not built")
+
+        rng = np.random.default_rng(23)
+        # gap_frac 0.35 with runs produces >255-long deletions rarely; add
+        # a forced long dst-gap run to exercise use_full
+        for trial, (n_cols, gap_frac, K) in enumerate(
+            [(600, 0.05, 8), (900, 0.35, 2), (400, 0.0, 8)]
+        ):
+            vecs = []
+            for vi in range(3):
+                gaps = rng.random(n_cols) < gap_frac
+                if trial == 1 and vi == 0:
+                    gaps[50:120] = True  # long run: dst gaps force deletions
+                s = np.where(gaps, ord("-"), ord("A")).astype(np.uint8)
+                vecs.append(GapBitVector.from_gap_string(s.tobytes()))
+            entries = [SequenceEntry(str(i), v) for i, v in enumerate(vecs)]
+            rim = [0, 0, 0]
+
+            B, R = 64, 32
+            ref_ids = rng.integers(0, 3, B).astype(np.int32)
+            n_units = rng.integers(0, R + 1, B).astype(np.int32)
+            maxp = max(1, min(v.n_zeros for v in vecs) - 1)
+            pos = rng.integers(0, maxp, B).astype(np.int32)
+            pos[0] = 0
+            pos[1] = maxp - 1  # edge clamps
+
+            eg_native = EventGeometry(entries, [entries[0]], rim)
+            assert eg_native._native is not None
+            os.environ["PANVC3_EVENT_GEOMETRY_NATIVE"] = "0"
+            try:
+                eg_np = EventGeometry(entries, [entries[0]], rim)
+            finally:
+                del os.environ["PANVC3_EVENT_GEOMETRY_NATIVE"]
+            assert eg_np._native is None
+
+            got = eg_native.batch(ref_ids, pos, n_units, R, K)
+            want = eg_np.batch(ref_ids, pos, n_units, R, K)
+            assert got[5] == want[5]  # use_full agrees
+            for g, w in zip(got[:5] + (got[6],), want[:5] + (want[6],)):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
