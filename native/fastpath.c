@@ -22,6 +22,11 @@
 
 #include "panvc3_common.h"
 
+#include <math.h>
+#include <pthread.h>
+#include <stdio.h>
+#include <unistd.h>
+
 /* seqan3 dna5 char semantics (panvc3_tpu.alphabet.DNA5_NORMALISE) */
 static unsigned char dna5_table[256];
 
@@ -919,14 +924,109 @@ static int sb_put_canon_int(pv3_strbuf *sb, const char *s, const char *end,
     return 0;
 }
 
-/* Called without the GIL (ts holds the saved thread state); reacquires it
-   only for the format_float callback.  The value span is copied out so
-   strtod cannot scan past `end` into the next arena byte. */
+/* Format a float32 value the way io/sam.format_float does (shortest
+   representation that round-trips float32, std::to_chars-compatible):
+   integral values < 1e16 print as plain integers; otherwise the shorter
+   of the shortest-round-trip positional and scientific forms (ties →
+   positional).  Returns the length written into out (cap >= 64). */
+int pv3_format_f32(double dv, char *out)
+{
+    float f = (float)dv;
+    if (isnan(f)) {
+        memcpy(out, "nan", 4);
+        return 3;
+    }
+    if (isinf(f)) {
+        if (f < 0) {
+            memcpy(out, "-inf", 5);
+            return 4;
+        }
+        memcpy(out, "inf", 4);
+        return 3;
+    }
+    double fd = (double)f;
+    if (fd == floor(fd) && fabs(fd) < 1e16)
+        return sprintf(out, "%lld", (long long)fd);
+
+    /* shortest digit string that round-trips under strtof: glibc %.*e is
+       correctly rounded, so the first p whose reparse matches is the
+       unique shortest (differentially tested vs numpy's dragon4 in
+       tests/test_property.py) */
+    char ebuf[40];
+    int p = 9;
+    for (int q = 1; q <= 9; ++q) {
+        snprintf(ebuf, sizeof ebuf, "%.*e", q - 1, fd);
+        if (strtof(ebuf, NULL) == f) {
+            p = q;
+            break;
+        }
+    }
+    snprintf(ebuf, sizeof ebuf, "%.*e", p - 1, fd);
+
+    /* parse [-]d[.ddd]e±XX into digits + exp10 */
+    char digits[16];
+    int neg = 0, nd = 0, exp10 = 0;
+    {
+        const char *c = ebuf;
+        if (*c == '-') {
+            neg = 1;
+            ++c;
+        }
+        for (; *c && *c != 'e' && *c != 'E'; ++c)
+            if (*c != '.')
+                digits[nd++] = *c;
+        exp10 = (int)strtol(c + 1, NULL, 10);
+    }
+
+    char pos_b[64], sci_b[32];
+    int pos_n = 0, sci_n = 0;
+    /* positional */
+    if (exp10 >= 0) {
+        if (nd <= exp10 + 1) {
+            memcpy(pos_b, digits, nd);
+            pos_n = nd;
+            for (int i = nd; i <= exp10; ++i)
+                pos_b[pos_n++] = '0';
+        } else {
+            memcpy(pos_b, digits, exp10 + 1);
+            pos_n = exp10 + 1;
+            pos_b[pos_n++] = '.';
+            memcpy(pos_b + pos_n, digits + exp10 + 1, nd - exp10 - 1);
+            pos_n += nd - exp10 - 1;
+        }
+    } else {
+        pos_b[pos_n++] = '0';
+        pos_b[pos_n++] = '.';
+        for (int i = 0; i < -exp10 - 1; ++i)
+            pos_b[pos_n++] = '0';
+        memcpy(pos_b + pos_n, digits, nd);
+        pos_n += nd;
+    }
+    /* scientific (exponent always signed, >= 2 digits) */
+    sci_b[sci_n++] = digits[0];
+    if (nd > 1) {
+        sci_b[sci_n++] = '.';
+        memcpy(sci_b + sci_n, digits + 1, nd - 1);
+        sci_n += nd - 1;
+    }
+    sci_n += sprintf(sci_b + sci_n, "e%+03d", exp10);
+
+    char *src = pos_n <= sci_n ? pos_b : sci_b;
+    int n = pos_n <= sci_n ? pos_n : sci_n;
+    char *w = out;
+    if (neg)
+        *w++ = '-';
+    memcpy(w, src, n);
+    w[n] = 0;
+    return n + neg;
+}
+
+/* Pure C canonical float-tag emission (no GIL needed).  The value span is
+   copied out so strtod cannot scan past `end` into the next arena byte. */
 static int sb_put_canon_float(pv3_strbuf *sb, const char *s, const char *end,
-                              PyObject *float_fmt, PyThreadState **ts,
                               fp_err *err)
 {
-    char tmp[64];
+    char tmp[64], fbuf[64];
     size_t n = (size_t)(end - s);
     char *stop;
     if (n == 0 || n >= sizeof tmp)
@@ -938,28 +1038,12 @@ static int sb_put_canon_float(pv3_strbuf *sb, const char *s, const char *end,
     if (stop != tmp + n || errno != 0)
         goto malformed;
     {
-        int rc = -1;
-        if (*ts) {
-            PyEval_RestoreThread(*ts);
-            *ts = NULL;
+        int fl = pv3_format_f32(v, fbuf);
+        if (pv3_sb_put(sb, fbuf, (size_t)fl) < 0) {
+            err->kind = 2;
+            return -1;
         }
-        PyObject *f = PyFloat_FromDouble(v);
-        PyObject *out =
-            f ? PyObject_CallFunctionObjArgs(float_fmt, f, NULL) : NULL;
-        Py_XDECREF(f);
-        if (out) {
-            Py_ssize_t sl;
-            const char *sc = PyUnicode_AsUTF8AndSize(out, &sl);
-            if (sc && pv3_sb_put(sb, sc, (size_t)sl) == 0)
-                rc = 0;
-            Py_DECREF(out);
-        }
-        if (rc < 0)
-            err->kind = 3; /* error indicator set (or OOM from sb: raise) */
-        if (rc < 0 && !PyErr_Occurred())
-            PyErr_NoMemory();
-        *ts = PyEval_SaveThread();
-        return rc;
+        return 0;
     }
 malformed:
     err->kind = 1;
@@ -968,124 +1052,113 @@ malformed:
     return -1;
 }
 
-PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
-{
-    Py_buffer arena_b, spans_b, line_b, fields_b, nops_b;
-    Py_buffer ops_b, counts_b, dstpos_b;
-    Py_buffer runops_b, runlens_b, rpr_b, indel_b;
-    Py_buffer rops_b, rcnt_b, matedst_b, refmap_b;
-    PyObject *out_names, *in_names, *tag_names, *float_fmt;
-    Py_buffer preserved_b;
+/* ---- threaded splice/apply/format ----------------------------------- */
+
+/* Read-only inputs shared by all record slabs. */
+typedef struct {
+    const char *arena;
+    const int32_t *spans;
+    const int32_t *line_index;
+    const int32_t *fields;
+    const int32_t *n_ops_arr;
+    const int8_t *ops2d;
+    const int32_t *counts2d;
+    const int32_t *dst_pos;
+    const int8_t *run_ops;
+    const int32_t *run_lens;
+    const int32_t *runs_per_rec;
+    const int32_t *indel;
+    const int8_t *realn_ops;
+    const int32_t *realn_counts;
+    const int32_t *mate_dst;
+    const int32_t *ref_id_mapping;
+    const char *preserved;
+    Py_ssize_t n_preserved;
+    Py_ssize_t kept, nruns;
     long O, steps, rec_global_base, task_id_base;
     int want_ranges;
-    if (!PyArg_ParseTuple(
-            args, "y*y*y*y*y*y*y*ly*y*y*y*y*y*y*ly*y*O!O!y*OlliO",
-            &arena_b, &spans_b, &line_b, &fields_b, &nops_b,
-            &ops_b, &counts_b, &O,
-            &dstpos_b, &runops_b, &runlens_b, &rpr_b, &indel_b,
-            &rops_b, &rcnt_b, &steps, &matedst_b, &refmap_b,
-            &PyList_Type, &out_names, &PyList_Type, &in_names,
-            &preserved_b, &tag_names, &rec_global_base, &task_id_base,
-            &want_ranges, &float_fmt))
-        return NULL;
+    const char **out_nm;
+    const int *out_nml;
+    const char **in_nm;
+    const int *in_nml;
+    const char *tn[7];
+    int tnl[7];
+} splice_shared;
 
-    const char *arena = arena_b.buf;
-    const int32_t *spans = spans_b.buf;
-    const int32_t *line_index = line_b.buf;
-    const int32_t *fields = fields_b.buf;
-    const int32_t *n_ops_arr = nops_b.buf;
-    const int8_t *ops2d = ops_b.buf;
-    const int32_t *counts2d = counts_b.buf;
-    const int32_t *dst_pos = dstpos_b.buf;
-    const int8_t *run_ops = runops_b.buf;
-    const int32_t *run_lens = runlens_b.buf;
-    const int32_t *runs_per_rec = rpr_b.buf;
-    const int32_t *indel = indel_b.buf;
-    const int8_t *realn_ops = rops_b.buf;
-    const int32_t *realn_counts = rcnt_b.buf;
-    const int32_t *mate_dst = matedst_b.buf;
-    const int32_t *ref_id_mapping = refmap_b.buf;
-    const char *preserved = preserved_b.buf;
-    Py_ssize_t n_preserved = preserved_b.len / 2;
+/* One contiguous record range [k0, k1) with its own output buffers; the
+   slabs are concatenated in order afterwards, so the blob is byte-equal
+   to the single-threaded emission. */
+typedef struct {
+    const splice_shared *sh;
+    Py_ssize_t k0, k1;
+    long run_base0;    /* sum(runs_per_rec[0:k0]) */
+    Py_ssize_t icur0;  /* first indel row with rec >= k0 */
+    pv3_strbuf sb;
+    remkey *rem;
+    size_t rem_n, rem_cap;
+    rrow *rrows;
+    size_t rrow_n, rrow_cap;
+    long g_realn, g_len, g_cells, tasks_used;
+    fp_err err;
+} splice_slab;
 
-    Py_ssize_t kept = line_b.len / sizeof(int32_t);
-    Py_ssize_t nruns = indel_b.len / (9 * sizeof(int32_t));
+/* The per-record loop (runs without the GIL; one thread per slab).  Body
+   mirrors the reference's project_task::process output step + tag surgery
+   (project_alignments.cc:670-928). */
+static void *splice_slab_run(void *arg)
+{
+    splice_slab *sl = arg;
+    const splice_shared *S = sl->sh;
+    const char *arena = S->arena;
+    const int32_t *spans = S->spans;
+    const int32_t *line_index = S->line_index;
+    const int32_t *fields = S->fields;
+    const int32_t *n_ops_arr = S->n_ops_arr;
+    const int8_t *ops2d = S->ops2d;
+    const int32_t *counts2d = S->counts2d;
+    const int32_t *dst_pos = S->dst_pos;
+    const int8_t *run_ops = S->run_ops;
+    const int32_t *run_lens = S->run_lens;
+    const int32_t *runs_per_rec = S->runs_per_rec;
+    const int32_t *indel = S->indel;
+    const int8_t *realn_ops = S->realn_ops;
+    const int32_t *realn_counts = S->realn_counts;
+    const int32_t *mate_dst = S->mate_dst;
+    const int32_t *ref_id_mapping = S->ref_id_mapping;
+    const char *preserved = S->preserved;
+    Py_ssize_t n_preserved = S->n_preserved;
+    Py_ssize_t kept = S->kept;
+    Py_ssize_t nruns = S->nruns;
+    long O = S->O, steps = S->steps;
+    long rec_global_base = S->rec_global_base;
+    long task_id_base = S->task_id_base;
+    int want_ranges = S->want_ranges;
+    const char **out_nm = S->out_nm;
+    const int *out_nml = S->out_nml;
+    const char **in_nm = S->in_nm;
+    const int *in_nml = S->in_nml;
+    const char *const *tn = S->tn;
+    const int *tnl = S->tnl;
 
     pv3_strbuf sb = {NULL, 0, 0};
-    PyObject *removed = NULL;
-    PyObject *ranges = NULL;
-    tagitem *items = NULL;
-    const char **out_nm = NULL, **in_nm = NULL;
-    int *out_nml = NULL, *in_nml = NULL;
     remkey *rem = NULL;
     size_t rem_n = 0, rem_cap = 0;
     rrow *rrows = NULL;
     size_t rrow_n = 0, rrow_cap = 0;
-    PyThreadState *ts = NULL;
-    fp_err err = {0, {0}};
-
-    /* tag-name config: 7-tuple (xr, xp, yr, yp, xb, yb, xi) of str|None */
-    const char *tn[7] = {0};
-    int tnl[7] = {0};
-    if (!PyTuple_Check(tag_names) || PyTuple_GET_SIZE(tag_names) != 7) {
-        PyErr_SetString(PyExc_ValueError, "tag_names must be a 7-tuple");
-        goto cleanup_null;
-    }
-    for (int i = 0; i < 7; ++i) {
-        PyObject *o = PyTuple_GET_ITEM(tag_names, i);
-        if (o == Py_None)
-            continue;
-        Py_ssize_t l;
-        tn[i] = PyUnicode_AsUTF8AndSize(o, &l);
-        if (!tn[i])
-            goto cleanup_null;
-        tnl[i] = (int)l;
-    }
-    /* index into tn[]: 0=XR 1=XP 2=YR 3=YP 4=XB 5=YB 6=XI */
-
-    /* pre-extract reference-name UTF8 pointers (borrowed; the lists keep
-       the str objects alive for the call) so the loop can drop the GIL */
-    Py_ssize_t n_out = PyList_GET_SIZE(out_names);
-    Py_ssize_t n_in = PyList_GET_SIZE(in_names);
-    out_nm = PyMem_Malloc((n_out ? n_out : 1) * sizeof(char *));
-    out_nml = PyMem_Malloc((n_out ? n_out : 1) * sizeof(int));
-    in_nm = PyMem_Malloc((n_in ? n_in : 1) * sizeof(char *));
-    in_nml = PyMem_Malloc((n_in ? n_in : 1) * sizeof(int));
-    if (!out_nm || !out_nml || !in_nm || !in_nml)
-        goto oom;
-    for (Py_ssize_t i = 0; i < n_out; ++i) {
-        Py_ssize_t l;
-        out_nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(out_names, i),
-                                            &l);
-        if (!out_nm[i])
-            goto fail;
-        out_nml[i] = (int)l;
-    }
-    for (Py_ssize_t i = 0; i < n_in; ++i) {
-        Py_ssize_t l;
-        in_nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(in_names, i), &l);
-        if (!in_nm[i])
-            goto fail;
-        in_nml[i] = (int)l;
-    }
-
-    long run_base = 0;     /* cursor into run_ops/run_lens */
-    Py_ssize_t icur = 0;   /* cursor into indel rows */
+    long run_base = sl->run_base0;
+    Py_ssize_t icur = sl->icur0;
     long g_realn = 0, g_len = 0, g_cells = 0;
     long tasks_used = 0;
+    fp_err err = {0, {0}};
 
-    /* scratch tag items */
     size_t items_cap = 64;
-    items = malloc(items_cap * sizeof(tagitem));
-    if (!items)
-        goto oom;
+    tagitem *items = malloc(items_cap * sizeof(tagitem));
+    if (!items) {
+        err.kind = 2;
+        goto out;
+    }
 
-    /* the per-record loop touches only raw buffers — run it without the
-       GIL so the pipeline's parse / finalize / format threads overlap
-       (sb_put_canon_float reacquires for the format_float callback) */
-    ts = PyEval_SaveThread();
-
-    for (Py_ssize_t k = 0; k < kept; ++k) {
+    for (Py_ssize_t k = sl->k0; k < sl->k1; ++k) {
         const int32_t *col = fields + k * 7;
         long flag = col[0], ref_id = col[1], src_pos = col[2],
              mapq = col[3], mate_ref = col[4], mate_pos = col[5],
@@ -1368,8 +1441,7 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                         goto loop_err;
                     break;
                 case 'f':
-                    if (sb_put_canon_float(&sb, v, vend, float_fmt, &ts,
-                                           &err) < 0)
+                    if (sb_put_canon_float(&sb, v, vend, &err) < 0)
                         goto loop_err;
                     break;
                 case 'A':
@@ -1397,7 +1469,6 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
                                 goto loop_err;
                             if (is_f) {
                                 if (sb_put_canon_float(&sb, v, iend,
-                                                       float_fmt, &ts,
                                                        &err) < 0)
                                     goto loop_err;
                             } else if (sb_put_canon_int(&sb, v, iend,
@@ -1511,70 +1582,286 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
         break;
     }
 
+    free(items);
+out:
+    sl->sb = sb;
+    sl->rem = rem;
+    sl->rem_n = rem_n;
+    sl->rem_cap = rem_cap;
+    sl->rrows = rrows;
+    sl->rrow_n = rrow_n;
+    sl->rrow_cap = rrow_cap;
+    sl->g_realn = g_realn;
+    sl->g_len = g_len;
+    sl->g_cells = g_cells;
+    sl->tasks_used = tasks_used;
+    sl->err = err;
+    return NULL;
+}
+
+#define PV3_SPLICE_MAX_THREADS 8
+
+/* Thread count: PANVC3_SPLICE_THREADS wins outright (test hook); else
+   min(4, cores, one slab per 2048 records) — below ~2048 records per
+   thread the spawn overhead wins. */
+static int splice_thread_count(Py_ssize_t kept)
+{
+    const char *env = getenv("PANVC3_SPLICE_THREADS");
+    long n;
+    if (env && *env && (n = strtol(env, NULL, 10)) > 0)
+        return n > PV3_SPLICE_MAX_THREADS ? PV3_SPLICE_MAX_THREADS
+                                          : (int)n;
+    long cores = sysconf(_SC_NPROCESSORS_ONLN);
+    n = cores < 4 ? cores : 4;
+    long by_size = (long)((kept + 2047) / 2048);
+    if (n > by_size)
+        n = by_size;
+    return n < 1 ? 1 : (int)n;
+}
+
+PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
+{
+    Py_buffer arena_b, spans_b, line_b, fields_b, nops_b;
+    Py_buffer ops_b, counts_b, dstpos_b;
+    Py_buffer runops_b, runlens_b, rpr_b, indel_b;
+    Py_buffer rops_b, rcnt_b, matedst_b, refmap_b;
+    PyObject *out_names, *in_names, *tag_names;
+    Py_buffer preserved_b;
+    long O, steps, rec_global_base, task_id_base;
+    int want_ranges;
+    if (!PyArg_ParseTuple(
+            args, "y*y*y*y*y*y*y*ly*y*y*y*y*y*y*ly*y*O!O!y*Olli",
+            &arena_b, &spans_b, &line_b, &fields_b, &nops_b,
+            &ops_b, &counts_b, &O,
+            &dstpos_b, &runops_b, &runlens_b, &rpr_b, &indel_b,
+            &rops_b, &rcnt_b, &steps, &matedst_b, &refmap_b,
+            &PyList_Type, &out_names, &PyList_Type, &in_names,
+            &preserved_b, &tag_names, &rec_global_base, &task_id_base,
+            &want_ranges))
+        return NULL;
+
+    Py_ssize_t kept = line_b.len / sizeof(int32_t);
+    Py_ssize_t nruns = indel_b.len / (9 * sizeof(int32_t));
+
+    PyObject *removed = NULL;
+    PyObject *ranges = NULL;
+    const char **out_nm = NULL, **in_nm = NULL;
+    int *out_nml = NULL, *in_nml = NULL;
+    PyThreadState *ts = NULL;
+
+    splice_shared sh;
+    memset(&sh, 0, sizeof sh);
+    sh.arena = arena_b.buf;
+    sh.spans = spans_b.buf;
+    sh.line_index = line_b.buf;
+    sh.fields = fields_b.buf;
+    sh.n_ops_arr = nops_b.buf;
+    sh.ops2d = ops_b.buf;
+    sh.counts2d = counts_b.buf;
+    sh.dst_pos = dstpos_b.buf;
+    sh.run_ops = runops_b.buf;
+    sh.run_lens = runlens_b.buf;
+    sh.runs_per_rec = rpr_b.buf;
+    sh.indel = indel_b.buf;
+    sh.realn_ops = rops_b.buf;
+    sh.realn_counts = rcnt_b.buf;
+    sh.mate_dst = matedst_b.buf;
+    sh.ref_id_mapping = refmap_b.buf;
+    sh.preserved = preserved_b.buf;
+    sh.n_preserved = preserved_b.len / 2;
+    sh.kept = kept;
+    sh.nruns = nruns;
+    sh.O = O;
+    sh.steps = steps;
+    sh.rec_global_base = rec_global_base;
+    sh.task_id_base = task_id_base;
+    sh.want_ranges = want_ranges;
+
+    splice_slab slabs[PV3_SPLICE_MAX_THREADS];
+    memset(slabs, 0, sizeof slabs);
+    int nthreads = 0; /* set after arg validation */
+
+    /* tag-name config: 7-tuple (xr, xp, yr, yp, xb, yb, xi) of str|None */
+    if (!PyTuple_Check(tag_names) || PyTuple_GET_SIZE(tag_names) != 7) {
+        PyErr_SetString(PyExc_ValueError, "tag_names must be a 7-tuple");
+        goto cleanup_null;
+    }
+    for (int i = 0; i < 7; ++i) {
+        PyObject *o = PyTuple_GET_ITEM(tag_names, i);
+        if (o == Py_None)
+            continue;
+        Py_ssize_t l;
+        sh.tn[i] = PyUnicode_AsUTF8AndSize(o, &l);
+        if (!sh.tn[i])
+            goto cleanup_null;
+        sh.tnl[i] = (int)l;
+    }
+    /* index into tn[]: 0=XR 1=XP 2=YR 3=YP 4=XB 5=YB 6=XI */
+
+    /* pre-extract reference-name UTF8 pointers (borrowed; the lists keep
+       the str objects alive for the call) so the loops can drop the GIL */
+    Py_ssize_t n_out = PyList_GET_SIZE(out_names);
+    Py_ssize_t n_in = PyList_GET_SIZE(in_names);
+    out_nm = PyMem_Malloc((n_out ? n_out : 1) * sizeof(char *));
+    out_nml = PyMem_Malloc((n_out ? n_out : 1) * sizeof(int));
+    in_nm = PyMem_Malloc((n_in ? n_in : 1) * sizeof(char *));
+    in_nml = PyMem_Malloc((n_in ? n_in : 1) * sizeof(int));
+    if (!out_nm || !out_nml || !in_nm || !in_nml)
+        goto oom;
+    for (Py_ssize_t i = 0; i < n_out; ++i) {
+        Py_ssize_t l;
+        out_nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(out_names, i),
+                                            &l);
+        if (!out_nm[i])
+            goto fail;
+        out_nml[i] = (int)l;
+    }
+    for (Py_ssize_t i = 0; i < n_in; ++i) {
+        Py_ssize_t l;
+        in_nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(in_names, i), &l);
+        if (!in_nm[i])
+            goto fail;
+        in_nml[i] = (int)l;
+    }
+    sh.out_nm = out_nm;
+    sh.out_nml = out_nml;
+    sh.in_nm = in_nm;
+    sh.in_nml = in_nml;
+
+    nthreads = splice_thread_count(kept);
+
+    /* everything below touches only raw buffers — run without the GIL so
+       the pipeline's parse / finalize threads overlap, and fan the record
+       range out over nthreads slabs (output concatenated in order) */
+    ts = PyEval_SaveThread();
+    {
+        Py_ssize_t per = nthreads ? (kept + nthreads - 1) / nthreads : 0;
+        long rb = 0;
+        Py_ssize_t ic = 0;
+        Py_ssize_t kprev = 0;
+        for (int t = 0; t < nthreads; ++t) {
+            Py_ssize_t k0 = (Py_ssize_t)t * per;
+            Py_ssize_t k1 = k0 + per;
+            if (k0 > kept)
+                k0 = kept;
+            if (k1 > kept)
+                k1 = kept;
+            for (Py_ssize_t k = kprev; k < k0; ++k)
+                rb += sh.runs_per_rec[k];
+            while (ic < nruns && sh.indel[ic * 9] < k0)
+                ++ic;
+            kprev = k0;
+            slabs[t].sh = &sh;
+            slabs[t].k0 = k0;
+            slabs[t].k1 = k1;
+            slabs[t].run_base0 = rb;
+            slabs[t].icur0 = ic;
+        }
+    }
+    {
+        pthread_t th[PV3_SPLICE_MAX_THREADS];
+        int started[PV3_SPLICE_MAX_THREADS] = {0};
+        for (int t = 1; t < nthreads; ++t)
+            started[t] = pthread_create(&th[t], NULL, splice_slab_run,
+                                        &slabs[t]) == 0;
+        splice_slab_run(&slabs[0]);
+        for (int t = 1; t < nthreads; ++t) {
+            if (started[t])
+                pthread_join(th[t], NULL);
+            else
+                splice_slab_run(&slabs[t]); /* fall back inline */
+        }
+    }
     PyEval_RestoreThread(ts);
     ts = NULL;
-    if (err.kind == 1) {
-        PyErr_SetString(PyExc_ValueError, err.msg);
-        goto fail;
+
+    for (int t = 0; t < nthreads; ++t) {
+        if (slabs[t].err.kind == 1) {
+            PyErr_SetString(PyExc_ValueError, slabs[t].err.msg);
+            goto fail;
+        }
+        if (slabs[t].err.kind) {
+            PyErr_NoMemory();
+            goto fail;
+        }
     }
-    if (err.kind == 2) {
-        PyErr_NoMemory();
-        goto fail;
-    }
-    if (err.kind == 3)
-        goto fail; /* error indicator already set by the callback */
 
     /* fold removed-tag occurrences into the counter dict */
     removed = PyDict_New();
     if (!removed)
         goto fail;
-    for (size_t i = 0; i < rem_n; ++i) {
-        PyObject *key =
-            PyUnicode_DecodeUTF8(rem[i].key, rem[i].klen, "strict");
-        if (!key)
-            goto fail;
-        PyObject *cur = PyDict_GetItem(removed, key);
-        long c = cur ? PyLong_AsLong(cur) : 0;
-        PyObject *nv = PyLong_FromLong(c + 1);
-        int rc = nv ? PyDict_SetItem(removed, key, nv) : -1;
-        Py_XDECREF(nv);
-        Py_DECREF(key);
-        if (rc < 0)
-            goto fail;
+    for (int t = 0; t < nthreads; ++t) {
+        for (size_t i = 0; i < slabs[t].rem_n; ++i) {
+            PyObject *key = PyUnicode_DecodeUTF8(
+                slabs[t].rem[i].key, slabs[t].rem[i].klen, "strict");
+            if (!key)
+                goto fail;
+            PyObject *cur = PyDict_GetItem(removed, key);
+            long c = cur ? PyLong_AsLong(cur) : 0;
+            PyObject *nv = PyLong_FromLong(c + 1);
+            int rc = nv ? PyDict_SetItem(removed, key, nv) : -1;
+            Py_XDECREF(nv);
+            Py_DECREF(key);
+            if (rc < 0)
+                goto fail;
+        }
     }
     if (want_ranges) {
         ranges = PyList_New(0);
         if (!ranges)
             goto fail;
-        for (size_t i = 0; i < rrow_n; ++i) {
-            PyObject *q = PyUnicode_DecodeUTF8(
-                arena + rrows[i].q_off, rrows[i].q_len, "strict");
-            PyObject *tup = q ? Py_BuildValue(
-                "(llNl)", rrows[i].ref_pos, rrows[i].ref_len, q,
-                rrows[i].task_id) : NULL;
-            if (!tup || PyList_Append(ranges, tup) < 0) {
-                Py_XDECREF(tup);
-                goto fail;
+        for (int t = 0; t < nthreads; ++t) {
+            for (size_t i = 0; i < slabs[t].rrow_n; ++i) {
+                const rrow *rr = &slabs[t].rrows[i];
+                PyObject *q = PyUnicode_DecodeUTF8(
+                    sh.arena + rr->q_off, rr->q_len, "strict");
+                PyObject *tup = q ? Py_BuildValue(
+                    "(llNl)", rr->ref_pos, rr->ref_len, q,
+                    rr->task_id) : NULL;
+                if (!tup || PyList_Append(ranges, tup) < 0) {
+                    Py_XDECREF(tup);
+                    goto fail;
+                }
+                Py_DECREF(tup);
             }
-            Py_DECREF(tup);
         }
     }
 
     {
-        PyObject *blob = PyBytes_FromStringAndSize(sb.buf, sb.len);
+        Py_ssize_t total = 0;
+        long g_realn = 0, g_len = 0, g_cells = 0, tasks_used = 0;
+        for (int t = 0; t < nthreads; ++t) {
+            total += (Py_ssize_t)slabs[t].sb.len;
+            g_realn += slabs[t].g_realn;
+            g_len += slabs[t].g_len;
+            g_cells += slabs[t].g_cells;
+            if (slabs[t].tasks_used > tasks_used)
+                tasks_used = slabs[t].tasks_used;
+        }
+        PyObject *blob = PyBytes_FromStringAndSize(NULL, total);
         if (!blob)
             goto fail;
+        char *w = PyBytes_AS_STRING(blob);
+        for (int t = 0; t < nthreads; ++t) {
+            memcpy(w, slabs[t].sb.buf, slabs[t].sb.len);
+            w += slabs[t].sb.len;
+        }
         PyObject *res = Py_BuildValue(
             "(N N (lll) N l)", blob, removed, g_realn, g_len, g_cells,
             ranges ? ranges : Py_NewRef(Py_None), tasks_used);
-        free(items);
-        free(rem);
-        free(rrows);
+        if (!res) {
+            Py_DECREF(blob);
+            goto fail;
+        }
+        for (int t = 0; t < nthreads; ++t) {
+            free(slabs[t].sb.buf);
+            free(slabs[t].rem);
+            free(slabs[t].rrows);
+        }
         PyMem_Free(out_nm);
         PyMem_Free(out_nml);
         PyMem_Free(in_nm);
         PyMem_Free(in_nml);
-        free(sb.buf);
         PyBuffer_Release(&arena_b);
         PyBuffer_Release(&spans_b);
         PyBuffer_Release(&line_b);
@@ -1598,17 +1885,18 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args)
 oom:
     PyErr_NoMemory();
 fail:
-    free(items);
-    free(rem);
-    free(rrows);
+    Py_XDECREF(removed);
+    Py_XDECREF(ranges);
+cleanup_null:
+    for (int t = 0; t < nthreads; ++t) {
+        free(slabs[t].sb.buf);
+        free(slabs[t].rem);
+        free(slabs[t].rrows);
+    }
     PyMem_Free(out_nm);
     PyMem_Free(out_nml);
     PyMem_Free(in_nm);
     PyMem_Free(in_nml);
-    free(sb.buf);
-    Py_XDECREF(removed);
-    Py_XDECREF(ranges);
-cleanup_null:
     PyBuffer_Release(&arena_b);
     PyBuffer_Release(&spans_b);
     PyBuffer_Release(&line_b);
@@ -2277,4 +2565,16 @@ fail:
     PyBuffer_Release(&query_b);
     PyBuffer_Release(&dstrid_b);
     return NULL;
+}
+
+/* format_float_c(v) -> str — the C float32 tag formatter, exposed for the
+   differential test against io/sam.format_float (tests/test_property.py). */
+PyObject *pv3_format_float_c(PyObject *self, PyObject *args)
+{
+    double v;
+    if (!PyArg_ParseTuple(args, "d", &v))
+        return NULL;
+    char buf[64];
+    int n = pv3_format_f32(v, buf);
+    return PyUnicode_FromStringAndSize(buf, n);
 }

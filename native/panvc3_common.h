@@ -91,5 +91,7 @@ PyObject *pv3_stage_realign_runs(PyObject *self, PyObject *args);
 PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args);
 PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args);
 PyObject *pv3_event_geometry_batch(PyObject *self, PyObject *args);
+PyObject *pv3_format_float_c(PyObject *self, PyObject *args);
+int pv3_format_f32(double dv, char *out);
 
 #endif /* PANVC3_COMMON_H */

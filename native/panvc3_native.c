@@ -1086,6 +1086,9 @@ static PyMethodDef methods[] = {
     {"event_geometry_batch", pv3_event_geometry_batch, METH_VARARGS,
      "Per-record projection geometry from precomputed MSA-difference "
      "events (C EventGeometry.batch)."},
+    {"format_float_c", pv3_format_float_c, METH_VARARGS,
+     "std::to_chars-compatible float32 tag formatting (C port of "
+     "io/sam.format_float)."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -6,7 +6,8 @@ setup(
         Extension(
             "_panvc3_native",
             sources=["panvc3_native.c", "fastpath.c"],
-            extra_compile_args=["-O3", "-march=native"],
+            extra_compile_args=["-O3", "-march=native", "-pthread"],
+            extra_link_args=["-pthread"],
         )
     ],
 )

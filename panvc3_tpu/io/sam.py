@@ -192,6 +192,10 @@ def format_float(v: float) -> str:
     import numpy as np
 
     f = np.float32(v)
+    if np.isnan(f):
+        return "nan"
+    if np.isinf(f):
+        return "-inf" if f < 0 else "inf"
     if f == int(f) and abs(f) < 1e16:
         # std::to_chars prints integral floats without a decimal point
         return str(int(f))

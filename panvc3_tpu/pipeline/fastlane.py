@@ -22,7 +22,6 @@ import time as _time
 
 import numpy as np
 
-from ..io.sam import format_float
 from ..native import get_native
 from ..utils import StatusReporter, log_time
 
@@ -464,7 +463,6 @@ def run_fast(
                 ctx["mate_dst"], rim,
                 out_names, in_names, preserved, tag_names,
                 ctx["rec_base"], state["task_counter"], want_ranges,
-                format_float,
             )
         )
         if _PROF:

@@ -315,3 +315,27 @@ def test_fastlane_fuzz_equivalence(msa_files, founder_seqs, tmp_path, seed):
     assert fast[0] == slow[0]
     assert fast[2] == slow[2]
     assert fast[1].removed_tag_counts == slow[1].removed_tag_counts
+
+
+def test_fastlane_splice_thread_invariance(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """splice_apply_format fans records out over pthreads; the slab
+    concatenation must be byte-identical for any thread count."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs, n_reads=120)
+    outs = []
+    for nt in ("1", "3", "8"):
+        monkeypatch.setenv("PANVC3_SPLICE_THREADS", nt)
+        outs.append(
+            _run(sam, index_path, tmp_path, fastlane=True, name=f"t{nt}")
+        )
+    assert outs[0][0] == outs[1][0] == outs[2][0]
+    assert outs[0][2] == outs[1][2] == outs[2][2]
+    a, b, c = (o[1] for o in outs)
+    assert (
+        a.removed_tag_counts == b.removed_tag_counts == c.removed_tag_counts
+    )
+    assert (
+        a.realignment_cells == b.realignment_cells == c.realignment_cells
+    )

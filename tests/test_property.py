@@ -148,3 +148,31 @@ def test_format_float_roundtrips_float32():
         f = np.float32(v)
         if f == int(f) and abs(f) < 1e16:
             assert "." not in s and "e" not in s, (v, s)
+
+
+def test_format_float_c_matches_python():
+    """The C tag formatter (native format_float_c, used by the GIL-free
+    splice_apply_format loop) must match io/sam.format_float byte for byte
+    on random float32 bit patterns and the special values."""
+    import numpy as np
+    import pytest
+
+    from panvc3_tpu.io.sam import format_float
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "format_float_c"):
+        pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(23)
+    bits = rng.integers(0, 2**32, size=200_000, dtype=np.uint64)
+    vals = bits.astype(np.uint32).view(np.float32)
+    for v in vals:
+        fv = float(v)
+        assert nat.format_float_c(fv) == format_float(fv), hex(
+            np.float32(fv).view(np.uint32)
+        )
+    for fv in [0.0, -0.0, float("inf"), float("-inf"), float("nan"),
+               1e-45, -1.4e-45, 3.4e38, 1e-4, 0.000123, 65504.0, 1e16,
+               9999999.5, -2.5]:
+        assert nat.format_float_c(fv) == format_float(fv), fv
