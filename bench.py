@@ -175,6 +175,7 @@ def _run() -> None:
     import os
 
     batch_size = int(os.environ.get("PANVC3_BENCH_BATCH", "8192"))
+    pipeline_depth = int(os.environ.get("PANVC3_BENCH_DEPTH", "2"))
     n = 98304 // batch_size * batch_size if batch_size <= 98304 else batch_size
     records = synthesise_records(founders, n)
     lines = ["@HD\tVN:1.6"]
@@ -200,6 +201,7 @@ def _run() -> None:
         tags=TagSpec(rec_idx="XI"),
         engine="device",
         device_batch_size=batch_size,
+        pipeline_depth=pipeline_depth,
         status_output_interval=0,
     )
 

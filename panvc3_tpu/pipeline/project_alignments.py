@@ -207,6 +207,10 @@ def process_headers(
 
     out_header = SamHeader()
     out_header.ref_names = out_names
+    # A chromosome whose projection-target founder row is absent from the
+    # input header gets LN:0, matching the reference's default-constructed
+    # ref_id_info (project_alignments.cc:1229-1240: output_ref_id_info is
+    # resize()d and only overwritten for ref_seq_idxs entries).
     out_header.ref_lengths = [out_lengths.get(i, 0) for i in range(n_out)]
     # Header lines: @HD first (copied or default), then @SQ, then the rest.
     hd = [l for l in input_header.lines if l.startswith("@HD")]

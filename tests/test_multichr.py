@@ -188,3 +188,23 @@ def test_chr_sharded_index_projection(two_chr_setup):
     # a shard given the wrong chromosome's records fails loudly
     with pytest.raises((ValueError, KeyError)):
         project(sam_b, (0, 2))
+
+
+def test_process_headers_missing_target_founder_row_gives_ln0():
+    """A chromosome whose projection-target founder row (chr/REF) is absent
+    from the input header must get LN:0 — the reference default-constructs
+    output ref_id_info and only overwrites entries whose target row was
+    seen (project_alignments.cc:1229-1240), so sharded/subset inputs yield
+    a zero length there too."""
+    from panvc3_tpu.io.sam import SamHeader
+    from panvc3_tpu.pipeline.project_alignments import process_headers
+
+    h = SamHeader()
+    h.ref_names = ["a/REF", "a/f1", "b/f1", "b/f2"]
+    h.ref_lengths = [1000, 1002, 2002, 2003]
+    h.lines = ["@HD\tVN:1.6"]
+    out, mapping = process_headers(h, "/", "REF", None)
+    assert out.ref_names == ["a", "b"]
+    assert out.ref_lengths == [1000, 0]
+    assert mapping == [0, 0, 1, 1]
+    assert "@SQ\tSN:b\tLN:0" in out.lines
