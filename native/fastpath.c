@@ -2578,3 +2578,205 @@ PyObject *pv3_format_float_c(PyObject *self, PyObject *args)
     int n = pv3_format_f32(v, buf);
     return PyUnicode_FromStringAndSize(buf, n);
 }
+
+/* ---- host realignment DP (latency path) ------------------------------ */
+
+/* Affine-gap global alignment of one (ref, query) run, bit-identical to
+   ops/realign_batch.realign_device_kernel's integer path (same float32
+   recurrences, same trace encoding, same traceback tie-breaking:
+   diagonal >= vertical > horizontal, gap-open >= extension).  Emits the
+   per-character op codes in traceback (reverse) order, exactly like the
+   device fetch that splice_apply_format consumes.
+
+   The device DP is the throughput kernel; this is the latency path for
+   small batches where the dispatch round trip dwarfs the (tiny) DP —
+   the reference runs the same DP inline on the CPU (align.hh:66-112). */
+
+#define RDP_NEG (-1e30f)
+#define RDP_DIAG 0
+#define RDP_VERT 1
+#define RDP_HORIZ 2
+
+static void rdp_align_one(
+    const uint8_t *ref, long n,     /* ref slice, length n  (DP columns) */
+    const uint8_t *query, long m,   /* query slice, length m (DP rows)  */
+    float go, float ge,
+    float *best_prev, float *best, float *vert, /* scratch, n+1 each */
+    uint8_t *trace,                 /* scratch, (m+1)*(n+1) */
+    int8_t *ops_out, int32_t *count_out)
+{
+    long stride = n + 1;
+
+    /* row 0: pure horizontal-gap border (kernel best0/tr0) */
+    best_prev[0] = 0.0f;
+    trace[0] = RDP_DIAG;
+    for (long j = 1; j <= n; ++j) {
+        best_prev[j] = go + ge * (float)j;
+        trace[j] = RDP_HORIZ | (j == 1 ? 8 : 0);
+        vert[j] = RDP_NEG;
+    }
+    vert[0] = RDP_NEG;
+
+    for (long i = 1; i <= m; ++i) {
+        uint8_t qc = query[i - 1];
+        uint8_t *trow = trace + i * stride;
+        float border = go + ge * (float)i;
+
+        /* vertical candidates + a = max(diag, vert) with trace bits */
+        for (long j = 0; j <= n; ++j) {
+            float v_open = best_prev[j] + go + ge;
+            float v_ext = vert[j] + ge;
+            int vopen = v_open >= v_ext;
+            float v = v_open > v_ext ? v_open : v_ext;
+            float a;
+            uint8_t t;
+            if (j == 0) {
+                a = border;
+                v = border;
+                t = RDP_VERT;
+            } else {
+                float s = (qc == ref[j - 1]) ? 0.0f : -1.0f;
+                float diag = best_prev[j - 1] + s;
+                if (diag >= v) {
+                    a = diag;
+                    t = RDP_DIAG;
+                } else {
+                    a = v;
+                    t = RDP_VERT;
+                }
+            }
+            vert[j] = v;
+            best[j] = a;       /* a; horiz folded in below */
+            trow[j] = t | (vopen ? 4 : 0);
+        }
+
+        /* horizontal run (kernel's prefix-max formulation: horiz[j] =
+           max_{j'<j}(a[j'] + go - ge*j') + ge*j) + final best row */
+        float runmax = RDP_NEG;
+        float h_prev = RDP_NEG;
+        float a_prev = best[0];
+        for (long j = 1; j <= n; ++j) {
+            float sh = a_prev + go - ge * (float)(j - 1);
+            if (sh > runmax)
+                runmax = sh;
+            float horiz = runmax + ge * (float)j;
+            int hopen = best[j - 1] + go >= h_prev;
+            float a = best[j];
+            a_prev = a;
+            if (horiz > a) {
+                best[j] = horiz;
+                trow[j] = (trow[j] & ~3) | RDP_HORIZ;
+            }
+            if (hopen)
+                trow[j] |= 8;
+            h_prev = horiz;
+        }
+
+        /* swap best_prev <-> best */
+        float *tmp = best_prev;
+        best_prev = best;
+        best = tmp;
+    }
+
+    /* traceback (kernel _traceback_batch semantics) */
+    long i = m, j = n, k = 0;
+    int state = 0;
+    while (i != 0 || j != 0) {
+        uint8_t cell = trace[i * stride + j];
+        int tr = cell & 3;
+        int vopen = (cell >> 2) & 1;
+        int hopen = (cell >> 3) & 1;
+        int eff = state == 0 ? tr : state;
+        if (state == 0 && i == 0 && j > 0)
+            eff = RDP_HORIZ;
+        if (state == 0 && j == 0 && i > 0)
+            eff = RDP_VERT;
+        if (eff == RDP_DIAG) {
+            ops_out[k++] = (query[i - 1] == ref[j - 1]) ? OP_EQ : OP_X;
+            --i;
+            --j;
+            state = 0;
+        } else if (eff == RDP_VERT) {
+            ops_out[k++] = OP_I;
+            --i;
+            state = vopen ? 0 : 1;
+        } else {
+            ops_out[k++] = OP_D;
+            --j;
+            state = hopen ? 0 : 2;
+        }
+    }
+    *count_out = (int32_t)k;
+}
+
+/* realign_runs_host(ref_b, q_b, rl_b, ql_b, Rp, Qp, go, ge)
+   -> (ops bytes int8[S, Rp+Qp], counts bytes int32[S])
+   Same output layout as fetching the device realign kernel. */
+PyObject *pv3_realign_runs_host(PyObject *self, PyObject *args)
+{
+    Py_buffer ref_b, q_b, rl_b, ql_b;
+    long Rp, Qp;
+    float go, ge;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*llff",
+                          &ref_b, &q_b, &rl_b, &ql_b, &Rp, &Qp, &go, &ge))
+        return NULL;
+
+    Py_ssize_t S = rl_b.len / sizeof(int32_t);
+    long steps = Rp + Qp;
+    const uint8_t *refs = ref_b.buf;
+    const uint8_t *qs = q_b.buf;
+    const int32_t *rl = rl_b.buf;
+    const int32_t *ql = ql_b.buf;
+
+    PyObject *ops_o = NULL, *cnt_o = NULL, *res = NULL;
+    float *fbuf = NULL;
+    uint8_t *trace = NULL;
+    PyThreadState *ts;
+
+    ops_o = PyBytes_FromStringAndSize(NULL, S * steps);
+    cnt_o = PyBytes_FromStringAndSize(NULL, S * sizeof(int32_t));
+    if (!ops_o || !cnt_o)
+        goto fail;
+    int8_t *ops = (int8_t *)PyBytes_AS_STRING(ops_o);
+    int32_t *cnt = (int32_t *)PyBytes_AS_STRING(cnt_o);
+
+    fbuf = malloc(3 * (Rp + 1) * sizeof(float));
+    trace = malloc((size_t)(Qp + 1) * (Rp + 1));
+    if (!fbuf || !trace)
+        goto fail;
+
+    ts = PyEval_SaveThread();
+    memset(ops, 127, (size_t)S * steps); /* device kernel pads with 127 */
+    for (Py_ssize_t s = 0; s < S; ++s) {
+        long n = rl[s], m = ql[s];
+        if (n > Rp || m > Qp || n < 0 || m < 0) {
+            PyEval_RestoreThread(ts);
+            PyErr_SetString(PyExc_ValueError, "run length exceeds padding");
+            goto fail;
+        }
+        rdp_align_one(refs + s * Rp, n, qs + s * Qp, m, go, ge,
+                      fbuf, fbuf + (Rp + 1), fbuf + 2 * (Rp + 1),
+                      trace, ops + s * steps, cnt + s);
+    }
+    PyEval_RestoreThread(ts);
+
+    res = Py_BuildValue("(NN)", ops_o, cnt_o);
+    free(fbuf);
+    free(trace);
+    PyBuffer_Release(&ref_b);
+    PyBuffer_Release(&q_b);
+    PyBuffer_Release(&rl_b);
+    PyBuffer_Release(&ql_b);
+    return res;
+
+fail:
+    Py_XDECREF(ops_o);
+    Py_XDECREF(cnt_o);
+    free(fbuf);
+    free(trace);
+    PyBuffer_Release(&ref_b);
+    PyBuffer_Release(&q_b);
+    PyBuffer_Release(&rl_b);
+    PyBuffer_Release(&ql_b);
+    return NULL;
+}

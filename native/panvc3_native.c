@@ -1089,6 +1089,9 @@ static PyMethodDef methods[] = {
     {"format_float_c", pv3_format_float_c, METH_VARARGS,
      "std::to_chars-compatible float32 tag formatting (C port of "
      "io/sam.format_float)."},
+    {"realign_runs_host", pv3_realign_runs_host, METH_VARARGS,
+     "Affine-gap realignment DP on the host, bit-identical to the device "
+     "kernel's integer path (latency path for small batches)."},
     {NULL, NULL, 0, NULL},
 };
 

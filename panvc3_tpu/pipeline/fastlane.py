@@ -131,6 +131,24 @@ def run_fast(
     ge = np.float32(cfg.gap_extension_cost)
     use_quality = bool(cfg.use_read_base_qualities)
 
+    # Adaptive realignment dispatch: the indel runs of a typical batch are
+    # tiny (~10 DP cells each), so when the batch's real cell count is
+    # small the device round trip dwarfs the compute — run the
+    # bit-identical C DP on the host instead (realign_runs_host; verified
+    # equal to the kernel in tests/test_device_ops.py).  Large-run batches
+    # still go to the TPU kernel.  Integer-score path only, and only for
+    # integral gap costs (float32 arithmetic is exact there, so host and
+    # device cannot diverge).  PANVC3_HOST_DP=0 disables; the cell
+    # threshold is PANVC3_HOST_DP_CELLS (default 4e6 ≈ 15 ms of C DP).
+    host_dp_eligible = (
+        not use_quality
+        and float(go).is_integer()
+        and float(ge).is_integer()
+        and os.environ.get("PANVC3_HOST_DP") != "0"
+        and hasattr(nat, "realign_runs_host")
+    )
+    host_dp_cells = int(os.environ.get("PANVC3_HOST_DP_CELLS", "4000000"))
+
     # shard-aware check data: dev id -1 == entry outside this index shard
     shard_check = cfg.chr_shard is not None
 
@@ -351,6 +369,7 @@ def run_fast(
 
         rh = None
         rh_wire = False
+        host_dp = None
         Rp = Qp = S = 0
         if nruns:
             t0 = t0p = _time.perf_counter_ns()
@@ -361,8 +380,25 @@ def run_fast(
                     staged["arena"], staged["spans"], int(use_quality),
                 )
             )
+            if host_dp_eligible:
+                rl_a = np.frombuffer(rl_b, np.int32)
+                ql_a = np.frombuffer(ql_b, np.int32)
+                real_cells = int(
+                    rl_a.astype(np.int64) @ ql_a.astype(np.int64)
+                )
+                if real_cells <= host_dp_cells:
+                    ops_b, cnt_b = nat.realign_runs_host(
+                        ref_b, q_b, rl_b, ql_b, Rp, Qp,
+                        float(go), float(ge),
+                    )
+                    host_dp = (
+                        np.frombuffer(ops_b, np.int8),
+                        np.frombuffer(cnt_b, np.int32),
+                    )
             rh_wire = not use_quality and (Rp + Qp) % 2 == 0 and Rp + Qp < 256
-            if rh_wire:
+            if host_dp is not None:
+                pass
+            elif rh_wire:
                 rh = realign_device_kernel_wire(
                     pack_realign_wire_input(
                         np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
@@ -397,10 +433,10 @@ def run_fast(
                     Rp,
                     Qp,
                 )
-            if _D2H_PREFETCH:
+            if rh is not None and _D2H_PREFETCH:
                 for a in rh if isinstance(rh, tuple) else (rh,):
                     a.copy_to_host_async()
-            if fetch_pool is not None:
+            if rh is not None and fetch_pool is not None:
                 ctx["rfut"] = fetch_pool.submit(jax.device_get, rh)
             bp.realignment_time_ns += _time.perf_counter_ns() - t0
             if _PROF:
@@ -415,6 +451,7 @@ def run_fast(
             indel=indel_b,
             rh=rh,
             rh_wire=rh is not None and rh_wire,
+            host_dp=host_dp,
             steps=Rp + Qp,
         )
         return ctx
@@ -445,6 +482,9 @@ def run_fast(
                 realn_ops, realn_counts = fetched
                 realn_ops = np.ascontiguousarray(realn_ops)
                 realn_counts = np.ascontiguousarray(realn_counts)
+        elif ctx["host_dp"] is not None:
+            realn_ops, realn_counts = ctx["host_dp"]
+            steps = ctx["steps"]
         else:
             realn_ops = np.zeros(0, np.int8)
             realn_counts = np.zeros(0, np.int32)

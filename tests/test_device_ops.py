@@ -535,3 +535,48 @@ class TestWireFormats:
             assert got[5] == want[5]  # use_full agrees
             for g, w in zip(got[:5] + (got[6],), want[:5] + (want[6],)):
                 np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_realign_runs_host_matches_device_kernel():
+    """The C host realignment DP (the latency path for small batches) must
+    emit exactly the device kernel's traceback ops and counts — same
+    float32 recurrences, same diag>=vert>horiz and open>=extend ties."""
+    import pytest
+
+    from panvc3_tpu.native import get_native
+    from panvc3_tpu.ops.realign_batch import realign_device_kernel
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "realign_runs_host"):
+        pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(11)
+    dummy = np.zeros((1, 1), np.int32)
+    for trial in range(4):
+        S, Rp, Qp = 48, 16, 16
+        ref = rng.integers(65, 91, (S, Rp), dtype=np.uint8)
+        q = rng.integers(65, 91, (S, Qp), dtype=np.uint8)
+        # realistic runs: near-identical pairs with a few mismatches
+        for s in range(0, S, 2):
+            q[s, :Rp] = ref[s]
+            q[s, rng.integers(0, Rp, 3)] = rng.integers(65, 91, 3)
+        rl = rng.integers(1, Rp + 1, S).astype(np.int32)
+        ql = rng.integers(1, Qp + 1, S).astype(np.int32)
+        go, ge = float(-(trial % 3)), -1.0
+
+        dops, dcnt = realign_device_kernel(
+            ref, q, rl, ql, np.float32(go), np.float32(ge),
+            dummy, dummy, False, Rp, Qp,
+        )
+        dops, dcnt = np.asarray(dops), np.asarray(dcnt)
+        hops_b, hcnt_b = nat.realign_runs_host(
+            ref.tobytes(), q.tobytes(), rl.tobytes(), ql.tobytes(),
+            Rp, Qp, go, ge,
+        )
+        hops = np.frombuffer(hops_b, np.int8).reshape(S, Rp + Qp)
+        hcnt = np.frombuffer(hcnt_b, np.int32)
+        np.testing.assert_array_equal(hcnt, dcnt)
+        for s in range(S):
+            np.testing.assert_array_equal(
+                hops[s, : hcnt[s]], dops[s, : dcnt[s]]
+            )
