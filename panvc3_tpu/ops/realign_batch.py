@@ -353,6 +353,28 @@ def realign_batch_start(
             rq[i, :len(r)] = ref_quals[i]
             if query_quals is not None:
                 qq[i, :len(q)] = query_quals[i]
+    # Adaptive dispatch: a typical batch's runs are a few hundred thousand
+    # real DP cells — far below the device round-trip break-even — so run
+    # the bit-identical C DP (native realign_runs_host, differentially
+    # tested against the kernel) on the host when the cell count is small.
+    # Integer path with integral gap costs only: float32 arithmetic is
+    # exact there, so host and device cannot diverge.
+    if not use_quality and _host_dp_threshold(gap_opening, gap_extension):
+        cells = int(rl.astype(np.int64) @ ql.astype(np.int64))
+        if cells <= _host_dp_threshold(gap_opening, gap_extension):
+            from ..native import get_native
+
+            nat = get_native()
+            ops_b, cnt_b = nat.realign_runs_host(
+                ref_arr.tobytes(), q_arr.tobytes(),
+                rl.tobytes(), ql.tobytes(),
+                R, Q, float(gap_opening), float(gap_extension),
+            )
+            return (
+                "host",
+                np.frombuffer(ops_b, np.int8).reshape(b, R + Q),
+                np.frombuffer(cnt_b, np.int32),
+            )
     return realign_device_kernel(
         ref_arr,
         q_arr,
@@ -368,11 +390,33 @@ def realign_batch_start(
     )
 
 
+def _host_dp_threshold(gap_opening, gap_extension) -> int:
+    """Real-cell count below which the host C DP replaces the device
+    dispatch; 0 when the host path is unavailable or inapplicable."""
+    import os
+
+    if os.environ.get("PANVC3_HOST_DP") == "0":
+        return 0
+    if not (
+        float(gap_opening).is_integer() and float(gap_extension).is_integer()
+    ):
+        return 0
+    from ..native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "realign_runs_host"):
+        return 0
+    return int(os.environ.get("PANVC3_HOST_DP_CELLS", "4000000"))
+
+
 def realign_batch_finish(out) -> list[Cigar]:
     """Fetch + decode the CIGARs of a realign_batch_start dispatch."""
     if out is None:
         return []
-    ops, counts = jax.device_get(out)
+    if isinstance(out, tuple) and isinstance(out[0], str):
+        _, ops, counts = out
+    else:
+        ops, counts = jax.device_get(out)
     b = ops.shape[0]
     res: list[Cigar] = []
     for i in range(b):

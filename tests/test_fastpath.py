@@ -339,3 +339,23 @@ def test_fastlane_splice_thread_invariance(
     assert (
         a.realignment_cells == b.realignment_cells == c.realignment_cells
     )
+
+
+def test_fastlane_host_dp_matches_device_path(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """The adaptive realignment dispatch (host C DP below the cell
+    threshold, device kernel above) must be invisible in the output:
+    forcing either side produces identical bytes."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs, n_reads=120)
+    monkeypatch.setenv("PANVC3_HOST_DP", "0")
+    dev = _run(sam, index_path, tmp_path, fastlane=True, name="dp_dev")
+    monkeypatch.setenv("PANVC3_HOST_DP", "1")
+    monkeypatch.setenv("PANVC3_HOST_DP_CELLS", "1000000000")
+    host = _run(sam, index_path, tmp_path, fastlane=True, name="dp_host")
+    assert dev[0] == host[0]
+    assert dev[2] == host[2]
+    assert dev[1].realignment_cells == host[1].realignment_cells
+    assert dev[1].realigned_range_count == host[1].realigned_range_count
+    assert dev[1].realigned_range_count > 0
