@@ -263,6 +263,11 @@ def cmd_recalculate_mapq(argv=None) -> int:
     p.add_argument("--print-invocation", action="store_true")
     p.add_argument("--print-pid", action="store_true")
     p.add_argument("--print-reference-names", action="store_true")
+    p.add_argument(
+        "--jobs", type=int, default=1, metavar="N",
+        help="worker processes for group scoring (0 = auto); output is "
+        "byte-identical to --jobs=1",
+    )
     args = p.parse_args(argv)
     _debug_flags(args)
 
@@ -297,6 +302,7 @@ def cmd_recalculate_mapq(argv=None) -> int:
         print_reference_names=args.print_reference_names,
         command_line=" ".join(sys.argv),
         version=__version__,
+        jobs=args.jobs,
     )
     print("Done.", file=sys.stderr)
     print(f"\tTotal alignments: {stats.total_alignments}", file=sys.stderr)

@@ -31,7 +31,14 @@ import bisect
 import sys
 from dataclasses import dataclass
 
-from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
+from ..io.sam import (
+    SamHeader,
+    SamReader,
+    SamRecord,
+    SamWriter,
+    format_sam_record,
+    parse_sam_record,
+)
 from ..native import get_native
 
 ALIGNMENT_SCORE_MIN = -sys.float_info.max
@@ -516,6 +523,7 @@ def run_recalculate_mapq(
     status_output_interval: int = 5,
     command_line: str = "panvc3_tpu recalculate_mapq",
     version: str = "0.1",
+    jobs: int = 1,
 ) -> MapqStatistics:
     reader = SamReader(input_path_or_fh)
     header = reader.header
@@ -534,6 +542,21 @@ def run_recalculate_mapq(
     writer = SamWriter(output_path_or_fh, out_header, bam=output_bam)
 
     tag_spec = tag_spec or MapqTagSpec()
+
+    # Process-parallel group scoring: the input is QNAME-grouped, so chunks
+    # cut at group boundaries are independent — workers run the exact
+    # sequential algorithm per chunk and the parent concatenates outputs in
+    # submission order (byte-identical to jobs=1, asserted in
+    # tests/test_mapq_tools.py).  SAM-text in/out only; verbose stays
+    # sequential (per-group stderr would interleave).
+    if jobs != 1 and not verbose and not reader.is_bam and not output_bam:
+        stats = _run_parallel_mapq(
+            reader, writer, rescore, scoring, tag_spec, out_header, jobs,
+            status_output_interval,
+        )
+        writer.close()
+        return stats
+
     if rescore:
         scorer = MapqScorer(CigarScorer(scoring or AlignmentScoring()), tag_spec)
     else:
@@ -559,3 +582,130 @@ def run_recalculate_mapq(
         scorer.process_alignment_group(buffer, writer, verbose)
     writer.close()
     return scorer.statistics
+
+
+# ---- process-parallel group scoring ---------------------------------------
+
+_MP_STATE: dict = {}
+
+
+def _mp_init(header_lines, ref_names, ref_lengths, rescore, scoring, tag_spec):
+    h = SamHeader()
+    h.lines = list(header_lines)
+    h.ref_names = list(ref_names)
+    h.ref_lengths = list(ref_lengths)
+    if rescore:
+        aln_scorer = CigarScorer(scoring or AlignmentScoring())
+    else:
+        aln_scorer = AsTagScorer()
+    _MP_STATE["header"] = h
+    _MP_STATE["aln_scorer"] = aln_scorer
+    _MP_STATE["tags"] = tag_spec
+
+
+class _BlobWriter:
+    """Duck-typed SamWriter collecting formatted lines into a blob."""
+
+    __slots__ = ("parts", "header")
+
+    def __init__(self, header):
+        self.parts: list[bytes] = []
+        self.header = header
+
+    def write(self, rec) -> None:
+        self.parts.append(
+            (format_sam_record(rec, self.header) + "\n").encode()
+        )
+
+
+def _mp_process_chunk(task):
+    """Run the sequential group loop over one chunk of raw SAM text
+    (guaranteed to contain whole QNAME groups)."""
+    data, n_lines = task
+    h = _MP_STATE["header"]
+    scorer = MapqScorer(_MP_STATE["aln_scorer"], _MP_STATE["tags"])
+    out = _BlobWriter(h)
+    buffer: list[SamRecord] = []
+    for text in data.decode().splitlines():
+        if not text.strip():
+            continue
+        rec = parse_sam_record(text, h)
+        if rec.flag & 0x4:  # unmapped
+            continue
+        if buffer and rec.qname != buffer[0].qname:
+            scorer.process_alignment_group(buffer, out, False)
+            buffer = []
+        buffer.append(rec)
+    if buffer:
+        scorer.process_alignment_group(buffer, out, False)
+    return b"".join(out.parts), scorer.statistics, n_lines
+
+
+def _run_parallel_mapq(
+    reader, writer, rescore, scoring, tag_spec, out_header, jobs,
+    status_output_interval,
+) -> MapqStatistics:
+    import multiprocessing as mp
+    import os
+
+    from ..utils import StatusReporter, log_time
+
+    if jobs <= 0:
+        jobs = min(4, os.cpu_count() or 1)
+
+    CHUNK = 16384  # lines per task; cut only at QNAME boundaries
+
+    def chunks():
+        """Yield chunks as single byte blobs (cheap to pickle); QNAME
+        comparisons only near each cut point."""
+        pending: list[bytes] = []
+        for block in reader.raw_record_line_blocks():
+            pending.extend(block)
+            while len(pending) > CHUNK:
+                i = CHUNK
+                last_q = pending[i - 1].split(b"\t", 1)[0]
+                n = len(pending)
+                while i < n and pending[i].split(b"\t", 1)[0] == last_q:
+                    i += 1
+                if i >= n:
+                    break  # group spans the buffer end; read more first
+                yield b"".join(pending[:i]), i
+                del pending[:i]
+        if pending:
+            yield b"".join(pending), len(pending)
+
+    stats = MapqStatistics()
+    reporter = StatusReporter(status_output_interval)
+    rec_idx = 0
+    # fork is cheap and safe while no JAX backend is live in this process
+    # (recalculate_mapq never dispatches); fall back to spawn if a backend
+    # client already exists (forking live XLA threads can deadlock).
+    method = "fork"
+    try:
+        import jax._src.xla_bridge as _xb
+
+        if getattr(_xb, "_backends", None):
+            method = "spawn"
+    except Exception:
+        method = "spawn"
+    if sys.platform not in ("linux", "linux2"):
+        method = "spawn"
+    ctx = mp.get_context(method)
+    with ctx.Pool(
+        jobs,
+        initializer=_mp_init,
+        initargs=(
+            out_header.lines, out_header.ref_names, out_header.ref_lengths,
+            rescore, scoring, tag_spec,
+        ),
+    ) as pool:
+        for blob, st, n_lines in pool.imap(_mp_process_chunk, chunks()):
+            writer.write_raw(blob)
+            for f in MapqStatistics.__dataclass_fields__:
+                setattr(stats, f, getattr(stats, f) + getattr(st, f))
+            prev = rec_idx
+            rec_idx += n_lines
+            if prev // 10_000_000 != rec_idx // 10_000_000:
+                log_time(f"Processed {rec_idx} alignments…")
+            reporter.tick(rec_idx)
+    return stats

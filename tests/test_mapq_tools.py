@@ -179,3 +179,36 @@ def test_subset_best_mapq_pairs():
     recs = list(SamReader(out))
     assert len(recs) == 2
     assert recs[0].pos == 100 and recs[1].pos == 200
+
+
+def test_recalculate_mapq_jobs_byte_identical(tmp_path):
+    """--jobs N fans QNAME groups out over worker processes; output and
+    statistics must equal the sequential run exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    lines = ["@HD\tVN:1.6\tSO:queryname", "@SQ\tSN:chr1\tLN:100000"]
+    for i in range(800):
+        p1, p2 = int(rng.integers(0, 90000)), int(rng.integers(0, 90000))
+        # a few multi-candidate groups and an unmapped record
+        k = 1 + (i % 3 == 0)
+        for c in range(k):
+            off = c * 7
+            for pos, mpos, flag in ((p1 + off, p2, 99), (p2, p1 + off, 147)):
+                lines.append(
+                    f"pair{i}\t{flag}\tchr1\t{pos+1}\t60\t100=\t=\t{mpos+1}"
+                    f"\t200\t" + "ACGT" * 25 + "\t" + "I" * 100
+                    + f"\tAS:i:-{int(rng.integers(0, 12))}\tXR:i:0"
+                    f"\tXP:i:{pos}\tYR:i:0\tYP:i:{mpos}"
+                )
+        if i % 50 == 0:
+            lines.append(f"pair{i}x\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII")
+    sam = ("\n".join(lines) + "\n").encode()
+
+    out1, out3 = io.BytesIO(), io.BytesIO()
+    s1 = run_recalculate_mapq(io.BytesIO(sam), out1)
+    s3 = run_recalculate_mapq(io.BytesIO(sam), out3, jobs=3)
+    strip = lambda b: [l for l in b.split(b"\n") if not l.startswith(b"@PG")]
+    assert strip(out1.getvalue()) == strip(out3.getvalue())
+    assert s1 == s3
+    assert s1.total_alignments > 0
