@@ -22,6 +22,7 @@
 
 #include "panvc3_common.h"
 
+#include <ctype.h>
 #include <math.h>
 #include <pthread.h>
 #include <stdio.h>
@@ -2778,5 +2779,727 @@ fail:
     PyBuffer_Release(&q_b);
     PyBuffer_Release(&rl_b);
     PyBuffer_Release(&ql_b);
+    return NULL;
+}
+
+/* ---- BAM <-> SAM text converters ------------------------------------- */
+
+/* BAM nibble code -> base char ("=ACMGRSVTWYHKDBN", SAM spec 4.2.3) */
+static const char pv3_bam_base16[17] = "=ACMGRSVTWYHKDBN";
+
+/* bam_to_sam_lines(data, ref_names) -> (list[bytes], consumed)
+
+   Decode as many complete BAM alignment records as `data` holds into SAM
+   text lines (newline-terminated, tags in stream order; float tags in the
+   canonical float32 form).  Returns the byte count consumed so the caller
+   can re-buffer a trailing partial record.  Mirrors io/sam's
+   _decode_bam_record + format_sam_record semantics. */
+PyObject *pv3_bam_to_sam_lines(PyObject *self, PyObject *args)
+{
+    Py_buffer data_b;
+    PyObject *ref_names;
+    if (!PyArg_ParseTuple(args, "y*O!", &data_b, &PyList_Type, &ref_names))
+        return NULL;
+
+    const uint8_t *data = data_b.buf;
+    Py_ssize_t n = data_b.len;
+    Py_ssize_t n_refs = PyList_GET_SIZE(ref_names);
+
+    PyObject *lines = PyList_New(0);
+    if (!lines) {
+        PyBuffer_Release(&data_b);
+        return NULL;
+    }
+    pv3_strbuf sb = {NULL, 0, 0};
+    Py_ssize_t off = 0;
+
+    /* borrowed name pointers (list keeps them alive) */
+    const char **nm = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(char *));
+    Py_ssize_t *nml = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(Py_ssize_t));
+    if (!nm || !nml)
+        goto oom;
+    for (Py_ssize_t i = 0; i < n_refs; ++i) {
+        nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(ref_names, i),
+                                        &nml[i]);
+        if (!nm[i])
+            goto fail;
+    }
+
+    while (off + 4 <= n) {
+        uint32_t size;
+        memcpy(&size, data + off, 4);
+        if (off + 4 + (Py_ssize_t)size > n)
+            break; /* partial record: caller re-buffers */
+        const uint8_t *r = data + off + 4;
+        if (size < 32) {
+            PyErr_SetString(PyExc_ValueError, "truncated BAM record");
+            goto fail;
+        }
+        int32_t ref_id, pos, next_ref, next_pos, tlen, l_seq;
+        uint8_t l_read_name, mapq;
+        uint16_t n_cigar, flag;
+        memcpy(&ref_id, r, 4);
+        memcpy(&pos, r + 4, 4);
+        l_read_name = r[8];
+        mapq = r[9];
+        /* r[10..11] = bin (unused) */
+        memcpy(&n_cigar, r + 12, 2);
+        memcpy(&flag, r + 14, 2);
+        memcpy(&l_seq, r + 16, 4);
+        memcpy(&next_ref, r + 20, 4);
+        memcpy(&next_pos, r + 24, 4);
+        memcpy(&tlen, r + 28, 4);
+
+        size_t p = 32;
+        size_t nb = ((size_t)l_seq + 1) / 2;
+        size_t need = p + l_read_name + 4u * n_cigar + nb + (size_t)l_seq;
+        if (need > size) {
+            PyErr_SetString(PyExc_ValueError, "truncated BAM record body");
+            goto fail;
+        }
+        if ((ref_id >= 0 && ref_id >= n_refs) ||
+            (next_ref >= 0 && next_ref >= n_refs)) {
+            PyErr_SetString(PyExc_ValueError,
+                            "BAM reference id out of range");
+            goto fail;
+        }
+
+        sb.len = 0;
+        /* QNAME..MAPQ */
+        if (pv3_sb_put(&sb, (const char *)r + p, l_read_name - 1) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, flag) < 0 || pv3_sb_putc(&sb, '\t') < 0)
+            goto oom;
+        p += l_read_name;
+        if (ref_id < 0) {
+            if (pv3_sb_putc(&sb, '*') < 0)
+                goto oom;
+        } else if (pv3_sb_put(&sb, nm[ref_id], nml[ref_id]) < 0)
+            goto oom;
+        if (pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, (long)pos + 1) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, mapq) < 0 || pv3_sb_putc(&sb, '\t') < 0)
+            goto oom;
+        /* CIGAR */
+        if (n_cigar == 0) {
+            if (pv3_sb_putc(&sb, '*') < 0)
+                goto oom;
+        } else {
+            for (uint16_t c = 0; c < n_cigar; ++c) {
+                uint32_t v;
+                memcpy(&v, r + p + 4u * c, 4);
+                if (pv3_sb_put_long(&sb, v >> 4) < 0 ||
+                    pv3_sb_putc(&sb, pv3_op_char_table[v & 0xF]) < 0)
+                    goto oom;
+            }
+        }
+        p += 4u * n_cigar;
+        /* RNEXT / PNEXT / TLEN */
+        if (pv3_sb_putc(&sb, '\t') < 0)
+            goto oom;
+        if (next_ref < 0) {
+            if (pv3_sb_putc(&sb, '*') < 0)
+                goto oom;
+        } else if (next_ref == ref_id) {
+            if (pv3_sb_putc(&sb, '=') < 0)
+                goto oom;
+        } else if (pv3_sb_put(&sb, nm[next_ref], nml[next_ref]) < 0)
+            goto oom;
+        if (pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, (long)next_pos + 1) < 0 ||
+            pv3_sb_putc(&sb, '\t') < 0 ||
+            pv3_sb_put_long(&sb, tlen) < 0 || pv3_sb_putc(&sb, '\t') < 0)
+            goto oom;
+        /* SEQ / QUAL */
+        if (l_seq == 0) {
+            if (pv3_sb_put(&sb, "*\t*", 3) < 0)
+                goto oom;
+            p += 0;
+        } else {
+            if (pv3_sb_reserve(&sb, sb.len + (size_t)l_seq * 2 + 2) < 0)
+                goto oom;
+            char *w = sb.buf + sb.len;
+            const uint8_t *sq = r + p;
+            for (int32_t i = 0; i < l_seq; ++i) {
+                uint8_t byte = sq[i >> 1];
+                uint8_t code = (i & 1) ? (byte & 0xF) : (byte >> 4);
+                w[i] = pv3_bam_base16[code];
+            }
+            sb.len += l_seq;
+            p += nb;
+            sb.buf[sb.len++] = '\t';
+            const uint8_t *ql = r + p;
+            w = sb.buf + sb.len;
+            if (ql[0] == 0xFF) {
+                w[0] = '*';
+                sb.len += 1;
+            } else {
+                for (int32_t i = 0; i < l_seq; ++i)
+                    w[i] = (char)(ql[i] + 33);
+                sb.len += l_seq;
+            }
+            p += l_seq;
+        }
+        /* tags (stream order) */
+        while (p + 3 <= size) {
+            char t0 = r[p], t1 = r[p + 1], typ = r[p + 2];
+            p += 3;
+            if (pv3_sb_putc(&sb, '\t') < 0 || pv3_sb_putc(&sb, t0) < 0 ||
+                pv3_sb_putc(&sb, t1) < 0 || pv3_sb_putc(&sb, ':') < 0)
+                goto oom;
+            long iv = 0;
+            char fbuf[64];
+            switch (typ) {
+            case 'A':
+                if (p + 1 > size)
+                    goto trunc_tag;
+                if (pv3_sb_put(&sb, "A:", 2) < 0 ||
+                    pv3_sb_putc(&sb, r[p]) < 0)
+                    goto oom;
+                p += 1;
+                break;
+            case 'c': case 'C': case 's': case 'S': case 'i': case 'I': {
+                int w = (typ == 'c' || typ == 'C') ? 1
+                        : (typ == 's' || typ == 'S') ? 2 : 4;
+                if (p + w > size)
+                    goto trunc_tag;
+                if (typ == 'c')
+                    iv = (int8_t)r[p];
+                else if (typ == 'C')
+                    iv = r[p];
+                else if (typ == 's') {
+                    int16_t v;
+                    memcpy(&v, r + p, 2);
+                    iv = v;
+                } else if (typ == 'S') {
+                    uint16_t v;
+                    memcpy(&v, r + p, 2);
+                    iv = v;
+                } else if (typ == 'i') {
+                    int32_t v;
+                    memcpy(&v, r + p, 4);
+                    iv = v;
+                } else {
+                    uint32_t v;
+                    memcpy(&v, r + p, 4);
+                    iv = v;
+                }
+                p += w;
+                if (pv3_sb_put(&sb, "i:", 2) < 0 ||
+                    pv3_sb_put_long(&sb, iv) < 0)
+                    goto oom;
+                break;
+            }
+            case 'f': {
+                float v;
+                if (p + 4 > size)
+                    goto trunc_tag;
+                memcpy(&v, r + p, 4);
+                p += 4;
+                int fl = pv3_format_f32(v, fbuf);
+                if (pv3_sb_put(&sb, "f:", 2) < 0 ||
+                    pv3_sb_put(&sb, fbuf, fl) < 0)
+                    goto oom;
+                break;
+            }
+            case 'Z': case 'H': {
+                const uint8_t *z = memchr(r + p, 0, size - p);
+                if (!z)
+                    goto trunc_tag;
+                if (pv3_sb_putc(&sb, typ) < 0 ||
+                    pv3_sb_putc(&sb, ':') < 0 ||
+                    pv3_sb_put(&sb, (const char *)r + p,
+                               z - (r + p)) < 0)
+                    goto oom;
+                p = (z - r) + 1;
+                break;
+            }
+            case 'B': {
+                if (p + 5 > size)
+                    goto trunc_tag;
+                char sub = r[p];
+                uint32_t cnt;
+                memcpy(&cnt, r + p + 1, 4);
+                p += 5;
+                int w = (sub == 'c' || sub == 'C') ? 1
+                        : (sub == 's' || sub == 'S') ? 2 : 4;
+                if (p + (size_t)w * cnt > size)
+                    goto trunc_tag;
+                if (pv3_sb_put(&sb, "B:", 2) < 0 ||
+                    pv3_sb_putc(&sb, sub) < 0)
+                    goto oom;
+                for (uint32_t j = 0; j < cnt; ++j) {
+                    if (pv3_sb_putc(&sb, ',') < 0)
+                        goto oom;
+                    if (sub == 'f') {
+                        float v;
+                        memcpy(&v, r + p, 4);
+                        int fl = pv3_format_f32(v, fbuf);
+                        if (pv3_sb_put(&sb, fbuf, fl) < 0)
+                            goto oom;
+                    } else {
+                        if (sub == 'c')
+                            iv = (int8_t)r[p];
+                        else if (sub == 'C')
+                            iv = r[p];
+                        else if (sub == 's') {
+                            int16_t v;
+                            memcpy(&v, r + p, 2);
+                            iv = v;
+                        } else if (sub == 'S') {
+                            uint16_t v;
+                            memcpy(&v, r + p, 2);
+                            iv = v;
+                        } else if (sub == 'i') {
+                            int32_t v;
+                            memcpy(&v, r + p, 4);
+                            iv = v;
+                        } else if (sub == 'I') {
+                            uint32_t v;
+                            memcpy(&v, r + p, 4);
+                            iv = v;
+                        } else {
+                            PyErr_Format(PyExc_ValueError,
+                                         "unknown BAM B subtype '%c'", sub);
+                            goto fail;
+                        }
+                        if (pv3_sb_put_long(&sb, iv) < 0)
+                            goto oom;
+                    }
+                    p += w;
+                }
+                break;
+            }
+            default:
+                PyErr_Format(PyExc_ValueError,
+                             "unknown BAM tag type '%c'", typ);
+                goto fail;
+            }
+        }
+        if (pv3_sb_putc(&sb, '\n') < 0)
+            goto oom;
+
+        PyObject *line = PyBytes_FromStringAndSize(sb.buf, sb.len);
+        if (!line)
+            goto fail;
+        int rc = PyList_Append(lines, line);
+        Py_DECREF(line);
+        if (rc < 0)
+            goto fail;
+        off += 4 + size;
+        continue;
+    trunc_tag:
+        PyErr_SetString(PyExc_ValueError, "truncated BAM tag data");
+        goto fail;
+    }
+
+    PyMem_Free(nm);
+    PyMem_Free(nml);
+    free(sb.buf);
+    PyBuffer_Release(&data_b);
+    return Py_BuildValue("(Nn)", lines, off);
+
+oom:
+    PyErr_NoMemory();
+fail:
+    PyMem_Free(nm);
+    PyMem_Free(nml);
+    free(sb.buf);
+    Py_DECREF(lines);
+    PyBuffer_Release(&data_b);
+    return NULL;
+}
+
+/* base char -> BAM nibble code (dna16 encode table; unknown -> N=15) */
+static uint8_t pv3_bam_code_table[256];
+
+static void pv3_bam_code_init(void)
+{
+    if (pv3_bam_code_table['A'])
+        return;
+    memset(pv3_bam_code_table, 15, sizeof pv3_bam_code_table);
+    for (int i = 0; i < 16; ++i) {
+        pv3_bam_code_table[(uint8_t)pv3_bam_base16[i]] = i;
+        pv3_bam_code_table[(uint8_t)tolower(pv3_bam_base16[i])] = i;
+    }
+    pv3_bam_code_table['='] = 0;
+}
+
+/* sam_text_to_bam(blob, ref_names) -> bytes
+
+   Convert newline-separated SAM text record lines into concatenated BAM
+   alignment records (no BGZF framing — the caller compresses).  Mirrors
+   io/sam._encode_bam_record: smallest-width integer tags, '*' qual ->
+   0xFF fill, bin field 0. */
+PyObject *pv3_sam_text_to_bam(PyObject *self, PyObject *args)
+{
+    Py_buffer blob_b;
+    PyObject *ref_names;
+    if (!PyArg_ParseTuple(args, "y*O!", &blob_b, &PyList_Type, &ref_names))
+        return NULL;
+    pv3_bam_code_init();
+
+    const char *blob = blob_b.buf;
+    Py_ssize_t n = blob_b.len;
+    Py_ssize_t n_refs = PyList_GET_SIZE(ref_names);
+
+    pv3_strbuf out = {NULL, 0, 0};
+    const char **nm = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(char *));
+    Py_ssize_t *nml = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(Py_ssize_t));
+    if (!nm || !nml)
+        goto oom;
+    for (Py_ssize_t i = 0; i < n_refs; ++i) {
+        nm[i] = PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(ref_names, i),
+                                        &nml[i]);
+        if (!nm[i])
+            goto fail;
+    }
+    /* 2-entry ref-name memo (records cluster by reference) */
+    const char *memo_nm[2] = {NULL, NULL};
+    Py_ssize_t memo_len[2] = {0, 0};
+    long memo_id[2] = {-1, -1};
+
+    const char *p = blob;
+    const char *bend = blob + n;
+    while (p < bend) {
+        const char *nl = memchr(p, '\n', bend - p);
+        const char *lend = nl ? nl : bend;
+        if (lend == p) {
+            p = lend + 1;
+            continue;
+        }
+        /* split 11 mandatory fields */
+        const char *f[12];
+        Py_ssize_t fl[12];
+        int nf = 0;
+        const char *q = p;
+        while (nf < 11 && q <= lend) {
+            const char *tab = memchr(q, '\t', lend - q);
+            const char *fe = (tab && tab < lend) ? tab : lend;
+            f[nf] = q;
+            fl[nf] = fe - q;
+            ++nf;
+            q = fe + 1;
+        }
+        if (nf < 11) {
+            PyErr_Format(PyExc_ValueError, "truncated SAM record: %.80s", p);
+            goto fail;
+        }
+        const char *tagp = q <= lend ? q : lend; /* first tag byte or end */
+
+        long flag, pos1, mapq, pnext1, tlen;
+        if (fp_parse_long(f[1], f[1] + fl[1], &flag) != 0 ||
+            fp_parse_long(f[3], f[3] + fl[3], &pos1) != 0 ||
+            fp_parse_long(f[4], f[4] + fl[4], &mapq) != 0 ||
+            fp_parse_long(f[7], f[7] + fl[7], &pnext1) != 0 ||
+            fp_parse_long(f[8], f[8] + fl[8], &tlen) != 0) {
+            PyErr_Format(PyExc_ValueError, "malformed SAM record: %.80s", p);
+            goto fail;
+        }
+        /* ref ids */
+        long ref_id = -1, next_ref = -1;
+        for (int which = 0; which < 2; ++which) {
+            const char *name = which ? f[6] : f[2];
+            Py_ssize_t namelen = which ? fl[6] : fl[2];
+            long *dst = which ? &next_ref : &ref_id;
+            if (namelen == 1 && name[0] == '*') {
+                *dst = -1;
+                continue;
+            }
+            if (which && namelen == 1 && name[0] == '=') {
+                *dst = ref_id;
+                continue;
+            }
+            long got = -1;
+            for (int m = 0; m < 2; ++m)
+                if (memo_nm[m] && memo_len[m] == namelen &&
+                    memcmp(memo_nm[m], name, namelen) == 0) {
+                    got = memo_id[m];
+                    break;
+                }
+            if (got < 0) {
+                for (Py_ssize_t i = 0; i < n_refs; ++i)
+                    if (nml[i] == namelen &&
+                        memcmp(nm[i], name, namelen) == 0) {
+                        got = i;
+                        break;
+                    }
+                if (got < 0) {
+                    PyErr_Format(PyExc_ValueError,
+                                 "unknown reference '%.80s'", name);
+                    goto fail;
+                }
+                memo_nm[which] = name;
+                memo_len[which] = namelen;
+                memo_id[which] = got;
+            }
+            *dst = got;
+        }
+
+        /* CIGAR: count ops, then emit */
+        long n_cigar = 0;
+        if (!(fl[5] == 1 && f[5][0] == '*')) {
+            for (Py_ssize_t i = 0; i < fl[5]; ++i)
+                if (!('0' <= f[5][i] && f[5][i] <= '9'))
+                    ++n_cigar;
+        }
+        if (n_cigar > 0xFFFF) {
+            PyErr_SetString(PyExc_ValueError, "CIGAR too long for BAM");
+            goto fail;
+        }
+        long l_seq = (fl[9] == 1 && f[9][0] == '*') ? 0 : fl[9];
+        long l_read_name = fl[0] + 1;
+        if (l_read_name > 255) {
+            PyErr_SetString(PyExc_ValueError, "QNAME too long for BAM");
+            goto fail;
+        }
+
+        /* fixed header */
+        size_t rec_start = out.len;
+        if (pv3_sb_reserve(&out, out.len + 36 + l_read_name +
+                                    4 * n_cigar + (l_seq + 1) / 2 + l_seq) < 0)
+            goto oom;
+        out.len += 4; /* block_size placeholder */
+        {
+            uint8_t hdr[32];
+            int32_t v;
+            v = (int32_t)ref_id;      memcpy(hdr, &v, 4);
+            v = (int32_t)(pos1 - 1);  memcpy(hdr + 4, &v, 4);
+            hdr[8] = (uint8_t)l_read_name;
+            hdr[9] = (uint8_t)mapq;
+            hdr[10] = 0; hdr[11] = 0; /* bin = 0 (io/sam parity) */
+            uint16_t u16 = (uint16_t)n_cigar; memcpy(hdr + 12, &u16, 2);
+            u16 = (uint16_t)flag;             memcpy(hdr + 14, &u16, 2);
+            v = (int32_t)l_seq;       memcpy(hdr + 16, &v, 4);
+            v = (int32_t)next_ref;    memcpy(hdr + 20, &v, 4);
+            v = (int32_t)(pnext1 - 1);memcpy(hdr + 24, &v, 4);
+            v = (int32_t)tlen;        memcpy(hdr + 28, &v, 4);
+            memcpy(out.buf + out.len, hdr, 32);
+            out.len += 32;
+        }
+        memcpy(out.buf + out.len, f[0], fl[0]);
+        out.len += fl[0];
+        out.buf[out.len++] = 0;
+        /* CIGAR packed */
+        if (n_cigar) {
+            const char *c = f[5];
+            const char *ce = f[5] + fl[5];
+            while (c < ce) {
+                long cnt = 0;
+                while (c < ce && '0' <= *c && *c <= '9')
+                    cnt = cnt * 10 + (*c++ - '0');
+                if (c >= ce) {
+                    PyErr_SetString(PyExc_ValueError, "malformed CIGAR");
+                    goto fail;
+                }
+                int code = pv3_op_code_table[(uint8_t)*c];
+                if (code == 0 && *c != 'M') {
+                    PyErr_SetString(PyExc_ValueError, "malformed CIGAR op");
+                    goto fail;
+                }
+                ++c;
+                uint32_t v = ((uint32_t)cnt << 4) | (uint32_t)code;
+                memcpy(out.buf + out.len, &v, 4);
+                out.len += 4;
+            }
+        }
+        /* SEQ nibbles + QUAL */
+        if (l_seq) {
+            uint8_t *w = (uint8_t *)out.buf + out.len;
+            for (long i = 0; i < l_seq; ++i) {
+                uint8_t code = pv3_bam_code_table[(uint8_t)f[9][i]];
+                if (i & 1)
+                    w[i >> 1] |= code;
+                else
+                    w[i >> 1] = (uint8_t)(code << 4);
+            }
+            out.len += (l_seq + 1) / 2;
+            w = (uint8_t *)out.buf + out.len;
+            if (fl[10] == 1 && f[10][0] == '*') {
+                memset(w, 0xFF, l_seq);
+            } else {
+                if (fl[10] != l_seq) {
+                    PyErr_SetString(PyExc_ValueError,
+                                    "QUAL length mismatch");
+                    goto fail;
+                }
+                for (long i = 0; i < l_seq; ++i)
+                    w[i] = (uint8_t)(f[10][i] - 33);
+            }
+            out.len += l_seq;
+        }
+        /* tags */
+        while (tagp < lend) {
+            const char *tab = memchr(tagp, '\t', lend - tagp);
+            const char *fe = tab ? tab : lend;
+            if (fe - tagp < 5 || tagp[2] != ':' || tagp[4] != ':') {
+                PyErr_Format(PyExc_ValueError, "malformed tag: %.40s", tagp);
+                goto fail;
+            }
+            char typ = tagp[3];
+            const char *v = tagp + 5;
+            Py_ssize_t vlen = fe - v;
+            if (pv3_sb_reserve(&out, out.len + 8 + (size_t)vlen * 4) < 0)
+                goto oom;
+            out.buf[out.len++] = tagp[0];
+            out.buf[out.len++] = tagp[1];
+            switch (typ) {
+            case 'A':
+                if (vlen != 1)
+                    goto badtag;
+                out.buf[out.len++] = 'A';
+                out.buf[out.len++] = v[0];
+                break;
+            case 'i': {
+                long iv;
+                if (fp_parse_long(v, v + vlen, &iv) != 0)
+                    goto badtag;
+                /* smallest width, unsigned preferred (io/sam parity) */
+                if (0 <= iv && iv <= 0xFF) {
+                    out.buf[out.len++] = 'C';
+                    out.buf[out.len++] = (char)(uint8_t)iv;
+                } else if (-0x80 <= iv && iv < 0x80) {
+                    out.buf[out.len++] = 'c';
+                    out.buf[out.len++] = (char)(int8_t)iv;
+                } else if (0 <= iv && iv <= 0xFFFF) {
+                    uint16_t u = (uint16_t)iv;
+                    out.buf[out.len++] = 'S';
+                    memcpy(out.buf + out.len, &u, 2);
+                    out.len += 2;
+                } else if (-0x8000 <= iv && iv < 0x8000) {
+                    int16_t u = (int16_t)iv;
+                    out.buf[out.len++] = 's';
+                    memcpy(out.buf + out.len, &u, 2);
+                    out.len += 2;
+                } else if (iv < 0) {
+                    int32_t u = (int32_t)iv;
+                    out.buf[out.len++] = 'i';
+                    memcpy(out.buf + out.len, &u, 4);
+                    out.len += 4;
+                } else {
+                    uint32_t u = (uint32_t)iv;
+                    out.buf[out.len++] = 'I';
+                    memcpy(out.buf + out.len, &u, 4);
+                    out.len += 4;
+                }
+                break;
+            }
+            case 'f': {
+                char tmp[64];
+                if (vlen == 0 || vlen >= (Py_ssize_t)sizeof tmp)
+                    goto badtag;
+                memcpy(tmp, v, vlen);
+                tmp[vlen] = 0;
+                char *stop;
+                errno = 0;
+                double dv = strtod(tmp, &stop);
+                if (stop != tmp + vlen || errno != 0)
+                    goto badtag;
+                float fv = (float)dv;
+                out.buf[out.len++] = 'f';
+                memcpy(out.buf + out.len, &fv, 4);
+                out.len += 4;
+                break;
+            }
+            case 'Z': case 'H':
+                out.buf[out.len++] = typ;
+                memcpy(out.buf + out.len, v, vlen);
+                out.len += vlen;
+                out.buf[out.len++] = 0;
+                break;
+            case 'B': {
+                if (vlen < 1)
+                    goto badtag;
+                char sub = v[0];
+                int w = (sub == 'c' || sub == 'C') ? 1
+                        : (sub == 's' || sub == 'S') ? 2
+                        : (sub == 'i' || sub == 'I' || sub == 'f') ? 4 : 0;
+                if (!w)
+                    goto badtag;
+                out.buf[out.len++] = 'B';
+                out.buf[out.len++] = sub;
+                size_t cnt_at = out.len;
+                out.len += 4;
+                uint32_t cnt = 0;
+                const char *iv_p = v + 1;
+                const char *iv_end = v + vlen;
+                while (iv_p < iv_end) {
+                    if (*iv_p != ',')
+                        goto badtag;
+                    ++iv_p;
+                    const char *comma = memchr(iv_p, ',', iv_end - iv_p);
+                    const char *ie = comma ? comma : iv_end;
+                    if (sub == 'f') {
+                        char tmp[64];
+                        Py_ssize_t l = ie - iv_p;
+                        if (l == 0 || l >= (Py_ssize_t)sizeof tmp)
+                            goto badtag;
+                        memcpy(tmp, iv_p, l);
+                        tmp[l] = 0;
+                        char *stop;
+                        errno = 0;
+                        double dv = strtod(tmp, &stop);
+                        if (stop != tmp + l || errno != 0)
+                            goto badtag;
+                        float fv = (float)dv;
+                        memcpy(out.buf + out.len, &fv, 4);
+                        out.len += 4;
+                    } else {
+                        long iv;
+                        if (fp_parse_long(iv_p, ie, &iv) != 0)
+                            goto badtag;
+                        if (w == 1)
+                            out.buf[out.len] = (char)(uint8_t)iv;
+                        else if (w == 2) {
+                            uint16_t u = (uint16_t)iv;
+                            memcpy(out.buf + out.len, &u, 2);
+                        } else {
+                            uint32_t u = (uint32_t)iv;
+                            memcpy(out.buf + out.len, &u, 4);
+                        }
+                        out.len += w;
+                    }
+                    ++cnt;
+                    iv_p = ie;
+                }
+                memcpy(out.buf + cnt_at, &cnt, 4);
+                break;
+            }
+            default:
+                goto badtag;
+            }
+            tagp = tab ? tab + 1 : lend;
+            continue;
+        badtag:
+            PyErr_Format(PyExc_ValueError, "malformed tag value: %.40s",
+                         tagp);
+            goto fail;
+        }
+
+        /* back-patch block size */
+        {
+            uint32_t size = (uint32_t)(out.len - rec_start - 4);
+            memcpy(out.buf + rec_start, &size, 4);
+        }
+        p = lend + 1;
+    }
+
+    {
+        PyObject *res = PyBytes_FromStringAndSize(out.buf, out.len);
+        PyMem_Free(nm);
+        PyMem_Free(nml);
+        free(out.buf);
+        PyBuffer_Release(&blob_b);
+        return res;
+    }
+
+oom:
+    PyErr_NoMemory();
+fail:
+    PyMem_Free(nm);
+    PyMem_Free(nml);
+    free(out.buf);
+    PyBuffer_Release(&blob_b);
     return NULL;
 }

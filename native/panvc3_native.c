@@ -1092,6 +1092,12 @@ static PyMethodDef methods[] = {
     {"realign_runs_host", pv3_realign_runs_host, METH_VARARGS,
      "Affine-gap realignment DP on the host, bit-identical to the device "
      "kernel's integer path (latency path for small batches)."},
+    {"bam_to_sam_lines", pv3_bam_to_sam_lines, METH_VARARGS,
+     "Decode BAM alignment records into SAM text lines (fast lane BAM "
+     "input)."},
+    {"sam_text_to_bam", pv3_sam_text_to_bam, METH_VARARGS,
+     "Encode SAM text record lines as BAM alignment records (fast lane "
+     "BAM output)."},
     {NULL, NULL, 0, NULL},
 };
 

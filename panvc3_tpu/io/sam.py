@@ -580,10 +580,35 @@ class SamReader:
     def raw_record_line_blocks(self, hint: int = 1 << 20):
         """Yield blocks (lists) of raw record line bytes.
 
-        SAM text mode only — the native fast lane consumes lines directly
-        without building SamRecord objects."""
+        The native fast lane consumes lines directly without building
+        SamRecord objects.  BAM input converts record regions to SAM text
+        lines in C (bam_to_sam_lines); SAM text streams pass through."""
         if self.is_bam:
-            raise ValueError("raw line access requires SAM text input")
+            nat = get_native()
+            if nat is None or not hasattr(nat, "bam_to_sam_lines"):
+                raise ValueError(
+                    "raw line access from BAM requires the native extension"
+                )
+            names = self.header.ref_names
+            need = hint
+            while True:
+                while len(self._bam_buf) < need and not self._bam_eof:
+                    self._bam_fill()
+                if not self._bam_buf:
+                    return
+                lines, consumed = nat.bam_to_sam_lines(
+                    bytes(self._bam_buf), names
+                )
+                if consumed == 0:
+                    if self._bam_eof:
+                        raise ValueError("truncated BAM record at EOF")
+                    need = len(self._bam_buf) * 2  # record spans the buffer
+                    continue
+                need = hint
+                self._bam_skip(consumed)
+                if lines:
+                    yield lines
+            return
         if self._first_record_line is not None:
             first = self._first_record_line.encode()
             self._first_record_line = None
@@ -655,8 +680,18 @@ class SamWriter:
             self._fh.write(format_sam_record(rec, self.header).encode() + b"\n")
 
     def write_raw(self, blob: bytes) -> None:
-        """Write pre-formatted SAM text (newline-terminated lines)."""
-        assert not self.bam
+        """Write pre-formatted SAM text (newline-terminated lines).
+
+        BAM mode converts the text blob to BAM records in C
+        (sam_text_to_bam) and streams them through the BGZF writer."""
+        if self.bam:
+            nat = get_native()
+            if nat is None or not hasattr(nat, "sam_text_to_bam"):
+                raise ValueError(
+                    "raw text writes to BAM require the native extension"
+                )
+            self._bgzf.write(nat.sam_text_to_bam(blob, self.header.ref_names))
+            return
         self._fh.write(blob)
 
     def close(self) -> None:

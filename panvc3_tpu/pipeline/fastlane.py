@@ -38,14 +38,16 @@ _D2H_PREFETCH = os.environ.get("PANVC3_D2H_PREFETCH") == "1"
 
 
 def fastlane_eligible(cfg, reader, writer, mesh, batch_engine=None) -> bool:
-    """The fast lane covers the default tool configuration: SAM text in and
-    out, integer-scoring realignment, single-device dispatch.  Device
-    sequence ids must fit the u16 wire format (a >65k-sequence shard should
-    use --msa-index-chr-shard anyway)."""
+    """The fast lane covers the default tool configuration (now including
+    BAM input/output via the C BAM<->SAM-text converters), integer-scoring
+    realignment, single-device dispatch.  Device sequence ids must fit the
+    u16 wire format (a >65k-sequence shard should use
+    --msa-index-chr-shard anyway)."""
+    nat = get_native()
     return (
-        get_native() is not None
-        and not reader.is_bam
-        and not writer.bam
+        nat is not None
+        and (not reader.is_bam or hasattr(nat, "bam_to_sam_lines"))
+        and (not writer.bam or hasattr(nat, "sam_text_to_bam"))
         and not cfg.fused_kernel
         and mesh is None
         and (

@@ -547,9 +547,17 @@ def run_recalculate_mapq(
     # cut at group boundaries are independent — workers run the exact
     # sequential algorithm per chunk and the parent concatenates outputs in
     # submission order (byte-identical to jobs=1, asserted in
-    # tests/test_mapq_tools.py).  SAM-text in/out only; verbose stays
-    # sequential (per-group stderr would interleave).
-    if jobs != 1 and not verbose and not reader.is_bam and not output_bam:
+    # tests/test_mapq_tools.py).  BAM in/out rides the C BAM<->SAM-text
+    # converters; verbose stays sequential (per-group stderr would
+    # interleave).
+    nat = get_native()
+    raw_ok = not reader.is_bam or (
+        nat is not None and hasattr(nat, "bam_to_sam_lines")
+    )
+    write_ok = not output_bam or (
+        nat is not None and hasattr(nat, "sam_text_to_bam")
+    )
+    if jobs != 1 and not verbose and raw_ok and write_ok:
         stats = _run_parallel_mapq(
             reader, writer, rescore, scoring, tag_spec, out_header, jobs,
             status_output_interval,

@@ -359,3 +359,70 @@ def test_fastlane_host_dp_matches_device_path(
     assert dev[1].realignment_cells == host[1].realignment_cells
     assert dev[1].realigned_range_count == host[1].realigned_range_count
     assert dev[1].realigned_range_count > 0
+
+
+def test_fastlane_bam_input_output(msa_files, founder_seqs, tmp_path):
+    """BAM in / BAM out through the fast lane (C BAM<->SAM-text
+    converters) must byte-match the object path's BAM output, and the
+    decoded records must match the SAM-text fast lane run."""
+    from panvc3_tpu.io.sam import SamReader, SamWriter
+
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs, n_reads=120)
+
+    # SAM text -> BAM input file
+    rd = SamReader(io.BytesIO(sam), is_bam=False)
+    bam_in = io.BytesIO()
+    w = SamWriter(bam_in, rd.header, bam=True)
+    for rec in rd:
+        w.write(rec)
+    w.close()
+    bam_bytes = bam_in.getvalue()
+
+    def run_bam(fastlane, name):
+        ranges_path = tmp_path / f"r_{name}.tsv"
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            tags=TagSpec(rec_idx="XI"),
+            engine="device",
+            device_batch_size=32,
+            fastlane=fastlane,
+            output_bam=True,
+            output_realigned_ranges_path=str(ranges_path),
+            preserve_tags=("XA",),
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(bam_bytes), out, cfg)
+        return out.getvalue(), stats, ranges_path.read_text()
+
+    fast, fast_stats, fast_ranges = run_bam(True, "fast")
+    slow, slow_stats, slow_ranges = run_bam(False, "slow")
+    assert fast == slow
+    assert fast_ranges == slow_ranges
+    assert fast_stats.matched_reads == slow_stats.matched_reads
+    assert fast_stats.realigned_range_count == slow_stats.realigned_range_count
+    assert fast_stats.removed_tag_counts == slow_stats.removed_tag_counts
+
+    # BAM-lane output decodes to the same records as the SAM-text lane fed
+    # the BAM-round-tripped text (BAM normalises invalid SEQ bytes to N,
+    # so compare against the same normalised input)
+    from panvc3_tpu.io.sam import format_sam_record
+
+    rt = SamReader(io.BytesIO(bam_bytes))
+    sam_rt = (
+        rt.header.to_text()
+        + "\n".join(format_sam_record(r, rt.header) for r in rt)
+        + "\n"
+    ).encode()
+    text_out, _, _ = _run(
+        sam_rt, index_path, tmp_path, fastlane=True, name="bamref"
+    )
+    dec = SamReader(io.BytesIO(fast))
+    got = [format_sam_record(r, dec.header) for r in dec]
+    want = [
+        l for l in text_out.decode().splitlines() if not l.startswith("@")
+    ]
+    assert got == want

@@ -212,3 +212,38 @@ def test_recalculate_mapq_jobs_byte_identical(tmp_path):
     assert strip(out1.getvalue()) == strip(out3.getvalue())
     assert s1 == s3
     assert s1.total_alignments > 0
+
+
+def test_recalculate_mapq_jobs_bam_roundtrip():
+    """--jobs with BAM input and BAM output (C converters) must produce
+    the same bytes as the sequential BAM path."""
+    import numpy as np
+
+    from panvc3_tpu.io.sam import SamReader, SamWriter
+
+    rng = np.random.default_rng(9)
+    lines = ["@HD\tVN:1.6\tSO:queryname", "@SQ\tSN:chr1\tLN:100000"]
+    for i in range(400):
+        p1, p2 = int(rng.integers(0, 90000)), int(rng.integers(0, 90000))
+        for pos, mpos, flag in ((p1, p2, 99), (p2, p1, 147)):
+            lines.append(
+                f"pair{i}\t{flag}\tchr1\t{pos+1}\t60\t100=\t=\t{mpos+1}"
+                f"\t200\t" + "ACGT" * 25 + "\t" + "I" * 100
+                + f"\tAS:i:-{int(rng.integers(0, 12))}\tXR:i:0"
+                f"\tXP:i:{pos}\tYR:i:0\tYP:i:{mpos}"
+            )
+    sam = ("\n".join(lines) + "\n").encode()
+    rd = SamReader(io.BytesIO(sam), is_bam=False)
+    bam_in = io.BytesIO()
+    w = SamWriter(bam_in, rd.header, bam=True)
+    for rec in rd:
+        w.write(rec)
+    w.close()
+    bam = bam_in.getvalue()
+
+    out1, out3 = io.BytesIO(), io.BytesIO()
+    s1 = run_recalculate_mapq(io.BytesIO(bam), out1, output_bam=True)
+    s3 = run_recalculate_mapq(io.BytesIO(bam), out3, output_bam=True, jobs=3)
+    assert out1.getvalue() == out3.getvalue()
+    assert s1 == s3
+    assert s1.total_alignments == 800
