@@ -2257,7 +2257,8 @@ fail:
  * isgap bitmask, sparse deletion runs); the emitted op per ref unit is
  * reconstructed here by comparing the dna5-normalised query byte against
  * the raw reference byte (rewrite_cigar.hh:80-152 semantics; index
- * clamped like the device gather).
+ * clamped like the device gather).  Slab-threaded over contiguous record
+ * ranges like splice_apply_format (outputs concatenated in order).
  *
  * finalize_reconstruct(unit_op y*, unit_count y*, rec_n_units y*,
  *                      dst_pos y*(i32 B),
@@ -2268,72 +2269,70 @@ fail:
  *                      ref_list (list: dst ref id -> bytes), dst_rids y*)
  *   -> (run_ops, run_lens, runs_per_rec, indel i32[n*9])  (same as
  *      finalize_rewrite)                                               */
-PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
-{
-    Py_buffer uop_b, ucnt_b, nunits_b, dstpos_b;
-    Py_buffer dvals_b, dpos_b, dn_b, dfull_b, gap_b, query_b, dstrid_b;
-    PyObject *ref_list;
+
+typedef struct {
+    const int8_t *unit_op;
+    const int32_t *unit_count;
+    const int32_t *rec_n_units;
+    const int32_t *dst_pos;
+    const uint8_t *d_vals;
+    const uint8_t *d_pos;
+    const uint8_t *d_n;
+    const int32_t *d_full;
+    const uint8_t *gapbits;
+    const unsigned char *query;
+    const int32_t *dst_rids;
+    const unsigned char **refs;
+    const Py_ssize_t *reflens;
+    int32_t *runs_per_rec; /* shared output, disjoint per record */
+    Py_ssize_t n_rec;
+    Py_ssize_t gap_stride;
     long K, use_full, R, Lq;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*ly*ly*ly*lO!y*",
-                          &uop_b, &ucnt_b, &nunits_b, &dstpos_b,
-                          &dvals_b, &dpos_b, &dn_b, &K,
-                          &dfull_b, &use_full, &gap_b, &R,
-                          &query_b, &Lq, &PyList_Type, &ref_list,
-                          &dstrid_b))
-        return NULL;
-    dna5_init();
+} finrec_shared;
 
-    const int8_t *unit_op = uop_b.buf;
-    const int32_t *unit_count = ucnt_b.buf;
-    const int32_t *rec_n_units = nunits_b.buf;
-    const int32_t *dst_pos = dstpos_b.buf;
-    const uint8_t *d_vals = dvals_b.buf;
-    const uint8_t *d_pos = dpos_b.buf;
-    const uint8_t *d_n = dn_b.buf;
-    const int32_t *d_full = dfull_b.buf;
-    const uint8_t *gapbits = gap_b.buf;
-    const unsigned char *query = query_b.buf;
-    const int32_t *dst_rids = dstrid_b.buf;
+typedef struct {
+    const finrec_shared *sh;
+    Py_ssize_t rec0, rec1;
+    Py_ssize_t u0;       /* flat unit cursor at rec0 */
+    Py_ssize_t units;    /* sum of rec_n_units over the slab */
+    int8_t *run_ops;
+    int32_t *run_lens;
+    Py_ssize_t out;
+    int32_t *indel;
+    size_t indel_cap, n_indel;
+    int oom;
+} finrec_slab;
 
-    Py_ssize_t total_units = uop_b.len;
-    Py_ssize_t n_rec = nunits_b.len / sizeof(int32_t);
-    Py_ssize_t gap_stride = n_rec ? gap_b.len / n_rec : 0;
+static void *finrec_slab_run(void *arg)
+{
+    finrec_slab *sl = arg;
+    const finrec_shared *S = sl->sh;
+    const int8_t *unit_op = S->unit_op;
+    const int32_t *unit_count = S->unit_count;
+    const int32_t *rec_n_units = S->rec_n_units;
+    const int32_t *dst_pos = S->dst_pos;
+    const uint8_t *d_vals = S->d_vals;
+    const uint8_t *d_pos = S->d_pos;
+    const uint8_t *d_n = S->d_n;
+    const int32_t *d_full = S->d_full;
+    const uint8_t *gapbits = S->gapbits;
+    const unsigned char *query = S->query;
+    const int32_t *dst_rids = S->dst_rids;
+    long K = S->K, use_full = S->use_full, R = S->R, Lq = S->Lq;
+    Py_ssize_t gap_stride = S->gap_stride;
 
-    Py_ssize_t cap = total_units * 2 + 16;
-    int8_t *run_ops = malloc(cap ? cap : 1);
-    int32_t *run_lens = malloc((cap ? cap : 1) * sizeof(int32_t));
-    int32_t *runs_per_rec = malloc((n_rec ? n_rec : 1) * sizeof(int32_t));
+    Py_ssize_t cap = sl->units * 2 + 16;
+    int8_t *run_ops = malloc(cap);
+    int32_t *run_lens = malloc(cap * sizeof(int32_t));
     int32_t *indel = NULL;
     size_t indel_cap = 0, n_indel = 0;
-    const unsigned char **refs = NULL;
-    Py_ssize_t *reflens = NULL;
-    PyThreadState *ts = NULL;
-    int oom_flag = 0;
-    if (!run_ops || !run_lens || !runs_per_rec) {
-        PyErr_NoMemory();
-        goto fail;
+    Py_ssize_t out = 0;
+    if (!run_ops || !run_lens) {
+        free(run_ops);
+        free(run_lens);
+        sl->oom = 1;
+        return NULL;
     }
-
-    /* pre-extract destination reference byte pointers (borrowed; the list
-       keeps the bytes alive) so the record loop can drop the GIL */
-    {
-        Py_ssize_t n_refs = PyList_GET_SIZE(ref_list);
-        refs = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(char *));
-        reflens = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(Py_ssize_t));
-        if (!refs || !reflens) {
-            PyErr_NoMemory();
-            goto fail;
-        }
-        for (Py_ssize_t i = 0; i < n_refs; ++i) {
-            char *rc_;
-            if (PyBytes_AsStringAndSize(PyList_GET_ITEM(ref_list, i), &rc_,
-                                        &reflens[i]) < 0)
-                goto fail;
-            refs[i] = (const unsigned char *)rc_;
-        }
-    }
-
-    ts = PyEval_SaveThread();
 
     #define INDEL_ROW2(REC, RL, RLEN, QL, QLEN, CF, CE, CR, CQ)           \
         do {                                                              \
@@ -2341,7 +2340,7 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
                 size_t ncap = indel_cap ? indel_cap * 2 : 9 * 64;         \
                 int32_t *ni = realloc(indel, ncap * sizeof(int32_t));     \
                 if (!ni) {                                                \
-                    oom_flag = 1;                                         \
+                    sl->oom = 1;                                          \
                     goto loop_end;                                        \
                 }                                                         \
                 indel = ni;                                               \
@@ -2356,17 +2355,16 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
             ++n_indel;                                                    \
         } while (0)
 
-    Py_ssize_t u = 0;      /* flat unit cursor */
-    Py_ssize_t out = 0;    /* emitted run cursor */
+    Py_ssize_t u = sl->u0;
 
-    for (Py_ssize_t rec = 0; rec < n_rec; ++rec) {
+    for (Py_ssize_t rec = sl->rec0; rec < sl->rec1; ++rec) {
         Py_ssize_t rec_start = out;
         int32_t nu = rec_n_units[rec];
         int8_t cur_op = -1;
         int64_t cur_len = 0;
 
-        const unsigned char *refc = refs[dst_rids[rec]];
-        Py_ssize_t reflen = reflens[dst_rids[rec]];
+        const unsigned char *refc = S->refs[dst_rids[rec]];
+        Py_ssize_t reflen = S->reflens[dst_rids[rec]];
         const uint8_t *gb = gapbits + (size_t)rec * gap_stride;
         const unsigned char *qrow = query + (size_t)rec * Lq;
 
@@ -2445,7 +2443,7 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
             ++out;
         }
         #undef EMIT2
-        runs_per_rec[rec] = (int32_t)(out - rec_start);
+        S->runs_per_rec[rec] = (int32_t)(out - rec_start);
 
         /* indel-run detection over [rec_start, out) (checker semantics,
          * indel_run_checker.cc:31-121) — identical to finalize_rewrite */
@@ -2509,30 +2507,184 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
     }
 loop_end:
     #undef INDEL_ROW2
-    PyEval_RestoreThread(ts);
-    ts = NULL;
-    if (oom_flag) {
+    sl->run_ops = run_ops;
+    sl->run_lens = run_lens;
+    sl->out = out;
+    sl->indel = indel;
+    sl->indel_cap = indel_cap;
+    sl->n_indel = n_indel;
+    return NULL;
+}
+
+PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
+{
+    Py_buffer uop_b, ucnt_b, nunits_b, dstpos_b;
+    Py_buffer dvals_b, dpos_b, dn_b, dfull_b, gap_b, query_b, dstrid_b;
+    PyObject *ref_list;
+    long K, use_full, R, Lq;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*ly*ly*ly*lO!y*",
+                          &uop_b, &ucnt_b, &nunits_b, &dstpos_b,
+                          &dvals_b, &dpos_b, &dn_b, &K,
+                          &dfull_b, &use_full, &gap_b, &R,
+                          &query_b, &Lq, &PyList_Type, &ref_list,
+                          &dstrid_b))
+        return NULL;
+    dna5_init();
+
+    const int32_t *rec_n_units = nunits_b.buf;
+    Py_ssize_t n_rec = nunits_b.len / sizeof(int32_t);
+
+    finrec_shared sh;
+    memset(&sh, 0, sizeof sh);
+    sh.unit_op = uop_b.buf;
+    sh.unit_count = ucnt_b.buf;
+    sh.rec_n_units = rec_n_units;
+    sh.dst_pos = dstpos_b.buf;
+    sh.d_vals = dvals_b.buf;
+    sh.d_pos = dpos_b.buf;
+    sh.d_n = dn_b.buf;
+    sh.d_full = dfull_b.buf;
+    sh.gapbits = gap_b.buf;
+    sh.query = query_b.buf;
+    sh.dst_rids = dstrid_b.buf;
+    sh.n_rec = n_rec;
+    sh.gap_stride = n_rec ? gap_b.len / n_rec : 0;
+    sh.K = K;
+    sh.use_full = use_full;
+    sh.R = R;
+    sh.Lq = Lq;
+
+    int32_t *runs_per_rec = malloc((n_rec ? n_rec : 1) * sizeof(int32_t));
+    const unsigned char **refs = NULL;
+    Py_ssize_t *reflens = NULL;
+    PyThreadState *ts = NULL;
+    finrec_slab slabs[PV3_SPLICE_MAX_THREADS];
+    memset(slabs, 0, sizeof slabs);
+    int nthreads = 0;
+    if (!runs_per_rec) {
         PyErr_NoMemory();
         goto fail;
     }
+    sh.runs_per_rec = runs_per_rec;
+
+    /* pre-extract destination reference byte pointers (borrowed; the list
+       keeps the bytes alive) so the record loops can drop the GIL */
+    {
+        Py_ssize_t n_refs = PyList_GET_SIZE(ref_list);
+        refs = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(char *));
+        reflens = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(Py_ssize_t));
+        if (!refs || !reflens) {
+            PyErr_NoMemory();
+            goto fail;
+        }
+        for (Py_ssize_t i = 0; i < n_refs; ++i) {
+            char *rc_;
+            if (PyBytes_AsStringAndSize(PyList_GET_ITEM(ref_list, i), &rc_,
+                                        &reflens[i]) < 0)
+                goto fail;
+            refs[i] = (const unsigned char *)rc_;
+        }
+    }
+    sh.refs = refs;
+    sh.reflens = reflens;
+
+    nthreads = splice_thread_count(n_rec);
+
+    ts = PyEval_SaveThread();
+    {
+        Py_ssize_t per = nthreads ? (n_rec + nthreads - 1) / nthreads : 0;
+        Py_ssize_t u = 0, kprev = 0;
+        for (int t = 0; t < nthreads; ++t) {
+            Py_ssize_t k0 = (Py_ssize_t)t * per;
+            Py_ssize_t k1 = k0 + per;
+            if (k0 > n_rec)
+                k0 = n_rec;
+            if (k1 > n_rec)
+                k1 = n_rec;
+            for (Py_ssize_t k = kprev; k < k0; ++k)
+                u += rec_n_units[k];
+            kprev = k0;
+            Py_ssize_t units = 0;
+            for (Py_ssize_t k = k0; k < k1; ++k)
+                units += rec_n_units[k];
+            slabs[t].sh = &sh;
+            slabs[t].rec0 = k0;
+            slabs[t].rec1 = k1;
+            slabs[t].u0 = u;
+            slabs[t].units = units;
+        }
+    }
+    {
+        pthread_t th[PV3_SPLICE_MAX_THREADS];
+        int started[PV3_SPLICE_MAX_THREADS] = {0};
+        for (int t = 1; t < nthreads; ++t)
+            started[t] = pthread_create(&th[t], NULL, finrec_slab_run,
+                                        &slabs[t]) == 0;
+        finrec_slab_run(&slabs[0]);
+        for (int t = 1; t < nthreads; ++t) {
+            if (started[t])
+                pthread_join(th[t], NULL);
+            else
+                finrec_slab_run(&slabs[t]);
+        }
+    }
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+
+    for (int t = 0; t < nthreads; ++t)
+        if (slabs[t].oom) {
+            PyErr_NoMemory();
+            goto fail;
+        }
 
     {
+        Py_ssize_t out_total = 0;
+        size_t indel_total = 0;
+        for (int t = 0; t < nthreads; ++t) {
+            out_total += slabs[t].out;
+            indel_total += slabs[t].n_indel;
+        }
+        int8_t *run_ops = malloc(out_total ? out_total : 1);
+        int32_t *run_lens =
+            malloc((out_total ? out_total : 1) * sizeof(int32_t));
+        int32_t *indel =
+            malloc((indel_total ? indel_total : 1) * 9 * sizeof(int32_t));
+        if (!run_ops || !run_lens || !indel) {
+            free(run_ops);
+            free(run_lens);
+            free(indel);
+            PyErr_NoMemory();
+            goto fail;
+        }
+        Py_ssize_t o = 0;
+        size_t ir = 0;
+        for (int t = 0; t < nthreads; ++t) {
+            memcpy(run_ops + o, slabs[t].run_ops, slabs[t].out);
+            memcpy(run_lens + o, slabs[t].run_lens,
+                   slabs[t].out * sizeof(int32_t));
+            o += slabs[t].out;
+            memcpy(indel + ir * 9, slabs[t].indel,
+                   slabs[t].n_indel * 9 * sizeof(int32_t));
+            ir += slabs[t].n_indel;
+        }
         PyObject *res = Py_BuildValue(
             "(y#y#y#y#)",
-            (char *)run_ops, (Py_ssize_t)out,
-            (char *)run_lens, (Py_ssize_t)(out * sizeof(int32_t)),
+            (char *)run_ops, out_total,
+            (char *)run_lens, (Py_ssize_t)(out_total * sizeof(int32_t)),
             (char *)runs_per_rec, (Py_ssize_t)(n_rec * sizeof(int32_t)),
-            (char *)(indel ? indel : (int32_t *)""),
-            (Py_ssize_t)(n_indel * 9 * sizeof(int32_t)));
+            (char *)indel,
+            (Py_ssize_t)(indel_total * 9 * sizeof(int32_t)));
         free(run_ops);
         free(run_lens);
-        free(runs_per_rec);
         free(indel);
+        for (int t = 0; t < nthreads; ++t) {
+            free(slabs[t].run_ops);
+            free(slabs[t].run_lens);
+            free(slabs[t].indel);
+        }
+        free(runs_per_rec);
         PyMem_Free(refs);
         PyMem_Free(reflens);
-        goto release;
-        (void)res;
-    release:
         PyBuffer_Release(&uop_b);
         PyBuffer_Release(&ucnt_b);
         PyBuffer_Release(&nunits_b);
@@ -2548,10 +2700,12 @@ loop_end:
     }
 
 fail:
-    free(run_ops);
-    free(run_lens);
+    for (int t = 0; t < nthreads; ++t) {
+        free(slabs[t].run_ops);
+        free(slabs[t].run_lens);
+        free(slabs[t].indel);
+    }
     free(runs_per_rec);
-    free(indel);
     PyMem_Free(refs);
     PyMem_Free(reflens);
     PyBuffer_Release(&uop_b);
