@@ -62,6 +62,30 @@ static inline int32_t next_pow2_i32(int32_t n)
 
 static int fp_parse_long(const char *s, const char *end, long *out)
 {
+    /* fast path: plain digit runs (every well-formed SAM integer field),
+       short enough that overflow is impossible — strtol kept as the
+       fallback so unusual spellings ("+1", leading whitespace) and
+       overflow detection behave exactly as before */
+    if (s < end && end - s <= 18) {
+        long v = 0;
+        const char *p = s;
+        if (*p == '-')
+            ++p;
+        if (p < end) {
+            const char *q = p;
+            while (q < end) {
+                unsigned d = (unsigned)(*q - '0');
+                if (d > 9)
+                    break;
+                v = v * 10 + (long)d;
+                ++q;
+            }
+            if (q == end) {
+                *out = (*s == '-') ? -v : v;
+                return 0;
+            }
+        }
+    }
     char *stop;
     errno = 0;
     long v = strtol(s, &stop, 10);
