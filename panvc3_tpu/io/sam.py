@@ -68,6 +68,10 @@ class SamHeader:
     lines: list[str] = field(default_factory=list)
     ref_names: list[str] = field(default_factory=list)
     ref_lengths: list[int] = field(default_factory=list)
+    # residual @SQ fields beyond SN/LN (tab-joined, input order) — seqan3
+    # keeps these in ref_id_info and project_alignments copies them onto the
+    # output header (project_alignments.cc:1237-1241)
+    ref_extras: list[str] = field(default_factory=list)
 
     @classmethod
     def parse(cls, text: str) -> "SamHeader":
@@ -78,15 +82,19 @@ class SamHeader:
             hdr.lines.append(line)
             if line.startswith("@SQ"):
                 name = length = None
+                extras = []
                 for fld in line.split("\t")[1:]:
                     if fld.startswith("SN:"):
                         name = fld[3:]
                     elif fld.startswith("LN:"):
                         length = int(fld[3:])
+                    else:
+                        extras.append(fld)
                 if name is None or length is None:
                     raise ValueError(f"invalid @SQ line: {line!r}")
                 hdr.ref_names.append(name)
                 hdr.ref_lengths.append(length)
+                hdr.ref_extras.append("\t".join(extras))
         return hdr
 
     def ref_id(self, name: str) -> int:
@@ -558,6 +566,7 @@ class SamReader:
         if not self.header.ref_names:
             self.header.ref_names = ref_names
             self.header.ref_lengths = ref_lengths
+            self.header.ref_extras = [""] * len(ref_names)
             for n, l in zip(ref_names, ref_lengths):
                 self.header.lines.append(f"@SQ\tSN:{n}\tLN:{l}")
 

@@ -179,6 +179,7 @@ def process_headers(
     ref_id_mapping: list[int] = []
     next_idx = len(order)
     out_lengths: dict[int, int] = {}
+    out_extras: dict[int, str] = {}
     for input_idx, (chr_id, seq_id) in enumerate(input_chr_seq):
         if chr_id in unique:
             out_idx = unique[chr_id]
@@ -196,9 +197,13 @@ def process_headers(
                     file=sys.stderr,
                 )
         ref_id_mapping.append(out_idx)
-        # LN copied from the projection-target founder's input @SQ entry.
+        # LN (and any extra @SQ fields) copied from the projection-target
+        # founder's input @SQ entry (project_alignments.cc:1237-1241 copies
+        # the whole ref_id_info tuple).
         if seq_id == reference_msa_id:
             out_lengths[out_idx] = input_header.ref_lengths[input_idx]
+            if input_idx < len(input_header.ref_extras):
+                out_extras[out_idx] = input_header.ref_extras[input_idx]
 
     n_out = len(unique)
     out_names = [""] * n_out
@@ -212,11 +217,17 @@ def process_headers(
     # ref_id_info (project_alignments.cc:1229-1240: output_ref_id_info is
     # resize()d and only overwritten for ref_seq_idxs entries).
     out_header.ref_lengths = [out_lengths.get(i, 0) for i in range(n_out)]
+    out_header.ref_extras = [out_extras.get(i, "") for i in range(n_out)]
     # Header lines: @HD first (copied or default), then @SQ, then the rest.
     hd = [l for l in input_header.lines if l.startswith("@HD")]
     out_header.lines.extend(hd if hd else ["@HD\tVN:1.6"])
-    for name, length in zip(out_header.ref_names, out_header.ref_lengths):
-        out_header.lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+    for name, length, extra in zip(
+        out_header.ref_names, out_header.ref_lengths, out_header.ref_extras
+    ):
+        line = f"@SQ\tSN:{name}\tLN:{length}"
+        if extra:
+            line += "\t" + extra
+        out_header.lines.append(line)
     for line in input_header.lines:
         if line.startswith(("@RG", "@PG", "@CO")):
             out_header.lines.append(line)

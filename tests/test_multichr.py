@@ -208,3 +208,25 @@ def test_process_headers_missing_target_founder_row_gives_ln0():
     assert out.ref_lengths == [1000, 0]
     assert mapping == [0, 0, 1, 1]
     assert "@SQ\tSN:b\tLN:0" in out.lines
+
+def test_process_headers_copies_target_sq_extras():
+    """Extra @SQ fields (M5/UR/AS...) of the projection-target founder row
+    ride along to the output chromosome's @SQ line: the reference copies
+    the whole seqan3 ref_id_info tuple, which holds LN plus the residual
+    fields (project_alignments.cc:1237-1241).  Non-target founder rows'
+    extras are ignored."""
+    from panvc3_tpu.io.sam import SamHeader
+    from panvc3_tpu.pipeline.project_alignments import process_headers
+
+    h = SamHeader.parse(
+        "@HD\tVN:1.6\n"
+        "@SQ\tSN:a/REF\tLN:1000\tM5:abc123\tUR:file:///g.fa\n"
+        "@SQ\tSN:a/f1\tLN:1002\tM5:zzz999\n"
+        "@SQ\tSN:b/f1\tLN:2002\n"
+    )
+    out, mapping = process_headers(h, "/", "REF", None)
+    assert out.ref_names == ["a", "b"]
+    assert "@SQ\tSN:a\tLN:1000\tM5:abc123\tUR:file:///g.fa" in out.lines
+    # founder row extras (a/f1) do not leak; missing-target chromosome is bare
+    assert "@SQ\tSN:b\tLN:0" in out.lines
+    assert mapping == [0, 0, 1]
