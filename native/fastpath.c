@@ -1626,9 +1626,24 @@ out:
 
 #define PV3_SPLICE_MAX_THREADS 8
 
+/* Soft cap set by the Python pipeline (set_slab_threads): when the fast
+   lane runs whole batches on a thread pool, per-call slab fan-out only
+   oversubscribes the cores, so it caps the internal threads instead.
+   0 = no cap (auto). */
+static int pv3_slab_threads_cap = 0;
+
+PyObject *pv3_set_slab_threads(PyObject *self, PyObject *args)
+{
+    int n;
+    if (!PyArg_ParseTuple(args, "i", &n))
+        return NULL;
+    pv3_slab_threads_cap = n < 0 ? 0 : n;
+    Py_RETURN_NONE;
+}
+
 /* Thread count: PANVC3_SPLICE_THREADS wins outright (test hook); else
    min(4, cores, one slab per 2048 records) — below ~2048 records per
-   thread the spawn overhead wins. */
+   thread the spawn overhead wins — capped by set_slab_threads. */
 static int splice_thread_count(Py_ssize_t kept)
 {
     const char *env = getenv("PANVC3_SPLICE_THREADS");
@@ -1641,6 +1656,8 @@ static int splice_thread_count(Py_ssize_t kept)
     long by_size = (long)((kept + 2047) / 2048);
     if (n > by_size)
         n = by_size;
+    if (pv3_slab_threads_cap && n > pv3_slab_threads_cap)
+        n = pv3_slab_threads_cap;
     return n < 1 ? 1 : (int)n;
 }
 

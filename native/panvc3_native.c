@@ -1077,6 +1077,8 @@ static PyMethodDef methods[] = {
      "Pre-scan record filters over raw SAM lines (1 byte per line)."},
     {"stage_realign_runs", pv3_stage_realign_runs, METH_VARARGS,
      "Build padded realignment-DP input arrays from the indel-run table."},
+    {"set_slab_threads", pv3_set_slab_threads, METH_VARARGS,
+     "Cap the internal slab threads of splice/finalize (0 = auto)."},
     {"splice_apply_format", pv3_splice_apply_format, METH_VARARGS,
      "Splice device results, apply tag surgery and format SAM text for a "
      "batch."},

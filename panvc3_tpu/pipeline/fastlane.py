@@ -159,14 +159,17 @@ def run_fast(
     state = {
         "rec_global": 0,   # input records consumed before current batch
         "task_counter": 0,  # 4-record task groups emitted
-        "realign_fetch_ns": 0,  # stage-B half of the realignment timing
+        "realign_fetch_ns": 0,  # fetch half of the realignment timing
+        "realign_stage_ns": 0,  # staging/dispatch half (folded at emit)
         "ref_off": np.zeros(max(1, len(dst_entries)), dtype=np.int32),
     }
     prof: dict[str, float] = {}
+    _prof_lock = __import__("threading").Lock()
 
     def _tick(key: str, t0: float) -> float:
         t1 = _time.perf_counter()
-        prof[key] = prof.get(key, 0.0) + (t1 - t0)
+        with _prof_lock:
+            prof[key] = prof.get(key, 0.0) + (t1 - t0)
         return t1
 
     def realign_status() -> str:
@@ -440,11 +443,14 @@ def run_fast(
                     a.copy_to_host_async()
             if rh is not None and fetch_pool is not None:
                 ctx["rfut"] = fetch_pool.submit(jax.device_get, rh)
-            bp.realignment_time_ns += _time.perf_counter_ns() - t0
+            # folded into bp.realignment_time_ns at emit time (this may run
+            # on any pool worker; the counters stay single-writer)
+            ctx["stage_ns"] = _time.perf_counter_ns() - t0
             if _PROF:
-                prof["realign_stage"] = prof.get("realign_stage", 0.0) + (
-                    _time.perf_counter_ns() - t0p
-                ) / 1e9
+                with _prof_lock:
+                    prof["realign_stage"] = prof.get("realign_stage", 0.0) + (
+                        _time.perf_counter_ns() - t0p
+                    ) / 1e9
         ctx.update(
             dst_pos=dst_pos_a,
             run_ops=run_ops_b,
@@ -459,24 +465,27 @@ def run_fast(
         return ctx
 
     def finish_realign(ctx):
-        """Fetch realignment, splice + format + write the batch."""
+        """Fetch realignment, splice + format the batch.  Returns the emit
+        payload (blob + stat deltas); emit() folds it into shared state and
+        writes — kept separate so whole batches can run on pool workers
+        while all shared mutation stays on the single emitting thread."""
         if ctx is None:
-            return
+            return None
         import time as _time
 
+        fetch_ns = 0
         if ctx["rh"] is not None:
             t0 = _time.perf_counter_ns()
             if ctx.get("rfut") is not None:
                 fetched = ctx["rfut"].result()
             else:
                 fetched = jax.device_get(ctx["rh"])
-            # workers A and B must touch disjoint counters (GIL += is not
-            # atomic); folded together after the joins
-            state["realign_fetch_ns"] += _time.perf_counter_ns() - t0
+            fetch_ns = _time.perf_counter_ns() - t0
             if _PROF:
-                prof["realign_fetch"] = prof.get("realign_fetch", 0.0) + (
-                    _time.perf_counter_ns() - t0
-                ) / 1e9
+                with _prof_lock:
+                    prof["realign_fetch"] = (
+                        prof.get("realign_fetch", 0.0) + fetch_ns / 1e9
+                    )
             steps = ctx["steps"]
             if ctx["rh_wire"]:
                 realn_ops, realn_counts = unpack_realign_wire(fetched, steps)
@@ -504,76 +513,93 @@ def run_fast(
                 realn_ops, realn_counts, steps,
                 ctx["mate_dst"], rim,
                 out_names, in_names, preserved, tag_names,
-                ctx["rec_base"], state["task_counter"], want_ranges,
+                ctx["rec_base"], ctx["task_base"], want_ranges,
             )
         )
         if _PROF:
             _tick("splice_format", tsp)
-        state["task_counter"] += tasks_used
-        stats.realigned_range_count += n_realn
-        stats.realigned_range_total_length += tot_len
-        stats.realignment_cells += cells
-        for k, v in removed.items():
+        return {
+            "blob": blob,
+            "removed": removed,
+            "n_realn": n_realn,
+            "tot_len": tot_len,
+            "cells": cells,
+            "rows": rows,
+            "fetch_ns": fetch_ns,
+            "stage_ns": ctx.get("stage_ns", 0),
+        }
+
+    def emit(payload):
+        """Fold one batch's stat deltas and write its blob (single-threaded:
+        main on the serial path, the writer thread on the pooled path)."""
+        if payload is None:
+            return
+        stats.realigned_range_count += payload["n_realn"]
+        stats.realigned_range_total_length += payload["tot_len"]
+        stats.realignment_cells += payload["cells"]
+        for k, v in payload["removed"].items():
             stats.removed_tag_counts[k] = stats.removed_tag_counts.get(k, 0) + v
+        rows = payload["rows"]
         if rows is not None and realigned_ranges is not None:
             realigned_ranges.extend(rows)
+        state["realign_fetch_ns"] += payload["fetch_ns"]
+        state["realign_stage_ns"] += payload["stage_ns"]
         tw = _time.perf_counter() if _PROF else 0.0
-        writer.write_raw(blob)
+        writer.write_raw(payload["blob"])
         if _PROF:
             _tick("write", tw)
 
     # ---- pipeline drive --------------------------------------------------
-    # Two worker threads: A runs finish_rewrite (rewrite fetch + finalize +
-    # realign dispatch), B runs finish_realign (realign fetch + splice +
-    # write).  Both fetches release the GIL, so the realign wait of batch k
-    # overlaps the rewrite wait of batch k+1; FIFO queues preserve output
-    # order (the role of the reference's serial output queue,
-    # project_alignments.cc:920-927).
-    MAX_IN_FLIGHT = max(1, cfg.pipeline_depth)
+    # Whole-batch parallelism: main parses (start_batch) sequentially —
+    # record/task numbering and the reader are inherently ordered — then
+    # each parsed batch runs finish_rewrite + finish_realign as ONE pool
+    # job (the common event-geometry + host-DP path makes no device calls,
+    # so batches are pure CPU and independent).  A writer thread drains the
+    # futures strictly in submission order, folding stats and writing
+    # blobs, which preserves output order (the role of the reference's
+    # serial output queue, project_alignments.cc:920-927) and keeps all
+    # shared mutation single-threaded.
     worker_error: list[BaseException] = []
-    work_q = None
-    workers: list = []
+    job_q = None
+    pool = None
+    writer_thread = None
+    n_pool = 0
     if cfg.threaded_pipeline:
         import queue as _queue
         import threading
+        from concurrent.futures import ThreadPoolExecutor
 
-        work_q = _queue.Queue(maxsize=MAX_IN_FLIGHT)
-        stage3_q: _queue.Queue = _queue.Queue(maxsize=MAX_IN_FLIGHT)
+        n_pool = int(
+            os.environ.get("PANVC3_BATCH_WORKERS", "0")
+        ) or max(2, min(4, (os.cpu_count() or 4) - 1))
+        # per-call slab fan-out inside splice/finalize would just
+        # oversubscribe the cores the pool already fills
+        if hasattr(nat, "set_slab_threads"):
+            nat.set_slab_threads(1)
+        pool = ThreadPoolExecutor(max_workers=n_pool)
+        MAX_IN_FLIGHT = max(cfg.pipeline_depth, n_pool + 1)
+        job_q = _queue.Queue(maxsize=MAX_IN_FLIGHT)
 
-        def _worker_a():
-            try:
-                while True:
-                    item = work_q.get()
-                    if item is None:
-                        stage3_q.put(None)
-                        return
-                    stage3_q.put(finish_rewrite(item))
-            except BaseException as exc:  # propagate to the main thread
-                worker_error.append(exc)
-                stage3_q.put(None)
-                while True:
-                    if work_q.get() is None:
-                        return
+        def _job(ctx):
+            return finish_realign(finish_rewrite(ctx))
 
-        def _worker_b():
-            try:
-                while True:
-                    item = stage3_q.get()
-                    if item is None:
-                        return
-                    finish_realign(item)
-            except BaseException as exc:
-                worker_error.append(exc)
-                while True:
-                    if stage3_q.get() is None:
-                        return
+        def _writer():
+            while True:
+                fut = job_q.get()
+                if fut is None:
+                    return
+                try:
+                    emit(fut.result())
+                except BaseException as exc:
+                    worker_error.append(exc)
+                    while True:
+                        if job_q.get() is None:
+                            return
 
-        workers = [
-            threading.Thread(target=_worker_a, daemon=True),
-            threading.Thread(target=_worker_b, daemon=True),
-        ]
-        for w in workers:
-            w.start()
+        writer_thread = threading.Thread(target=_writer, daemon=True)
+        writer_thread.start()
+    else:
+        MAX_IN_FLIGHT = max(1, cfg.pipeline_depth)
 
     import collections
 
@@ -582,17 +608,24 @@ def run_fast(
 
     def submit(lines):
         ctx = start_batch(lines)
-        if work_q is not None:
+        if ctx is not None:
+            # task-group numbering is deterministic per batch (ceil(kept/4)
+            # CHUNK_SIZE=4 groups, project_alignments.cc:596-615), so the
+            # bases are assigned here in submission order even though the
+            # batches themselves may complete out of order
+            ctx["task_base"] = state["task_counter"]
+            state["task_counter"] += (ctx["kept"] + 3) // 4
+        if pool is not None:
             if worker_error:
                 raise worker_error[0]
             if ctx is not None:
-                work_q.put(ctx)
+                job_q.put(pool.submit(_job, ctx))
         else:
             in_flight.append(ctx)
             if len(in_flight) >= MAX_IN_FLIGHT:
                 realign_flight.append(finish_rewrite(in_flight.popleft()))
                 if len(realign_flight) >= MAX_IN_FLIGHT:
-                    finish_realign(realign_flight.popleft())
+                    emit(finish_realign(realign_flight.popleft()))
 
     # Batches are formed over KEPT records (exactly batch_size per batch)
     # so the 4-record task groups of the record-index tag partition exactly
@@ -636,19 +669,22 @@ def run_fast(
             form_batches()
         form_batches(eof=True)
     finally:
-        if workers:
-            work_q.put(None)
-            for w in workers:
-                w.join()
+        if writer_thread is not None:
+            job_q.put(None)
+            writer_thread.join()
+        if pool is not None:
+            pool.shutdown(wait=True)
+            if hasattr(nat, "set_slab_threads"):
+                nat.set_slab_threads(0)
         if fetch_pool is not None:
             fetch_pool.shutdown(wait=True)
-    if workers and worker_error:
+    if worker_error:
         raise worker_error[0]
     while in_flight:
         realign_flight.append(finish_rewrite(in_flight.popleft()))
     while realign_flight:
-        finish_realign(realign_flight.popleft())
-    bp.realignment_time_ns += state["realign_fetch_ns"]
+        emit(finish_realign(realign_flight.popleft()))
+    bp.realignment_time_ns += state["realign_stage_ns"] + state["realign_fetch_ns"]
     if _PROF:
         total = sum(prof.values())
         parts = ", ".join(f"{k} {v:.3f}s" for k, v in sorted(prof.items()))
