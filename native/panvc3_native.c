@@ -381,7 +381,19 @@ static PyObject *format_cigars(PyObject *self, PyObject *args)
                 PyErr_SetString(PyExc_ValueError, "CIGAR too long");
                 goto fail;
             }
-            pos += snprintf(buf + pos, 16, "%d%c", lens[k], op_char_table[ops[k] & 15]);
+            {
+                char tmp[12];
+                char *p = tmp + sizeof tmp;
+                uint32_t u = (uint32_t)lens[k];
+                do {
+                    *--p = (char)('0' + (u % 10));
+                    u /= 10;
+                } while (u);
+                size_t dn = (size_t)(tmp + sizeof tmp - p);
+                memcpy(buf + pos, p, dn);
+                pos += dn;
+                buf[pos++] = op_char_table[ops[k] & 15];
+            }
         }
         PyObject *s = PyBytes_FromStringAndSize(buf, pos);
         if (!s)
@@ -558,6 +570,28 @@ fail:
 
 static int sam_parse_long(const char *s, const char *end, long *out)
 {
+    /* digit-run fast path with the strtol fallback for unusual spellings
+       ("+1", leading whitespace) and overflow detection */
+    if (s < end && end - s <= 18) {
+        long v = 0;
+        const char *p = s;
+        if (*p == '-')
+            ++p;
+        if (p < end) {
+            const char *q = p;
+            while (q < end) {
+                unsigned d = (unsigned)(*q - '0');
+                if (d > 9)
+                    break;
+                v = v * 10 + (long)d;
+                ++q;
+            }
+            if (q == end) {
+                *out = (*s == '-') ? -v : v;
+                return 0;
+            }
+        }
+    }
     char *stop;
     errno = 0;
     long v = strtol(s, &stop, 10);
@@ -803,9 +837,17 @@ static int sb_putc(strbuf *sb, char c)
 
 static int sb_put_long(strbuf *sb, long v)
 {
+    /* hand-rolled itoa — snprintf("%ld") costs ~10x on this hot path */
     char tmp[24];
-    int n = snprintf(tmp, sizeof tmp, "%ld", v);
-    return sb_put(sb, tmp, (size_t)n);
+    char *p = tmp + sizeof tmp;
+    unsigned long u = (v < 0) ? 0UL - (unsigned long)v : (unsigned long)v;
+    do {
+        *--p = (char)('0' + (u % 10));
+        u /= 10;
+    } while (u);
+    if (v < 0)
+        *--p = '-';
+    return sb_put(sb, p, (size_t)(tmp + sizeof tmp - p));
 }
 
 static int sb_put_str(strbuf *sb, PyObject *s)
