@@ -95,6 +95,40 @@ static int fp_parse_long(const char *s, const char *end, long *out)
     return 0;
 }
 
+/* GIL-free reference-name lookup: the refmap dict is snapshotted into an
+   open-addressing FNV-1a hash at call entry (GIL held), so the parse loop
+   never has to re-take the GIL on memo misses — with several batches
+   parsing concurrently on pool threads the per-record GIL ping-pong
+   convoyed the whole pipeline. */
+typedef struct {
+    const char *name; /* borrowed from the dict's bytes keys */
+    Py_ssize_t len;
+    long id;
+} refent;
+
+static uint64_t fnv1a(const char *s, Py_ssize_t n)
+{
+    uint64_t h = 1469598103934665603ULL;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        h ^= (unsigned char)s[i];
+        h *= 1099511628211ULL;
+    }
+    return h;
+}
+
+static long ref_lookup(const refent *ents, const int32_t *hslot,
+                       size_t hcap, const char *s, Py_ssize_t n)
+{
+    uint64_t h = fnv1a(s, n) & (hcap - 1);
+    while (hslot[h] >= 0) {
+        const refent *e = &ents[hslot[h]];
+        if (e->len == n && memcmp(e->name, s, n) == 0)
+            return e->id;
+        h = (h + 1) & (hcap - 1);
+    }
+    return -2; /* not found */
+}
+
 /* ------------------------------------------------------------------ */
 /* parse_stage_batch(lines, refmap, flag_skip, primary_mask,
  *                   min_O, min_R, min_Lq) -> dict
@@ -141,6 +175,9 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
     const char *memo_name[2] = {NULL, NULL};
     Py_ssize_t memo_len[2] = {0, 0};
     long memo_id[2] = {-1, -1};
+    refent *ents = NULL;
+    int32_t *hslot = NULL;
+    size_t hcap = 8;
 
     /* prepass: borrow every line's byte pointer so the parse loop can run
        without the GIL (the list keeps the bytes objects alive) */
@@ -154,6 +191,39 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                                     &line_len_a[li]) < 0)
             goto fail;
         line_ptr[li] = lp;
+    }
+
+    /* snapshot refmap into a GIL-free hash (keys borrowed; the caller's
+       dict outlives the call) */
+    {
+        Py_ssize_t n_refs = PyDict_GET_SIZE(refmap);
+        while (hcap < (size_t)n_refs * 2)
+            hcap <<= 1;
+        ents = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(refent));
+        hslot = PyMem_Malloc(hcap * sizeof(int32_t));
+        if (!ents || !hslot)
+            goto oom;
+        for (size_t i = 0; i < hcap; ++i)
+            hslot[i] = -1;
+        PyObject *k, *v;
+        Py_ssize_t ppos = 0, ei = 0;
+        while (PyDict_Next(refmap, &ppos, &k, &v)) {
+            char *kp;
+            Py_ssize_t kl;
+            if (PyBytes_AsStringAndSize(k, &kp, &kl) < 0)
+                goto fail;
+            long idv = PyLong_AsLong(v);
+            if (idv == -1 && PyErr_Occurred())
+                goto fail;
+            uint64_t h = fnv1a(kp, kl) & (hcap - 1);
+            while (hslot[h] >= 0)
+                h = (h + 1) & (hcap - 1);
+            ents[ei].name = kp;
+            ents[ei].len = kl;
+            ents[ei].id = idv;
+            hslot[h] = (int32_t)ei;
+            ++ei;
+        }
     }
 
     ts = PyEval_SaveThread();
@@ -220,26 +290,13 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                 memcmp(memo_name[0], fields[2], flens[2]) == 0) {
                 ref_id = memo_id[0];
             } else {
-                /* memo miss: take the GIL back for the dict lookup */
-                PyEval_RestoreThread(ts);
-                PyObject *key =
-                    PyBytes_FromStringAndSize(fields[2], flens[2]);
-                PyObject *v = key ? PyDict_GetItem(refmap, key) : NULL;
-                Py_XDECREF(key);
-                if (!key) {
-                    err.kind = 3;
-                    ts = PyEval_SaveThread();
-                    goto loop_err;
-                }
-                if (!v) {
+                ref_id = ref_lookup(ents, hslot, hcap, fields[2], flens[2]);
+                if (ref_id == -2) {
                     err.kind = 1;
                     snprintf(err.msg, sizeof err.msg,
                              "unknown reference '%.100s'", fields[2]);
-                    ts = PyEval_SaveThread();
                     goto loop_err;
                 }
-                ref_id = PyLong_AsLong(v);
-                ts = PyEval_SaveThread();
                 /* memo points into line memory; the lines list keeps the
                    bytes objects alive for the whole call */
                 memo_name[0] = fields[2];
@@ -256,24 +313,14 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                    memcmp(memo_name[1], fields[6], flens[6]) == 0) {
             mate_ref_id = memo_id[1];
         } else {
-            PyEval_RestoreThread(ts);
-            PyObject *key = PyBytes_FromStringAndSize(fields[6], flens[6]);
-            PyObject *v = key ? PyDict_GetItem(refmap, key) : NULL;
-            Py_XDECREF(key);
-            if (!key) {
-                err.kind = 3;
-                ts = PyEval_SaveThread();
-                goto loop_err;
-            }
-            if (!v) {
+            mate_ref_id =
+                ref_lookup(ents, hslot, hcap, fields[6], flens[6]);
+            if (mate_ref_id == -2) {
                 err.kind = 1;
                 snprintf(err.msg, sizeof err.msg,
                          "unknown mate reference '%.100s'", fields[6]);
-                ts = PyEval_SaveThread();
                 goto loop_err;
             }
-            mate_ref_id = PyLong_AsLong(v);
-            ts = PyEval_SaveThread();
             memo_name[1] = fields[6];
             memo_len[1] = flens[6];
             memo_id[1] = mate_ref_id;
@@ -574,6 +621,8 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         PyMem_Free(line_ptr);
         PyMem_Free(line_len_a);
         free(arena.buf);
+        PyMem_Free(ents);
+        PyMem_Free(hslot);
         return res;
     }
 
@@ -591,6 +640,8 @@ fail:
     PyMem_Free(line_ptr);
     PyMem_Free(line_len_a);
     free(arena.buf);
+    PyMem_Free(ents);
+    PyMem_Free(hslot);
     return NULL;
 }
 
@@ -600,10 +651,12 @@ fail:
  * Cheap pre-scan of the reader-loop filters so the batcher can form
  * batches of exactly batch_size KEPT records (the 4-record task groups of
  * the record-index tag are formed over kept records,
- * project_alignments.cc:596-615).  Returns one byte per line: 1 kept,
- * 0 skipped (whitespace-only lines count as skipped).  Malformed or
- * unknown-reference lines pass the scan — parse_stage_batch raises on
- * them exactly like the object path's parser.                           */
+ * project_alignments.cc:596-615).  Returns one byte per line:
+ * 2 kept, 1 record skipped by the filters, 0 whitespace-only — the 0/1
+ * split lets the batcher precompute record numbering (rec_base) so the
+ * parse itself can run out of order on pool workers.  Malformed or
+ * unknown-reference lines pass the scan as 1 — parse_stage_batch raises
+ * on them exactly like the object path's parser.                        */
 PyObject *pv3_scan_keep_mask(PyObject *self, PyObject *args)
 {
     PyObject *lines;
@@ -630,6 +683,18 @@ PyObject *pv3_scan_keep_mask(PyObject *self, PyObject *args)
         while (line_len > 0 &&
                (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
             --line_len;
+        {
+            /* whitespace-only lines are not records (same check as the
+               parse loop) */
+            Py_ssize_t w = 0;
+            while (w < line_len &&
+                   (line[w] == ' ' || line[w] == '\t' || line[w] == '\v' ||
+                    line[w] == '\f'))
+                ++w;
+            if (w == line_len)
+                continue;
+        }
+        mask[li] = 1;
 
         const char *fields[10];
         Py_ssize_t flens[10];
@@ -661,7 +726,7 @@ PyObject *pv3_scan_keep_mask(PyObject *self, PyObject *args)
             continue;
         if (flens[9] == 0 || (flens[9] == 1 && fields[9][0] == '*'))
             continue;
-        mask[li] = 1;
+        mask[li] = 2;
     }
     return mask_obj;
 }

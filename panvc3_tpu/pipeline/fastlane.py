@@ -199,9 +199,12 @@ def run_fast(
 
         fetch_pool = ThreadPoolExecutor(max_workers=4)
 
-    def start_batch(lines):
+    def start_batch(lines, rec_base, expect_nrec=None):
         """Parse + stage + dispatch the rewrite kernel; returns a context
-        dict or None when the whole block was filtered out."""
+        dict (kept == 0 when the whole block was filtered out — the parse
+        counter deltas still ride in it).  Record/task numbering comes in
+        from the caller (precomputed on main from the scan mask), so this
+        may run on a pool worker; the stat deltas are folded in emit()."""
         t0 = _time.perf_counter() if _PROF else 0.0
         staged = nat.parse_stage_batch(
             lines, refmap, FLAG_SKIP, primary_mask,
@@ -209,14 +212,19 @@ def run_fast(
         )
         if _PROF:
             t0 = _tick("parse_stage", t0)
-        stats.flags_not_matched += staged["flags_not_matched"]
-        stats.ref_id_missing += staged["ref_id_missing"]
-        stats.seq_missing += staged["seq_missing"]
-        rec_base = state["rec_global"]
-        state["rec_global"] += staged["n_records"]
+        if expect_nrec is not None and staged["n_records"] != expect_nrec:
+            raise RuntimeError(
+                "scan/parse record count mismatch: "
+                f"{staged['n_records']} != {expect_nrec}"
+            )
+        parse_stats = (
+            staged["flags_not_matched"],
+            staged["ref_id_missing"],
+            staged["seq_missing"],
+        )
         kept = staged["kept"]
         if kept == 0:
-            return None
+            return {"kept": 0, "parse_stats": parse_stats}
         fields = np.frombuffer(staged["fields"], np.int32).reshape(kept, 7)
         ref_id = fields[:, 1]
 
@@ -230,8 +238,6 @@ def run_fast(
                     "index shard (--msa-index-chr-shard); route the input "
                     "with panvc3_split_alignments_by_reference first"
                 )
-        stats.matched_reads += kept
-
         dst_rids = rim[ref_id]
         snap = ref_seqs.require(int(r) for r in np.unique(dst_rids))
 
@@ -299,6 +305,7 @@ def run_fast(
             "dst_rids": np.ascontiguousarray(dst_rids),
             "kept": kept,
             "rec_base": rec_base,
+            "parse_stats": parse_stats,
             "mate_dst": mate_dst,
             "out": out,
             "R": R,
@@ -308,8 +315,8 @@ def run_fast(
 
     def finish_rewrite(ctx):
         """Fetch rewrite results, finalize + detect runs, dispatch realign."""
-        if ctx is None:
-            return None
+        if ctx is None or ctx["kept"] == 0:
+            return ctx
         import time as _time
 
         staged = ctx["staged"]
@@ -471,6 +478,12 @@ def run_fast(
         while all shared mutation stays on the single emitting thread."""
         if ctx is None:
             return None
+        if ctx["kept"] == 0:
+            return {
+                "blob": b"", "removed": {}, "n_realn": 0, "tot_len": 0,
+                "cells": 0, "rows": None, "fetch_ns": 0, "stage_ns": 0,
+                "kept": 0, "parse_stats": ctx["parse_stats"],
+            }
         import time as _time
 
         fetch_ns = 0
@@ -527,6 +540,8 @@ def run_fast(
             "rows": rows,
             "fetch_ns": fetch_ns,
             "stage_ns": ctx.get("stage_ns", 0),
+            "kept": ctx["kept"],
+            "parse_stats": ctx["parse_stats"],
         }
 
     def emit(payload):
@@ -534,6 +549,11 @@ def run_fast(
         main on the serial path, the writer thread on the pooled path)."""
         if payload is None:
             return
+        pf, pr, ps = payload["parse_stats"]
+        stats.flags_not_matched += pf
+        stats.ref_id_missing += pr
+        stats.seq_missing += ps
+        stats.matched_reads += payload["kept"]
         stats.realigned_range_count += payload["n_realn"]
         stats.realigned_range_total_length += payload["tot_len"]
         stats.realignment_cells += payload["cells"]
@@ -583,6 +603,13 @@ def run_fast(
         def _job(ctx):
             return finish_realign(finish_rewrite(ctx))
 
+        def _job_full(lines, rec_base, task_base, nrec):
+            # parse included: record/task numbering was precomputed on main
+            # from the scan mask, so the whole batch is order-free
+            ctx = start_batch(lines, rec_base, nrec)
+            ctx["task_base"] = task_base
+            return finish_realign(finish_rewrite(ctx))
+
         def _writer():
             while True:
                 fut = job_q.get()
@@ -606,21 +633,43 @@ def run_fast(
     in_flight: collections.deque = collections.deque()
     realign_flight: collections.deque = collections.deque()
 
-    def submit(lines):
-        ctx = start_batch(lines)
-        if ctx is not None:
-            # task-group numbering is deterministic per batch (ceil(kept/4)
-            # CHUNK_SIZE=4 groups, project_alignments.cc:596-615), so the
-            # bases are assigned here in submission order even though the
-            # batches themselves may complete out of order
-            ctx["task_base"] = state["task_counter"]
-            state["task_counter"] += (ctx["kept"] + 3) // 4
+    # Parse CAN ride in the pool jobs (record/task numbering is precomputed
+    # from the scan mask), but measured on 4 cores it LOSES at sustained
+    # load — the parse prepass and glue hold the GIL on pool threads and
+    # convoy the other jobs (920-942k with parse on main vs 579-637k in
+    # pool on the 393k-read workload).  Opt-in for wider machines.  It
+    # also requires the event-geometry path: the gap-kernel fallback
+    # mutates bp._ensure_refs, which must stay sequential on main.
+    parse_in_pool = (
+        pool is not None
+        and event_geo is not None
+        and os.environ.get("PANVC3_PARSE_IN_POOL") == "1"
+    )
+
+    def submit(lines, kept_exp, nrec):
+        # record/task numbering is deterministic per batch: nrec comes from
+        # the scan mask and the task groups are ceil(kept/4) CHUNK_SIZE=4
+        # groups (project_alignments.cc:596-615), so both bases are
+        # assigned here in submission order even though the batches
+        # themselves may parse/complete out of order
+        rec_base = state["rec_global"]
+        state["rec_global"] += nrec
+        task_base = state["task_counter"]
+        state["task_counter"] += (kept_exp + 3) // 4
         if pool is not None:
             if worker_error:
                 raise worker_error[0]
-            if ctx is not None:
+            if parse_in_pool:
+                job_q.put(
+                    pool.submit(_job_full, lines, rec_base, task_base, nrec)
+                )
+            else:
+                ctx = start_batch(lines, rec_base, nrec)
+                ctx["task_base"] = task_base
                 job_q.put(pool.submit(_job, ctx))
         else:
+            ctx = start_batch(lines, rec_base, nrec)
+            ctx["task_base"] = task_base
             in_flight.append(ctx)
             if len(in_flight) >= MAX_IN_FLIGHT:
                 realign_flight.append(finish_rewrite(in_flight.popleft()))
@@ -630,6 +679,7 @@ def run_fast(
     # Batches are formed over KEPT records (exactly batch_size per batch)
     # so the 4-record task groups of the record-index tag partition exactly
     # like the object path's chunk loop (project_alignments.cc:596-615).
+    # keep_buf entries: 2 kept, 1 skipped record, 0 whitespace-only.
     lines_buf: list[bytes] = []
     keep_buf = np.zeros(0, dtype=np.uint8)
     kept_in_buf = 0
@@ -639,24 +689,30 @@ def run_fast(
         while kept_in_buf >= batch_size or (eof and lines_buf):
             if kept_in_buf >= batch_size:
                 cut = int(
-                    np.searchsorted(np.cumsum(keep_buf), batch_size)
+                    np.searchsorted(
+                        np.cumsum(keep_buf == 2), batch_size
+                    )
                 ) + 1
                 batch = lines_buf[:cut]
+                nrec = int((keep_buf[:cut] >= 1).sum())
+                kept_exp = batch_size
                 lines_buf = lines_buf[cut:]
                 keep_buf = keep_buf[cut:]
                 kept_in_buf -= batch_size
             else:
                 batch = lines_buf
+                nrec = int((keep_buf >= 1).sum())
+                kept_exp = kept_in_buf
                 lines_buf = []
                 keep_buf = np.zeros(0, dtype=np.uint8)
                 kept_in_buf = 0
             n_before = state["rec_global"]
             if n_before and (n_before // 10_000_000) != (
-                (n_before + len(batch)) // 10_000_000
+                (n_before + nrec) // 10_000_000
             ):
-                log_time(f"Processed {n_before + len(batch)} alignments…")
+                log_time(f"Processed {n_before + nrec} alignments…")
             reporter.tick(n_before)
-            submit(batch)
+            submit(batch, kept_exp, nrec)
 
     try:
         for block in reader.raw_record_line_blocks():
@@ -665,7 +721,7 @@ def run_fast(
             )
             lines_buf += block
             keep_buf = np.concatenate([keep_buf, mask])
-            kept_in_buf += int(mask.sum())
+            kept_in_buf += int((mask == 2).sum())
             form_batches()
         form_batches(eof=True)
     finally:

@@ -17,20 +17,27 @@ acquire/release), so eviction never invalidates in-flight work.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Iterator
 
 
 class SequenceBufferStore:
-    """LRU-bounded mapping ``key -> bytes`` with a lazy loader."""
+    """LRU-bounded mapping ``key -> bytes`` with a lazy loader.
+
+    ``require``/``get`` are serialized by a lock: the fast lane calls them
+    from pool workers (one call per batch — the lock is never hot), and
+    the reference's store is likewise shared between its reader and output
+    threads via atomics (sequence_buffer_store.cc:14-45)."""
 
     def __init__(self, load: Callable[[int], bytes], max_size: int = 4):
         self._load = load
         self._max = max(1, max_size)
         self._map: dict[int, bytes] = {}  # insertion order == LRU order
+        self._lock = threading.Lock()
         self.loads = 0
         self.evictions = 0
 
-    def get(self, key: int) -> bytes:
+    def _get_locked(self, key: int) -> bytes:
         if key in self._map:
             v = self._map.pop(key)  # move to most-recent position
             self._map[key] = v
@@ -41,6 +48,10 @@ class SequenceBufferStore:
         self._evict()
         return v
 
+    def get(self, key: int) -> bytes:
+        with self._lock:
+            return self._get_locked(key)
+
     def require(self, keys) -> dict[int, bytes]:
         """Load ``keys`` and return a snapshot dict for one batch.
 
@@ -48,8 +59,9 @@ class SequenceBufferStore:
         a batch needing more than ``max_size`` contigs still gets a
         complete snapshot (the bound then applies between batches)."""
         keys = list(keys)
-        snap = {k: self.get(k) for k in keys}
-        self._evict(set(keys))
+        with self._lock:
+            snap = {k: self._get_locked(k) for k in keys}
+            self._evict(set(keys))
         return snap
 
     def _evict(self, protect: set | None = None) -> None:
