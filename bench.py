@@ -176,7 +176,10 @@ def _run() -> None:
 
     batch_size = int(os.environ.get("PANVC3_BENCH_BATCH", "8192"))
     pipeline_depth = int(os.environ.get("PANVC3_BENCH_DEPTH", "2"))
-    n = 98304 // batch_size * batch_size if batch_size <= 98304 else batch_size
+    # 24 batches: at 12 the pipeline ramp was ~10% of the wall time, which
+    # dominated the run-to-run noise of the reported number
+    n_target = int(os.environ.get("PANVC3_BENCH_READS", "196608"))
+    n = n_target // batch_size * batch_size if batch_size <= n_target else batch_size
     records = synthesise_records(founders, n)
     lines = ["@HD\tVN:1.6"]
     names = {}

@@ -426,3 +426,26 @@ def test_fastlane_bam_input_output(msa_files, founder_seqs, tmp_path):
         l for l in text_out.decode().splitlines() if not l.startswith("@")
     ]
     assert got == want
+
+def test_fastlane_parse_in_pool_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """The opt-in parse-in-pool mode (PANVC3_PARSE_IN_POOL=1: parse runs
+    inside the batch pool jobs with record/task numbering precomputed from
+    the scan mask) must stay byte-identical to the default, including the
+    filter counters that now ride through the emit payload."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+    base, base_stats, base_ranges = _run(
+        sam, index_path, tmp_path, fastlane=True, name="pipbase"
+    )
+    monkeypatch.setenv("PANVC3_PARSE_IN_POOL", "1")
+    pip, pip_stats, pip_ranges = _run(
+        sam, index_path, tmp_path, fastlane=True, name="pip"
+    )
+    assert pip == base
+    assert pip_ranges == base_ranges
+    assert pip_stats.matched_reads == base_stats.matched_reads
+    assert pip_stats.flags_not_matched == base_stats.flags_not_matched
+    assert pip_stats.seq_missing == base_stats.seq_missing
+    assert pip_stats.removed_tag_counts == base_stats.removed_tag_counts
