@@ -23,6 +23,7 @@
 #include "panvc3_common.h"
 
 #include <ctype.h>
+#include <float.h>
 #include <math.h>
 #include <pthread.h>
 #include <stdio.h>
@@ -3761,5 +3762,1365 @@ fail:
     PyMem_Free(nml);
     free(out.buf);
     PyBuffer_Release(&blob_b);
+    return NULL;
+}
+
+/* ====================================================================== */
+/* recalculate_mapq group engine                                          */
+/*                                                                        */
+/* mapq_score_groups(lines, refmap, ref_names, rescore, tag_names,        */
+/*                   min_mm, max_mm, n_pen, gap_open, gap_ext)            */
+/*   -> (blob, (total, unpaired, both_types, mate_not_found,              */
+/*       no_valid_pos), warnings) | None                                  */
+/*                                                                        */
+/* C implementation of MapqScorer.process_alignment_group over a chunk of */
+/* QNAME-grouped raw SAM lines (pipeline/recalculate_mapq.py:358-510,     */
+/* mirroring the reference's mapq_scorer, recalculate-mapq/               */
+/* main.cc:960-1179).  The chunk must be cut at QNAME boundaries.         */
+/* Unmapped records (flag & 4) are skipped before grouping.  Emission is  */
+/* the canonical format_sam_record form (sorted tags, canonical integer/  */
+/* float values), byte-identical to the object path.  Returns None when a */
+/* construct the C path cannot reproduce bit-identically is seen (non-'i' */
+/* position tags, non-i/f AS, float XN arrays); the caller then reruns    */
+/* the chunk through the Python object path.                              */
+
+#define MQ_INVALID 4294967295LL
+#define MQ_SCORE_MIN (-DBL_MAX)
+
+typedef struct {
+    int64_t a, b, c, d; /* ((r1,p1),(r2,p2)) normalised pair */
+} mq_pos4;
+
+static int mq_pos2_cmp(int64_t r1, int64_t p1, int64_t r2, int64_t p2)
+{
+    if (r1 != r2)
+        return r1 < r2 ? -1 : 1;
+    if (p1 != p2)
+        return p1 < p2 ? -1 : 1;
+    return 0;
+}
+
+static int mq_pos4_cmp(const mq_pos4 *x, const mq_pos4 *y)
+{
+    int c = mq_pos2_cmp(x->a, x->b, y->a, y->b);
+    if (c)
+        return c;
+    return mq_pos2_cmp(x->c, x->d, y->c, y->d);
+}
+
+/* Bowtie2-v2 lookup tables (recalculate-mapq/main.cc:376-425) */
+static const double mq_nu_first[30] = {
+    0.0, 0.0, 0.1, 0.1, 0.1, 0.1, 0.2, 0.2, 0.2, 0.2,
+    0.3, 0.3, 0.3, 0.3, 0.4, 0.4, 0.4, 0.4, 0.5, 0.5,
+    0.5, 0.5, 0.6, 0.6, 0.7, 0.7, 0.8, 0.8, 0.9, 0.9,
+};
+static const double mq_nu_second[30] = {
+    0.0, 0.67, 0.0, 0.67, 0.88, 1.0, 0.0, 0.67, 0.88, 1.0,
+    0.0, 0.67, 0.88, 1.0, 0.0, 0.68, 0.84, 1.0, 0.0, 0.68,
+    0.84, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0,
+};
+static const int mq_nu_mapq[30] = {
+    2, 6, 0, 7, 12, 30, 0, 11, 17, 31,
+    3, 15, 18, 32, 4, 14, 21, 34, 5, 16,
+    25, 35, 22, 36, 26, 37, 27, 38, 33, 39,
+};
+
+static double mq_read_min_score(long read_length)
+{
+    if (!read_length)
+        return 0.0;
+    return -0.6 + (-0.6 * (double)read_length);
+}
+
+/* calculate_mapq (recalculate_mapq.py:99-128; the reference's clamp makes
+   the unique-alignment table unreachable and we reproduce that) */
+static long mq_calculate_mapq(long read_length, long other_read_length,
+                              double score, double next_score_)
+{
+    double min_score =
+        mq_read_min_score(read_length) + mq_read_min_score(other_read_length);
+    double score_range = 0.0 - min_score;
+    if (score_range < 1.0)
+        score_range = 1.0;
+    if (score < min_score)
+        return 0;
+    double next_score = (min_score < next_score_) ? next_score_ : min_score;
+    double normalised = score - min_score;
+    double nsq = normalised / score_range;
+    double diff = score - next_score;
+    double dnq = diff / score_range;
+    if (diff != 0.0) {
+        /* bisect_right(first, dnq) */
+        int i = 0;
+        while (i < 30 && mq_nu_first[i] <= dnq)
+            ++i;
+        double threshold = mq_nu_first[i - 1];
+        /* bisect_right(pairs, (threshold, nsq), hi=i) */
+        int j = 0;
+        while (j < i && (mq_nu_first[j] < threshold ||
+                         (mq_nu_first[j] == threshold &&
+                          mq_nu_second[j] <= nsq)))
+            ++j;
+        return mq_nu_mapq[j - 1];
+    }
+    return nsq >= 0.67 ? 1 : 0;
+}
+
+typedef struct {
+    const char *qname;
+    Py_ssize_t qname_len;
+    long flag, ref_id, pos, mapq, mate_ref, mate_pos, tlen;
+    const char *seq;
+    Py_ssize_t seq_len;
+    const char *qual;
+    Py_ssize_t qual_len;
+    size_t ops_off;
+    int32_t n_ops;
+    size_t tag_off;
+    int n_tags;
+    /* group working data */
+    double score, pairwise;
+    long mate_length, new_score;
+    int has_as;
+    tagitem as_old;
+} mq_rec;
+
+typedef struct {
+    int64_t r, p;
+    double score;
+    long len;
+    int idx; /* stability tiebreak (Python sort is stable) */
+} mq_seg;
+
+static int mq_seg_cmp(const void *a_, const void *b_)
+{
+    const mq_seg *a = a_, *b = b_;
+    int c = mq_pos2_cmp(a->r, a->p, b->r, b->p);
+    if (c)
+        return c;
+    if (a->score != b->score)
+        return a->score < b->score ? -1 : 1;
+    return a->idx - b->idx;
+}
+
+typedef struct {
+    mq_pos4 positions;
+    long seq_key; /* -1 = paired (dict key None); else record idx */
+    const char *seq;
+    Py_ssize_t seq_len;
+    double score, other_score, total, maxv;
+    int has_mate;
+    int list_idx; /* stability tiebreak for the sort by total */
+} mq_pss;
+
+static int mq_pss_total_cmp(const void *a_, const void *b_)
+{
+    const mq_pss *a = a_, *b = b_;
+    if (a->total != b->total)
+        return a->total < b->total ? -1 : 1;
+    return a->list_idx - b->list_idx;
+}
+
+/* score an =/X CIGAR (CigarScorer._calculate_scalar,
+   recalculate_mapq.py:244-300; recalculate-mapq/main.cc:183-321) */
+static long mq_score_cigar(const mq_rec *r, const int8_t *ops,
+                           const int32_t *counts, const unsigned char *refn,
+                           Py_ssize_t refn_len, const int *mm_pen, long n_pen,
+                           long gap_open, long gap_ext, fp_err *err)
+{
+    long score = 0;
+    long qpos = 0, rpos = 0;
+    int prev_gap = 0; /* prev_op in (I, D) */
+    const unsigned char *q = (const unsigned char *)r->seq;
+    const unsigned char *qu = (const unsigned char *)r->qual;
+    int has_qual = !(r->qual_len == 1 && qu[0] == '*');
+    for (int32_t k = 0; k < r->n_ops; ++k) {
+        int8_t op = ops[k];
+        long count = counts[k];
+        switch (op) {
+        case OP_H:
+        case OP_P:
+            break;
+        case OP_N:
+            rpos += count; /* does not reset the gap run (parity) */
+            break;
+        case OP_I:
+        case OP_D:
+            if (!prev_gap)
+                score -= gap_open;
+            score -= count * gap_ext;
+            if (op == OP_I)
+                qpos += count;
+            else
+                rpos += count;
+            prev_gap = 1;
+            break;
+        case OP_S:
+            qpos += count;
+            prev_gap = 0;
+            break;
+        case OP_EQ:
+            for (long i = 0; i < count; ++i) {
+                unsigned char c = q[qpos + i];
+                if (c == 'N' || c == 'n')
+                    score -= n_pen;
+            }
+            qpos += count;
+            rpos += count;
+            prev_gap = 0;
+            break;
+        case OP_X:
+            for (long i = 0; i < count; ++i) {
+                long qp = qpos + i, rp = rpos + i;
+                if (qp >= r->seq_len || (has_qual && qp >= r->qual_len)) {
+                    err->kind = 1;
+                    snprintf(err->msg, sizeof err->msg,
+                             "CIGAR overruns SEQ/QUAL");
+                    return 0;
+                }
+                long qual = has_qual ? (long)qu[qp] - 33 : 0;
+                int ref_is_n = 0;
+                if (refn_len) {
+                    if (rp / 8 >= refn_len) {
+                        err->kind = 1;
+                        snprintf(err->msg, sizeof err->msg,
+                                 "XN bitmask shorter than the alignment");
+                        return 0;
+                    }
+                    ref_is_n = (refn[rp / 8] >> (rp % 8)) & 1;
+                }
+                unsigned char c = q[qp];
+                if (c == 'N' || c == 'n' || ref_is_n)
+                    score -= n_pen;
+                else
+                    score -= mm_pen[((qual % 256) + 256) % 256];
+            }
+            qpos += count;
+            rpos += count;
+            prev_gap = 0;
+            break;
+        default:
+            err->kind = 1;
+            snprintf(err->msg, sizeof err->msg,
+                     "unexpected CIGAR operation '%c' (rescoring requires "
+                     "=/X CIGARs)",
+                     pv3_op_char_table[op]);
+            return 0;
+        }
+    }
+    return score;
+}
+
+/* find a 2-char tag; returns index or -1 */
+static int mq_find_tag(const tagitem *tags, int n, const char *key)
+{
+    for (int i = 0; i < n; ++i)
+        if (tags[i].klen == 2 && tags[i].key[0] == key[0] &&
+            tags[i].key[1] == key[1])
+            return i;
+    return -1;
+}
+
+/* _tag_position: 0 ok (out filled), 1 missing -> INVALID, -1 error,
+   -2 unsupported tag type */
+static int mq_tag_position(const tagitem *tags, int n, const char *ref_tag,
+                           const char *pos_tag, int64_t *out_r,
+                           int64_t *out_p, fp_err *err)
+{
+    int ri = mq_find_tag(tags, n, ref_tag);
+    int pi = mq_find_tag(tags, n, pos_tag);
+    if (ri < 0 || pi < 0)
+        return 1;
+    if (tags[ri].typ != 'i' || tags[pi].typ != 'i')
+        return -2;
+    long r, p;
+    if (fp_parse_long(tags[ri].val, tags[ri].val + tags[ri].vlen, &r) != 0 ||
+        fp_parse_long(tags[pi].val, tags[pi].val + tags[pi].vlen, &p) != 0) {
+        err->kind = 1;
+        snprintf(err->msg, sizeof err->msg, "malformed integer tag value");
+        return -1;
+    }
+    if (r < 0 || p < 0) {
+        err->kind = 1;
+        snprintf(err->msg, sizeof err->msg,
+                 "tag value out of bounds (%s/%s)", ref_tag, pos_tag);
+        return -1;
+    }
+    *out_r = r;
+    *out_p = p;
+    return 0;
+}
+
+/* emit one canonical tag (the splice emission switch) */
+static int mq_emit_tag(pv3_strbuf *sb, const tagitem *it, long as_new,
+                       fp_err *err)
+{
+    if (pv3_sb_putc(sb, '\t') < 0 || pv3_sb_put(sb, it->key, it->klen) < 0 ||
+        pv3_sb_putc(sb, ':') < 0)
+        return -1;
+    if (it->synth == 10) { /* AS:i:<new score> */
+        if (pv3_sb_put(sb, "i:", 2) < 0 || pv3_sb_put_long(sb, as_new) < 0)
+            return -1;
+        return 0;
+    }
+    if (it->synth == 11) { /* YS:f:<new score as float> */
+        char buf[64];
+        int n = pv3_format_f32((double)as_new, buf);
+        if (pv3_sb_put(sb, "f:", 2) < 0 || pv3_sb_put(sb, buf, n) < 0)
+            return -1;
+        return 0;
+    }
+    if (pv3_sb_putc(sb, it->typ) < 0 || pv3_sb_putc(sb, ':') < 0)
+        return -1;
+    const char *v = it->val, *vend = it->val + it->vlen;
+    switch (it->typ) {
+    case 'i':
+        return sb_put_canon_int(sb, v, vend, err);
+    case 'f':
+        return sb_put_canon_float(sb, v, vend, err);
+    case 'A':
+    case 'Z':
+    case 'H':
+        return pv3_sb_put(sb, v, it->vlen);
+    case 'B': {
+        if (v >= vend) {
+            err->kind = 1;
+            snprintf(err->msg, sizeof err->msg, "empty B tag value");
+            return -1;
+        }
+        char sub = *v++;
+        int is_f = (sub == 'f' || sub == 'F');
+        if (pv3_sb_putc(sb, sub) < 0)
+            return -1;
+        while (v < vend) {
+            const char *comma = memchr(v, ',', vend - v);
+            const char *iend = comma ? comma : vend;
+            if (iend > v) {
+                if (pv3_sb_putc(sb, ',') < 0)
+                    return -1;
+                if (is_f) {
+                    if (sb_put_canon_float(sb, v, iend, err) < 0)
+                        return -1;
+                } else if (sb_put_canon_int(sb, v, iend, err) < 0)
+                    return -1;
+            }
+            v = comma ? comma + 1 : vend;
+        }
+        return 0;
+    }
+    default:
+        err->kind = 1;
+        snprintf(err->msg, sizeof err->msg, "unknown tag type '%c'",
+                 it->typ);
+        return -1;
+    }
+}
+
+typedef struct {
+    int kind; /* 0 = both paired+unpaired, 1 = no valid position */
+    const char *qname;
+    Py_ssize_t qname_len;
+} mq_warn;
+
+PyObject *pv3_mapq_score_groups(PyObject *self, PyObject *args)
+{
+    PyObject *lines, *refmap, *ref_names, *tag_names;
+    int rescore;
+    long min_mm, max_mm, n_pen, gap_open, gap_ext;
+    if (!PyArg_ParseTuple(args, "O!O!O!iO!lllll",
+                          &PyList_Type, &lines, &PyDict_Type, &refmap,
+                          &PyList_Type, &ref_names, &rescore,
+                          &PyTuple_Type, &tag_names,
+                          &min_mm, &max_mm, &n_pen, &gap_open, &gap_ext))
+        return NULL;
+
+    if (PyTuple_GET_SIZE(tag_names) != 7) {
+        PyErr_SetString(PyExc_ValueError, "tag_names must have 7 entries");
+        return NULL;
+    }
+    /* xn, xr, xp, yr, yp, xs, ys */
+    const char *tn[7];
+    for (int i = 0; i < 7; ++i) {
+        PyObject *o = PyTuple_GET_ITEM(tag_names, i);
+        if (!PyBytes_Check(o) || PyBytes_GET_SIZE(o) != 2) {
+            PyErr_SetString(PyExc_ValueError,
+                            "tag names must be 2-byte bytes");
+            return NULL;
+        }
+        tn[i] = PyBytes_AS_STRING(o);
+    }
+
+    Py_ssize_t n_lines = PyList_GET_SIZE(lines);
+    Py_ssize_t n_refs_out = PyList_GET_SIZE(ref_names);
+
+    /* borrowed name/line pointers */
+    const char **line_ptr = NULL;
+    Py_ssize_t *line_len_a = NULL;
+    const char **out_nm = NULL;
+    int *out_nml = NULL;
+    refent *ents = NULL;
+    int32_t *hslot = NULL;
+    size_t hcap = 8;
+    mq_rec *recs = NULL;
+    size_t recs_cap = 0, n_rec = 0;
+    int8_t *all_ops = NULL;
+    int32_t *all_counts = NULL;
+    size_t ops_cap = 0, ops_n = 0;
+    tagitem *all_tags = NULL;
+    size_t tags_cap = 0, tags_n = 0;
+    mq_seg *segs = NULL;
+    size_t segs_cap = 0;
+    mq_pss *pss = NULL, *pss_sorted = NULL;
+    double *totals = NULL;
+    size_t pss_cap = 0;
+    mq_warn *warns = NULL;
+    size_t warns_cap = 0, warns_n = 0;
+    int *mm_pen = NULL;
+    pv3_strbuf out = {NULL, 0, 0};
+    PyThreadState *ts = NULL;
+    fp_err err = {0, {0}};
+    int unsupported = 0;
+    long st_total = 0, st_unpaired = 0, st_both = 0, st_mate_nf = 0,
+         st_no_valid = 0;
+
+    line_ptr = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(char *));
+    line_len_a = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(Py_ssize_t));
+    out_nm = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(char *));
+    out_nml = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(int));
+    mm_pen = PyMem_Malloc(256 * sizeof(int));
+    if (!line_ptr || !line_len_a || !out_nm || !out_nml || !mm_pen)
+        goto oom;
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        char *lp;
+        if (PyBytes_AsStringAndSize(PyList_GET_ITEM(lines, li), &lp,
+                                    &line_len_a[li]) < 0)
+            goto fail;
+        line_ptr[li] = lp;
+    }
+    for (Py_ssize_t i = 0; i < n_refs_out; ++i) {
+        PyObject *o = PyList_GET_ITEM(ref_names, i);
+        if (PyUnicode_Check(o)) {
+            Py_ssize_t n;
+            const char *p = PyUnicode_AsUTF8AndSize(o, &n);
+            if (!p)
+                goto fail;
+            out_nm[i] = p;
+            out_nml[i] = (int)n;
+        } else if (PyBytes_Check(o)) {
+            out_nm[i] = PyBytes_AS_STRING(o);
+            out_nml[i] = (int)PyBytes_GET_SIZE(o);
+        } else {
+            PyErr_SetString(PyExc_TypeError, "ref_names must be str/bytes");
+            goto fail;
+        }
+    }
+    /* refmap hash (keys are bytes) */
+    {
+        Py_ssize_t n_refs = PyDict_GET_SIZE(refmap);
+        while (hcap < (size_t)n_refs * 2)
+            hcap <<= 1;
+        ents = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(refent));
+        hslot = PyMem_Malloc(hcap * sizeof(int32_t));
+        if (!ents || !hslot)
+            goto oom;
+        for (size_t i = 0; i < hcap; ++i)
+            hslot[i] = -1;
+        PyObject *k, *v;
+        Py_ssize_t ppos = 0, ei = 0;
+        while (PyDict_Next(refmap, &ppos, &k, &v)) {
+            char *kp;
+            Py_ssize_t kl;
+            if (PyBytes_AsStringAndSize(k, &kp, &kl) < 0)
+                goto fail;
+            long idv = PyLong_AsLong(v);
+            if (idv == -1 && PyErr_Occurred())
+                goto fail;
+            uint64_t h = fnv1a(kp, kl) & (hcap - 1);
+            while (hslot[h] >= 0)
+                h = (h + 1) & (hcap - 1);
+            ents[ei].name = kp;
+            ents[ei].len = kl;
+            ents[ei].id = idv;
+            hslot[h] = (int32_t)ei;
+            ++ei;
+        }
+    }
+    /* quality-scaled mismatch penalties (fill_penalties, main.cc:184-188) */
+    for (int i = 0; i < 256; ++i) {
+        int q = i < 40 ? i : 40;
+        mm_pen[i] =
+            (int)((double)q / 40.0 * (double)(max_mm - min_mm) + (double)min_mm);
+    }
+
+    ts = PyEval_SaveThread();
+
+    /* ---- pass 1: parse every kept (mapped) record ---- */
+    for (Py_ssize_t li = 0; li < n_lines && !err.kind && !unsupported; ++li) {
+        const char *line = line_ptr[li];
+        Py_ssize_t line_len = line_len_a[li];
+        while (line_len > 0 &&
+               (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
+            --line_len;
+        {
+            Py_ssize_t w = 0;
+            while (w < line_len &&
+                   (line[w] == ' ' || line[w] == '\t' || line[w] == '\v' ||
+                    line[w] == '\f'))
+                ++w;
+            if (w == line_len)
+                continue;
+        }
+        const char *fields[12];
+        Py_ssize_t flens[12];
+        int n_fields = 0;
+        const char *p = line, *end = line + line_len;
+        while (n_fields < 11) {
+            const char *tab = memchr(p, '\t', end - p);
+            fields[n_fields] = p;
+            flens[n_fields] = (tab ? tab : end) - p;
+            ++n_fields;
+            if (!tab) {
+                p = end;
+                break;
+            }
+            p = tab + 1;
+        }
+        if (n_fields < 11) {
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg, "truncated SAM record: %.100s",
+                     line);
+            break;
+        }
+        long flag, pos, mapq, pnext, tlen;
+        if (fp_parse_long(fields[1], fields[1] + flens[1], &flag) != 0 ||
+            fp_parse_long(fields[3], fields[3] + flens[3], &pos) != 0 ||
+            fp_parse_long(fields[4], fields[4] + flens[4], &mapq) != 0 ||
+            fp_parse_long(fields[7], fields[7] + flens[7], &pnext) != 0 ||
+            fp_parse_long(fields[8], fields[8] + flens[8], &tlen) != 0) {
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg, "malformed SAM record: %.100s",
+                     line);
+            break;
+        }
+        if (flag & 0x4)
+            continue; /* unmapped records skipped before grouping */
+        long ref_id = -1;
+        if (!(flens[2] == 1 && fields[2][0] == '*')) {
+            ref_id = ref_lookup(ents, hslot, hcap, fields[2], flens[2]);
+            if (ref_id == -2) {
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown reference '%.100s'", fields[2]);
+                break;
+            }
+        }
+        long mate_ref = -1;
+        if (flens[6] == 1 && fields[6][0] == '*') {
+            mate_ref = -1;
+        } else if (flens[6] == 1 && fields[6][0] == '=') {
+            mate_ref = ref_id;
+        } else {
+            mate_ref = ref_lookup(ents, hslot, hcap, fields[6], flens[6]);
+            if (mate_ref == -2) {
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown mate reference '%.100s'", fields[6]);
+                break;
+            }
+        }
+        /* CIGAR */
+        size_t ops_off = ops_n;
+        int32_t rec_ops = 0;
+        {
+            const char *c = fields[5], *cend = c + flens[5];
+            if (!(flens[5] == 1 && *c == '*')) {
+                while (c < cend) {
+                    long count = 0;
+                    const char *d0 = c;
+                    while (c < cend && *c >= '0' && *c <= '9')
+                        count = count * 10 + (*c++ - '0');
+                    char oc = (c < cend) ? *c : 0;
+                    int8_t code = pv3_op_code_table[(unsigned char)oc];
+                    if (c == d0 || c == cend || (code == 0 && oc != 'M')) {
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "invalid CIGAR: '%.50s'", fields[5]);
+                        goto parse_done;
+                    }
+                    ++c;
+                    if (ops_n + 1 > ops_cap) {
+                        size_t ncap = ops_cap ? ops_cap * 2 : 1024;
+                        int8_t *no_ = realloc(all_ops, ncap);
+                        int32_t *nc =
+                            realloc(all_counts, ncap * sizeof(int32_t));
+                        if (no_)
+                            all_ops = no_;
+                        if (nc)
+                            all_counts = nc;
+                        if (!no_ || !nc) {
+                            err.kind = 2;
+                            goto parse_done;
+                        }
+                        ops_cap = ncap;
+                    }
+                    all_ops[ops_n] = code;
+                    all_counts[ops_n] = (int32_t)count;
+                    ++ops_n;
+                    ++rec_ops;
+                }
+            }
+        }
+        /* tags (dict semantics: later duplicate key wins, first slot) */
+        {
+            size_t tag_off = tags_n;
+            int rec_tags = 0;
+            const char *tp = p;
+            while (tp < end) {
+                const char *tab = memchr(tp, '\t', end - tp);
+                const char *fend = tab ? tab : end;
+                const char *c1 = memchr(tp, ':', fend - tp);
+                if (!c1 || c1 + 2 > fend || c1[2] != ':') {
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "malformed tag field: %.50s", tp);
+                    goto parse_done;
+                }
+                tagitem it;
+                it.key = tp;
+                it.klen = (int)(c1 - tp);
+                it.typ = c1[1];
+                it.val = c1 + 3;
+                it.vlen = (int)(fend - (c1 + 3));
+                it.synth = 0;
+                int replaced = 0;
+                for (int q2 = 0; q2 < rec_tags; ++q2) {
+                    tagitem *ex = &all_tags[tag_off + q2];
+                    if (ex->klen == it.klen &&
+                        memcmp(ex->key, it.key, it.klen) == 0) {
+                        *ex = it;
+                        replaced = 1;
+                        break;
+                    }
+                }
+                if (!replaced) {
+                    if (tags_n + 1 > tags_cap) {
+                        size_t ncap = tags_cap ? tags_cap * 2 : 1024;
+                        tagitem *nt = realloc(all_tags, ncap * sizeof(tagitem));
+                        if (!nt) {
+                            err.kind = 2;
+                            goto parse_done;
+                        }
+                        all_tags = nt;
+                        tags_cap = ncap;
+                    }
+                    all_tags[tags_n++] = it;
+                    ++rec_tags;
+                }
+                tp = tab ? tab + 1 : end;
+            }
+            if (n_rec + 1 > recs_cap) {
+                size_t ncap = recs_cap ? recs_cap * 2 : 1024;
+                mq_rec *nr = realloc(recs, ncap * sizeof(mq_rec));
+                if (!nr) {
+                    err.kind = 2;
+                    goto parse_done;
+                }
+                recs = nr;
+                recs_cap = ncap;
+            }
+            mq_rec *r = &recs[n_rec++];
+            memset(r, 0, sizeof *r);
+            r->qname = fields[0];
+            r->qname_len = flens[0];
+            r->flag = flag;
+            r->ref_id = ref_id;
+            r->pos = pos - 1;
+            r->mapq = mapq;
+            r->mate_ref = mate_ref;
+            r->mate_pos = pnext - 1;
+            r->tlen = tlen;
+            r->seq = fields[9];
+            r->seq_len = flens[9];
+            r->qual = fields[10];
+            r->qual_len = flens[10];
+            r->ops_off = ops_off;
+            r->n_ops = rec_ops;
+            r->tag_off = tag_off;
+            r->n_tags = rec_tags;
+        }
+    }
+parse_done:
+
+    /* ---- pass 2: process groups ---- */
+    if (!err.kind && !unsupported) {
+        size_t g0 = 0;
+        while (g0 < n_rec && !err.kind && !unsupported) {
+            size_t g1 = g0 + 1;
+            while (g1 < n_rec &&
+                   recs[g1].qname_len == recs[g0].qname_len &&
+                   memcmp(recs[g1].qname, recs[g0].qname,
+                          recs[g0].qname_len) == 0)
+                ++g1;
+            size_t gn = g1 - g0;
+            st_total += (long)gn;
+
+            /* grow working arrays */
+            if (gn + 1 > segs_cap) {
+                size_t ncap = segs_cap ? segs_cap : 64;
+                while (ncap < gn + 1)
+                    ncap *= 2;
+                mq_seg *ns = realloc(segs, ncap * sizeof(mq_seg));
+                if (!ns) {
+                    err.kind = 2;
+                    break;
+                }
+                segs = ns;
+                segs_cap = ncap;
+            }
+            if (gn > pss_cap) {
+                size_t ncap = pss_cap ? pss_cap : 64;
+                while (ncap < gn)
+                    ncap *= 2;
+                mq_pss *np = realloc(pss, ncap * sizeof(mq_pss));
+                mq_pss *np2 = realloc(pss_sorted, ncap * sizeof(mq_pss));
+                double *nt = realloc(totals, ncap * sizeof(double));
+                if (np)
+                    pss = np;
+                if (np2)
+                    pss_sorted = np2;
+                if (nt)
+                    totals = nt;
+                if (!np || !np2 || !nt) {
+                    err.kind = 2;
+                    break;
+                }
+                pss_cap = ncap;
+            }
+
+            int seen_types = 0;
+            for (size_t i = 0; i < gn && !err.kind && !unsupported; ++i) {
+                mq_rec *r = &recs[g0 + i];
+                int has_mate = r->mate_ref >= 0 && r->mate_pos >= 0;
+                seen_types |= 1 << (has_mate ? 1 : 0);
+                if (!has_mate)
+                    ++st_unpaired;
+                /* score */
+                const tagitem *tags = all_tags + r->tag_off;
+                int as_i = mq_find_tag(tags, r->n_tags, "AS");
+                if (rescore) {
+                    /* XN bitmask */
+                    const unsigned char *refn = NULL;
+                    Py_ssize_t refn_len = 0;
+                    unsigned char *refn_buf = NULL;
+                    int xn_i = mq_find_tag(tags, r->n_tags, tn[0]);
+                    if (xn_i >= 0 && tags[xn_i].typ == 'B') {
+                        const char *v = tags[xn_i].val;
+                        const char *vend = v + tags[xn_i].vlen;
+                        if (v < vend) {
+                            char sub = *v++;
+                            if (sub == 'f' || sub == 'F') {
+                                unsupported = 1;
+                                break;
+                            }
+                            /* decode items & 0xFF into a temp buffer */
+                            size_t cap = 16, nn = 0;
+                            refn_buf = malloc(cap);
+                            if (!refn_buf) {
+                                err.kind = 2;
+                                break;
+                            }
+                            while (v < vend) {
+                                const char *comma =
+                                    memchr(v, ',', vend - v);
+                                const char *iend = comma ? comma : vend;
+                                if (iend > v) {
+                                    long x;
+                                    if (fp_parse_long(v, iend, &x) != 0) {
+                                        err.kind = 1;
+                                        snprintf(err.msg, sizeof err.msg,
+                                                 "malformed B tag value");
+                                        break;
+                                    }
+                                    if (nn + 1 > cap) {
+                                        cap *= 2;
+                                        unsigned char *nb =
+                                            realloc(refn_buf, cap);
+                                        if (!nb) {
+                                            err.kind = 2;
+                                            break;
+                                        }
+                                        refn_buf = nb;
+                                    }
+                                    refn_buf[nn++] =
+                                        (unsigned char)(x & 0xFF);
+                                }
+                                v = comma ? comma + 1 : vend;
+                            }
+                            refn = refn_buf;
+                            refn_len = (Py_ssize_t)nn;
+                        }
+                    }
+                    if (err.kind) {
+                        free(refn_buf);
+                        break;
+                    }
+                    long ns = mq_score_cigar(
+                        r, all_ops + r->ops_off, all_counts + r->ops_off,
+                        refn, refn_len, mm_pen, n_pen, gap_open, gap_ext,
+                        &err);
+                    free(refn_buf);
+                    if (err.kind)
+                        break;
+                    r->new_score = ns;
+                    r->has_as = as_i >= 0;
+                    if (as_i >= 0)
+                        r->as_old = tags[as_i];
+                    r->score = (double)ns;
+                } else {
+                    if (as_i < 0) {
+                        r->score = MQ_SCORE_MIN;
+                    } else if (tags[as_i].typ == 'i') {
+                        long v;
+                        if (fp_parse_long(tags[as_i].val,
+                                          tags[as_i].val + tags[as_i].vlen,
+                                          &v) != 0) {
+                            err.kind = 1;
+                            snprintf(err.msg, sizeof err.msg,
+                                     "malformed integer tag value");
+                            break;
+                        }
+                        r->score = (double)v;
+                    } else if (tags[as_i].typ == 'f') {
+                        char tmp[64];
+                        int vl = tags[as_i].vlen < 63 ? tags[as_i].vlen : 63;
+                        memcpy(tmp, tags[as_i].val, vl);
+                        tmp[vl] = 0;
+                        char *stop;
+                        double dv = strtod(tmp, &stop);
+                        if (stop != tmp + vl) {
+                            err.kind = 1;
+                            snprintf(err.msg, sizeof err.msg,
+                                     "malformed float tag value");
+                            break;
+                        }
+                        r->score = dv;
+                    } else {
+                        unsupported = 1;
+                        break;
+                    }
+                }
+                /* segment description keyed by ORIGINAL position */
+                int64_t orr = MQ_INVALID, orp = MQ_INVALID;
+                int rc = mq_tag_position(tags, r->n_tags, tn[1], tn[2],
+                                         &orr, &orp, &err);
+                if (rc == -1)
+                    break;
+                if (rc == -2) {
+                    unsupported = 1;
+                    break;
+                }
+                segs[i].r = orr;
+                segs[i].p = orp;
+                segs[i].score = r->score;
+                segs[i].len =
+                    (r->seq_len == 1 && r->seq[0] == '*') ? 0 : r->seq_len;
+                segs[i].idx = (int)i;
+            }
+            if (err.kind || unsupported)
+                break;
+
+            if (seen_types == 0x3) {
+                ++st_both;
+                if (warns_n + 1 > warns_cap) {
+                    size_t ncap = warns_cap ? warns_cap * 2 : 16;
+                    mq_warn *nw = realloc(warns, ncap * sizeof(mq_warn));
+                    if (!nw) {
+                        err.kind = 2;
+                        break;
+                    }
+                    warns = nw;
+                    warns_cap = ncap;
+                }
+                warns[warns_n].kind = 0;
+                warns[warns_n].qname = recs[g0].qname;
+                warns[warns_n].qname_len = recs[g0].qname_len;
+                ++warns_n;
+                g0 = g1;
+                continue; /* group skipped, no output */
+            }
+
+            /* sentinel + sort */
+            segs[gn].r = MQ_INVALID;
+            segs[gn].p = MQ_INVALID;
+            segs[gn].score = 0.0;
+            segs[gn].len = 0;
+            segs[gn].idx = (int)gn;
+            qsort(segs, gn + 1, sizeof(mq_seg), mq_seg_cmp);
+
+            {
+                int all_invalid = 1;
+                for (size_t i = 0; i < gn + 1; ++i)
+                    if (segs[i].r != MQ_INVALID || segs[i].p != MQ_INVALID) {
+                        all_invalid = 0;
+                        break;
+                    }
+                if (all_invalid) {
+                    ++st_no_valid;
+                    if (warns_n + 1 > warns_cap) {
+                        size_t ncap = warns_cap ? warns_cap * 2 : 16;
+                        mq_warn *nw =
+                            realloc(warns, ncap * sizeof(mq_warn));
+                        if (!nw) {
+                            err.kind = 2;
+                            break;
+                        }
+                        warns = nw;
+                        warns_cap = ncap;
+                    }
+                    warns[warns_n].kind = 1;
+                    warns[warns_n].qname = recs[g0].qname;
+                    warns[warns_n].qname_len = recs[g0].qname_len;
+                    ++warns_n;
+                    /* NOTE: processing continues (parity with the Python) */
+                }
+            }
+
+            /* paired segment scores */
+            size_t n_pss = 0;
+            for (size_t i = 0; i < gn && !err.kind; ++i) {
+                mq_rec *r = &recs[g0 + i];
+                int64_t pr = (r->ref_id < 0 || r->pos < 0) ? MQ_INVALID
+                                                           : r->ref_id;
+                int64_t pp = (r->ref_id < 0 || r->pos < 0) ? MQ_INVALID
+                                                           : r->pos;
+                int64_t mr = (r->mate_ref < 0 || r->mate_pos < 0)
+                                 ? MQ_INVALID
+                                 : r->mate_ref;
+                int64_t mp = (r->mate_ref < 0 || r->mate_pos < 0)
+                                 ? MQ_INVALID
+                                 : r->mate_pos;
+                mq_pos4 pair;
+                if (mq_pos2_cmp(pr, pp, mr, mp) <= 0) {
+                    pair.a = pr; pair.b = pp; pair.c = mr; pair.d = mp;
+                } else {
+                    pair.a = mr; pair.b = mp; pair.c = pr; pair.d = pp;
+                }
+                int has_mate = !(mr == MQ_INVALID && mp == MQ_INVALID);
+                mq_pss e;
+                e.positions = pair;
+                e.seq_key = has_mate ? -1 : (long)i;
+                e.seq = r->seq;
+                e.seq_len = r->seq_len;
+                e.score = r->score;
+                e.other_score = 0.0;
+                e.has_mate = 0;
+                long mate_length = 0;
+                if (!(pr == MQ_INVALID && pp == MQ_INVALID) && has_mate) {
+                    int64_t mor = MQ_INVALID, mop = MQ_INVALID;
+                    const tagitem *tags = all_tags + r->tag_off;
+                    int rc = mq_tag_position(tags, r->n_tags, tn[3], tn[4],
+                                             &mor, &mop, &err);
+                    if (rc == -1)
+                        break;
+                    if (rc == -2) {
+                        unsupported = 1;
+                        break;
+                    }
+                    /* bisect_right(seg_positions, mate_orig) */
+                    size_t lo = 0, hi = gn + 1;
+                    while (lo < hi) {
+                        size_t mid = (lo + hi) / 2;
+                        if (mq_pos2_cmp(segs[mid].r, segs[mid].p, mor,
+                                        mop) <= 0)
+                            lo = mid + 1;
+                        else
+                            hi = mid;
+                    }
+                    if (lo == 0) {
+                        ++st_mate_nf;
+                    } else {
+                        const mq_seg *cand = &segs[lo - 1];
+                        if (cand->r == mor && cand->p == mop) {
+                            e.other_score = cand->score;
+                            e.has_mate = 1;
+                            mate_length = cand->len;
+                        } else {
+                            ++st_mate_nf;
+                        }
+                    }
+                }
+                e.total = e.score + e.other_score;
+                e.maxv = e.has_mate
+                             ? (e.score > e.other_score ? e.score
+                                                        : e.other_score)
+                             : e.score;
+                r->pairwise = e.total;
+                r->mate_length = mate_length;
+                /* add_pss: insert keeping positions sorted; dedupe among
+                   paired entries (seq_key -1) at equal positions */
+                {
+                    size_t lo = 0, hi = n_pss;
+                    while (lo < hi) {
+                        size_t mid = (lo + hi) / 2;
+                        if (mq_pos4_cmp(&pss[mid].positions, &e.positions) <
+                            0)
+                            lo = mid + 1;
+                        else
+                            hi = mid;
+                    }
+                    int done = 0;
+                    size_t ins = lo;
+                    while (ins < n_pss &&
+                           mq_pos4_cmp(&pss[ins].positions, &e.positions) ==
+                               0) {
+                        if (pss[ins].seq_key == e.seq_key) {
+                            if (pss[ins].total < e.total) {
+                                int keep_idx = pss[ins].list_idx;
+                                pss[ins] = e;
+                                pss[ins].list_idx = keep_idx;
+                            }
+                            done = 1;
+                            break;
+                        }
+                        ++ins;
+                    }
+                    if (!done) {
+                        memmove(pss + ins + 1, pss + ins,
+                                (n_pss - ins) * sizeof(mq_pss));
+                        pss[ins] = e;
+                        ++n_pss;
+                    }
+                }
+            }
+            if (err.kind || unsupported)
+                break;
+            for (size_t i = 0; i < n_pss; ++i)
+                pss[i].list_idx = (int)i;
+            memcpy(pss_sorted, pss, n_pss * sizeof(mq_pss));
+            qsort(pss_sorted, n_pss, sizeof(mq_pss), mq_pss_total_cmp);
+            for (size_t i = 0; i < n_pss; ++i)
+                totals[i] = pss_sorted[i].total;
+
+            /* per record: find next-best differing candidate -> MAPQ */
+            for (size_t i = 0; i < gn; ++i) {
+                mq_rec *r = &recs[g0 + i];
+                int64_t pr = (r->ref_id < 0 || r->pos < 0) ? MQ_INVALID
+                                                           : r->ref_id;
+                int64_t pp = (r->ref_id < 0 || r->pos < 0) ? MQ_INVALID
+                                                           : r->pos;
+                int64_t mr = (r->mate_ref < 0 || r->mate_pos < 0)
+                                 ? MQ_INVALID
+                                 : r->mate_ref;
+                int64_t mp = (r->mate_ref < 0 || r->mate_pos < 0)
+                                 ? MQ_INVALID
+                                 : r->mate_pos;
+                mq_pos4 pair;
+                if (mq_pos2_cmp(pr, pp, mr, mp) <= 0) {
+                    pair.a = pr; pair.b = pp; pair.c = mr; pair.d = mp;
+                } else {
+                    pair.a = mr; pair.b = mp; pair.c = pr; pair.d = pp;
+                }
+                int has_mate = !(mr == MQ_INVALID && mp == MQ_INVALID);
+                /* bisect_right(totals, pairwise) */
+                size_t lo = 0, hi = n_pss;
+                while (lo < hi) {
+                    size_t mid = (lo + hi) / 2;
+                    if (totals[mid] <= r->pairwise)
+                        lo = mid + 1;
+                    else
+                        hi = mid;
+                }
+                size_t it = lo;
+                int is_best = (it == n_pss);
+                const char *it_seq;
+                Py_ssize_t it_seq_len;
+                int it_seq_key_paired;
+                if (it < n_pss) {
+                    it_seq = pss_sorted[it].seq;
+                    it_seq_len = pss_sorted[it].seq_len;
+                    it_seq_key_paired = pss_sorted[it].seq_key == -1;
+                } else {
+                    it_seq = r->seq;
+                    it_seq_len = r->seq_len;
+                    it_seq_key_paired = has_mate;
+                }
+                long read_len =
+                    (r->seq_len == 1 && r->seq[0] == '*') ? 0 : r->seq_len;
+                long mapq = -1;
+                for (size_t k = it; k-- > 0;) {
+                    const mq_pss *other = &pss_sorted[k];
+                    int seq_eq =
+                        it_seq_key_paired || other->seq_key == -1 ||
+                        (it_seq_len == other->seq_len &&
+                         memcmp(it_seq, other->seq, it_seq_len) == 0);
+                    if (!seq_eq)
+                        continue;
+                    if (mq_pos4_cmp(&other->positions, &pair) == 0)
+                        continue;
+                    mapq = mq_calculate_mapq(
+                        read_len, r->mate_length, r->pairwise,
+                        has_mate ? other->total : other->maxv);
+                    break;
+                }
+                if (mapq < 0) {
+                    if (is_best)
+                        mapq = mq_calculate_mapq(read_len, r->mate_length,
+                                                 r->pairwise, MQ_SCORE_MIN);
+                    else
+                        mapq = 255; /* MAPQ_NO_NEXT_RECORD */
+                }
+
+                /* ---- emit the record ---- */
+                if (pv3_sb_put(&out, r->qname, r->qname_len) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put_long(&out, r->flag) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0)
+                    goto emit_err;
+                if (r->ref_id >= 0) {
+                    if (r->ref_id >= n_refs_out) {
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "reference id out of range");
+                        goto group_fail;
+                    }
+                    if (pv3_sb_put(&out, out_nm[r->ref_id],
+                                   out_nml[r->ref_id]) < 0)
+                        goto emit_err;
+                } else if (pv3_sb_putc(&out, '*') < 0)
+                    goto emit_err;
+                if (pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put_long(&out, r->pos + 1) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put_long(&out, mapq) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0)
+                    goto emit_err;
+                if (r->n_ops == 0) {
+                    if (pv3_sb_putc(&out, '*') < 0)
+                        goto emit_err;
+                } else {
+                    for (int32_t k2 = 0; k2 < r->n_ops; ++k2)
+                        if (pv3_sb_put_long(&out,
+                                            all_counts[r->ops_off + k2]) < 0 ||
+                            pv3_sb_putc(&out,
+                                        pv3_op_char_table
+                                            [all_ops[r->ops_off + k2] & 15]) <
+                                0)
+                            goto emit_err;
+                }
+                if (pv3_sb_putc(&out, '\t') < 0)
+                    goto emit_err;
+                if (r->mate_ref < 0) {
+                    if (pv3_sb_putc(&out, '*') < 0)
+                        goto emit_err;
+                } else if (r->mate_ref == r->ref_id && r->ref_id >= 0) {
+                    if (pv3_sb_putc(&out, '=') < 0)
+                        goto emit_err;
+                } else {
+                    if (r->mate_ref >= n_refs_out) {
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "mate reference id out of range");
+                        goto group_fail;
+                    }
+                    if (pv3_sb_put(&out, out_nm[r->mate_ref],
+                                   out_nml[r->mate_ref]) < 0)
+                        goto emit_err;
+                }
+                if (pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put_long(&out, r->mate_pos + 1) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put_long(&out, r->tlen) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put(&out, r->seq, r->seq_len) < 0 ||
+                    pv3_sb_putc(&out, '\t') < 0 ||
+                    pv3_sb_put(&out, r->qual, r->qual_len) < 0)
+                    goto emit_err;
+
+                /* tags: copy + rescore surgery + sort + canonical emit */
+                {
+                    int nt = r->n_tags;
+                    tagitem local[96];
+                    tagitem *items = local;
+                    tagitem *heap = NULL;
+                    if (nt + 3 > 96) {
+                        heap = malloc((nt + 3) * sizeof(tagitem));
+                        if (!heap) {
+                            err.kind = 2;
+                            goto group_fail;
+                        }
+                        items = heap;
+                    }
+                    memcpy(items, all_tags + r->tag_off,
+                           nt * sizeof(tagitem));
+                    if (rescore) {
+                        /* CigarScorer.__call__ surgery */
+                        tagitem as_new;
+                        memset(&as_new, 0, sizeof as_new);
+                        as_new.key = "AS";
+                        as_new.klen = 2;
+                        as_new.synth = 10;
+                        if (!r->has_as) {
+                            int ai = mq_find_tag(items, nt, "AS");
+                            if (ai >= 0)
+                                items[ai] = as_new;
+                            else
+                                items[nt++] = as_new;
+                        } else {
+                            tagitem xs = r->as_old;
+                            xs.key = tn[5];
+                            xs.klen = 2;
+                            int xi = mq_find_tag(items, nt, tn[5]);
+                            if (xi >= 0)
+                                items[xi] = xs;
+                            else
+                                items[nt++] = xs;
+                            tagitem ys;
+                            memset(&ys, 0, sizeof ys);
+                            ys.key = tn[6];
+                            ys.klen = 2;
+                            ys.synth = 11;
+                            int yi = mq_find_tag(items, nt, tn[6]);
+                            if (yi >= 0)
+                                items[yi] = ys;
+                            else
+                                items[nt++] = ys;
+                            int ai = mq_find_tag(items, nt, "AS");
+                            if (ai >= 0)
+                                items[ai] = as_new;
+                            else
+                                items[nt++] = as_new;
+                        }
+                    }
+                    qsort(items, nt, sizeof(tagitem), tag_key_cmp);
+                    for (int q2 = 0; q2 < nt; ++q2) {
+                        if (mq_emit_tag(&out, &items[q2], r->new_score,
+                                        &err) < 0) {
+                            free(heap);
+                            if (!err.kind)
+                                err.kind = 2;
+                            goto group_fail;
+                        }
+                    }
+                    free(heap);
+                }
+                if (pv3_sb_putc(&out, '\n') < 0)
+                    goto emit_err;
+                continue;
+            emit_err:
+                err.kind = 2;
+                goto group_fail;
+            }
+            g0 = g1;
+        }
+    }
+group_fail:
+
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+
+    if (err.kind == 1) {
+        PyErr_SetString(PyExc_ValueError, err.msg);
+        goto fail;
+    }
+    if (err.kind == 2)
+        goto oom;
+    if (err.kind == 3)
+        goto fail;
+
+    if (unsupported) {
+        /* caller reruns the chunk through the Python object path */
+        PyMem_Free(line_ptr);
+        PyMem_Free(line_len_a);
+        PyMem_Free(out_nm);
+        PyMem_Free(out_nml);
+        PyMem_Free(ents);
+        PyMem_Free(hslot);
+        PyMem_Free(mm_pen);
+        free(recs);
+        free(all_ops);
+        free(all_counts);
+        free(all_tags);
+        free(segs);
+        free(pss);
+        free(pss_sorted);
+        free(totals);
+        free(warns);
+        free(out.buf);
+        Py_RETURN_NONE;
+    }
+
+    {
+        PyObject *blob =
+            PyBytes_FromStringAndSize(out.buf ? out.buf : "", out.len);
+        PyObject *wlist = PyList_New(warns_n);
+        PyObject *res = NULL;
+        if (blob && wlist) {
+            int ok = 1;
+            for (size_t i = 0; i < warns_n; ++i) {
+                const char *fmt =
+                    warns[i].kind == 0
+                        ? "WARNING: Read '%.*s' has both paired and unpaired "
+                          "alignment records; skipping."
+                        : "WARNING: Read '%.*s' has no alignments with a "
+                          "valid position.";
+                char msg[512];
+                int n = snprintf(msg, sizeof msg, fmt,
+                                 (int)warns[i].qname_len, warns[i].qname);
+                PyObject *s = PyUnicode_FromStringAndSize(msg, n);
+                if (!s) {
+                    ok = 0;
+                    break;
+                }
+                PyList_SET_ITEM(wlist, i, s);
+            }
+            if (ok)
+                res = Py_BuildValue("(O(lllll)O)", blob, st_total,
+                                    st_unpaired, st_both, st_mate_nf,
+                                    st_no_valid, wlist);
+        }
+        Py_XDECREF(blob);
+        Py_XDECREF(wlist);
+        PyMem_Free(line_ptr);
+        PyMem_Free(line_len_a);
+        PyMem_Free(out_nm);
+        PyMem_Free(out_nml);
+        PyMem_Free(ents);
+        PyMem_Free(hslot);
+        PyMem_Free(mm_pen);
+        free(recs);
+        free(all_ops);
+        free(all_counts);
+        free(all_tags);
+        free(segs);
+        free(pss);
+        free(pss_sorted);
+        free(totals);
+        free(warns);
+        free(out.buf);
+        return res;
+    }
+
+oom:
+    PyErr_NoMemory();
+fail:
+    if (ts)
+        PyEval_RestoreThread(ts);
+    PyMem_Free(line_ptr);
+    PyMem_Free(line_len_a);
+    PyMem_Free(out_nm);
+    PyMem_Free(out_nml);
+    PyMem_Free(ents);
+    PyMem_Free(hslot);
+    PyMem_Free(mm_pen);
+    free(recs);
+    free(all_ops);
+    free(all_counts);
+    free(all_tags);
+    free(segs);
+    free(pss);
+    free(pss_sorted);
+    free(totals);
+    free(warns);
+    free(out.buf);
     return NULL;
 }

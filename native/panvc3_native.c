@@ -1121,6 +1121,8 @@ static PyMethodDef methods[] = {
      "Build padded realignment-DP input arrays from the indel-run table."},
     {"set_slab_threads", pv3_set_slab_threads, METH_VARARGS,
      "Cap the internal slab threads of splice/finalize (0 = auto)."},
+    {"mapq_score_groups", pv3_mapq_score_groups, METH_VARARGS,
+     "Score QNAME groups and emit MAPQ-recalculated SAM text."},
     {"splice_apply_format", pv3_splice_apply_format, METH_VARARGS,
      "Splice device results, apply tag surgery and format SAM text for a "
      "batch."},

@@ -28,6 +28,7 @@ behaviour (and keep the table for reference).
 from __future__ import annotations
 
 import bisect
+import os
 import sys
 from dataclasses import dataclass
 
@@ -565,6 +566,26 @@ def run_recalculate_mapq(
         writer.close()
         return stats
 
+    # Native chunk engine (mapq_score_groups): the whole group algorithm +
+    # canonical emission in C, chunked at QNAME boundaries; falls back to
+    # the object path per chunk on constructs it cannot reproduce
+    # bit-identically (returns None).  Verbose stays on the object path
+    # (per-record mate warnings need SamRecord context).
+    if (
+        nat is not None
+        and hasattr(nat, "mapq_score_groups")
+        and not verbose
+        and raw_ok
+        and write_ok
+        and os.environ.get("PANVC3_MAPQ_FAST") != "0"
+    ):
+        stats = _run_fast_mapq(
+            reader, writer, rescore, scoring, tag_spec, out_header,
+            status_output_interval,
+        )
+        writer.close()
+        return stats
+
     if rescore:
         scorer = MapqScorer(CigarScorer(scoring or AlignmentScoring()), tag_spec)
     else:
@@ -609,6 +630,9 @@ def _mp_init(header_lines, ref_names, ref_lengths, rescore, scoring, tag_spec):
     _MP_STATE["header"] = h
     _MP_STATE["aln_scorer"] = aln_scorer
     _MP_STATE["tags"] = tag_spec
+    _MP_STATE["refmap"] = {n.encode(): i for i, n in enumerate(ref_names)}
+    _MP_STATE["rescore"] = rescore
+    _MP_STATE["scoring"] = scoring
 
 
 class _BlobWriter:
@@ -626,11 +650,151 @@ class _BlobWriter:
         )
 
 
+def _mapq_tag_names(tag_spec: MapqTagSpec) -> tuple:
+    return tuple(
+        t.encode()
+        for t in (
+            tag_spec.ref_n_positions, tag_spec.original_rname,
+            tag_spec.original_pos, tag_spec.original_rnext,
+            tag_spec.original_pnext, tag_spec.original_alignment_score,
+            tag_spec.new_alignment_score,
+        )
+    )
+
+
+def _native_mapq_chunk(nat, lines, header, refmap, rescore, scoring,
+                       tag_names):
+    """One chunk through the C group engine.  Returns (blob, warnings,
+    stats tuple) or None when the C path bailed (unsupported construct)."""
+    s = scoring or AlignmentScoring()
+    res = nat.mapq_score_groups(
+        lines, refmap, header.ref_names, 1 if rescore else 0, tag_names,
+        s.min_mismatch_penalty, s.max_mismatch_penalty, s.n_penalty,
+        s.gap_opening_penalty, s.gap_extension_penalty,
+    )
+    if res is None:
+        return None
+    blob, st, warnings = res
+    return blob, warnings, st
+
+
+def _fold_mapq_stats(stats: MapqStatistics, st: tuple) -> None:
+    (stats.total_alignments, stats.unpaired_alignments,
+     stats.reads_with_and_without_mate, stats.mate_not_found,
+     stats.reads_without_valid_position) = (
+        stats.total_alignments + st[0],
+        stats.unpaired_alignments + st[1],
+        stats.reads_with_and_without_mate + st[2],
+        stats.mate_not_found + st[3],
+        stats.reads_without_valid_position + st[4],
+    )
+
+
+def _run_fast_mapq(
+    reader, writer, rescore, scoring, tag_spec, out_header,
+    status_output_interval,
+) -> MapqStatistics:
+    from ..utils import StatusReporter, log_time
+
+    nat = get_native()
+    header = out_header
+    stats = MapqStatistics()
+    refmap = {n.encode(): i for i, n in enumerate(header.ref_names)}
+    tag_names = _mapq_tag_names(tag_spec)
+    reporter = StatusReporter(status_output_interval)
+    CHUNK = 16384
+    fallback_scorer = None
+    rec_idx = 0
+
+    def flush(chunk_lines):
+        nonlocal fallback_scorer
+        res = _native_mapq_chunk(
+            nat, chunk_lines, header, refmap, rescore, scoring, tag_names
+        )
+        if res is not None:
+            blob, warnings, st = res
+            for w in warnings:
+                print(w, file=sys.stderr)
+            _fold_mapq_stats(stats, st)
+            writer.write_raw(blob)
+            return
+        # object-path fallback for this chunk (identical algorithm/output)
+        if fallback_scorer is None:
+            aln = (
+                CigarScorer(scoring or AlignmentScoring())
+                if rescore
+                else AsTagScorer()
+            )
+            fallback_scorer = MapqScorer(aln, tag_spec)
+        buffer: list[SamRecord] = []
+        for ln in chunk_lines:
+            text = ln.decode().rstrip("\r\n")
+            if not text.strip():
+                continue
+            rec = parse_sam_record(text, header)
+            if rec.flag & 0x4:
+                continue
+            if buffer and rec.qname != buffer[0].qname:
+                fallback_scorer.process_alignment_group(buffer, writer, False)
+                buffer = []
+            buffer.append(rec)
+        if buffer:
+            fallback_scorer.process_alignment_group(buffer, writer, False)
+
+    pending: list[bytes] = []
+    for block in reader.raw_record_line_blocks():
+        pending.extend(block)
+        while len(pending) > CHUNK:
+            i = CHUNK
+            last_q = pending[i - 1].split(b"\t", 1)[0]
+            n = len(pending)
+            while i < n and pending[i].split(b"\t", 1)[0] == last_q:
+                i += 1
+            if i >= n:
+                break  # group spans the buffer end; read more first
+            flush(pending[:i])
+            prev = rec_idx
+            rec_idx += i
+            if prev // 10_000_000 != rec_idx // 10_000_000:
+                log_time(f"Processed {rec_idx} alignments…")
+            reporter.tick(rec_idx)
+            del pending[:i]
+    if pending:
+        flush(pending)
+        reporter.tick(rec_idx + len(pending))
+    if fallback_scorer is not None:
+        for f in MapqStatistics.__dataclass_fields__:
+            setattr(
+                stats, f,
+                getattr(stats, f) + getattr(fallback_scorer.statistics, f),
+            )
+    return stats
+
+
 def _mp_process_chunk(task):
-    """Run the sequential group loop over one chunk of raw SAM text
-    (guaranteed to contain whole QNAME groups)."""
+    """Run the group algorithm over one chunk of raw SAM text (guaranteed
+    to contain whole QNAME groups): the C chunk engine when available,
+    the object-path loop otherwise."""
     data, n_lines = task
     h = _MP_STATE["header"]
+    nat = get_native()
+    if (
+        nat is not None
+        and hasattr(nat, "mapq_score_groups")
+        and os.environ.get("PANVC3_MAPQ_FAST") != "0"
+    ):
+        res = _native_mapq_chunk(
+            nat, data.splitlines(), h, _MP_STATE["refmap"],
+            _MP_STATE["rescore"], _MP_STATE["scoring"],
+            _mapq_tag_names(_MP_STATE["tags"]),
+        )
+        if res is not None:
+            blob, warnings, st = res
+            for w in warnings:
+                print(w, file=sys.stderr)
+            stats = MapqStatistics()
+            _fold_mapq_stats(stats, st)
+            return blob, stats, n_lines
     scorer = MapqScorer(_MP_STATE["aln_scorer"], _MP_STATE["tags"])
     out = _BlobWriter(h)
     buffer: list[SamRecord] = []

@@ -247,3 +247,105 @@ def test_recalculate_mapq_jobs_bam_roundtrip():
     assert out1.getvalue() == out3.getvalue()
     assert s1 == s3
     assert s1.total_alignments == 800
+
+def test_mapq_native_chunk_engine_differential(monkeypatch):
+    """The C group engine (mapq_score_groups) must be byte-identical to the
+    object path on randomized QNAME-grouped inputs: multi-candidate groups,
+    paired/unpaired, missing AS/XR/XP/YR/YP, float AS tags, XN bitmasks,
+    mixed-pairedness skips, invalid positions, extra tags, both AS-tag and
+    rescore modes."""
+    import io
+
+    import numpy as np
+
+    from panvc3_tpu.pipeline.recalculate_mapq import run_recalculate_mapq
+
+    rng = np.random.default_rng(7)
+    names = ["chr1", "chr2"]
+    lines = ["@HD\tVN:1.6"] + [f"@SQ\tSN:{n}\tLN:100000" for n in names]
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    qid = 0
+    for g in range(400):
+        qid += 1
+        qname = f"r{qid}"
+        n_cand = int(rng.integers(1, 5))
+        paired_group = bool(rng.integers(0, 2))
+        mixed = rng.integers(0, 20) == 0
+        seq = rng.choice(bases, int(rng.integers(20, 80))).tobytes().decode()
+        for c in range(n_cand):
+            ref = names[int(rng.integers(0, 2))]
+            pos = int(rng.integers(1, 90000))
+            L = len(seq)
+            n_x = int(rng.integers(0, 4))
+            cigar = f"{L - n_x}={n_x}X" if n_x else f"{L}="
+            if rng.integers(0, 10) == 0:
+                cigar = f"2S{L - 2 - n_x}={n_x}X" if L - 2 - n_x > 0 else f"{L}="
+            if rng.integers(0, 12) == 0:
+                cigar = f"{L - 5}=2I3S" if L > 8 else f"{L}="
+            paired = paired_group if not mixed else bool(c % 2)
+            flag = (99 if c % 2 == 0 else 147) if paired else 0
+            if paired:
+                rnext = "=" if rng.integers(0, 2) else names[int(rng.integers(0, 2))]
+                pnext = int(rng.integers(1, 90000))
+            else:
+                rnext, pnext = "*", 0
+            qual = "".join(
+                chr(33 + int(q)) for q in rng.integers(0, 42, L)
+            ) if rng.integers(0, 8) else "*"
+            tags = []
+            if rng.integers(0, 10):  # AS usually present
+                if rng.integers(0, 6) == 0:
+                    tags.append(f"AS:f:{float(-int(rng.integers(0, 30))) + 0.5}")
+                else:
+                    tags.append(f"AS:i:{-int(rng.integers(0, 30))}")
+            if rng.integers(0, 10):  # original-position tags usually present
+                tags.append(f"XR:i:{int(rng.integers(0, 2))}")
+                tags.append(f"XP:i:{int(rng.integers(0, 90000))}")
+            if paired and rng.integers(0, 10):
+                tags.append(f"YR:i:{int(rng.integers(0, 2))}")
+                tags.append(f"YP:i:{pnext - 1}")
+            if rng.integers(0, 4) == 0:  # XN bitmask covering the alignment
+                nb = (L + 7) // 8 + int(rng.integers(0, 3))
+                items = ",".join(str(int(x)) for x in rng.integers(0, 256, nb))
+                tags.append(f"XN:B:C,{items}")
+            if rng.integers(0, 3) == 0:
+                tags.append(f"ZZ:Z:extra{c}")
+            if rng.integers(0, 5) == 0:
+                tags.append(f"XS:i:{-int(rng.integers(0, 50))}")
+            if rng.integers(0, 60) == 0:
+                # float-typed position tag: unsupported by the C engine,
+                # forces the whole-chunk object-path fallback
+                tags.append("XR:f:1")
+                tags.append(f"XP:i:{int(rng.integers(0, 90000))}")
+            lines.append(
+                f"{qname}\t{flag}\t{ref}\t{pos}\t60\t{cigar}\t{rnext}\t"
+                f"{pnext}\t0\t{seq}\t{qual}" + ("\t" + "\t".join(tags) if tags else "")
+            )
+        if rng.integers(0, 15) == 0:  # an unmapped record mid-stream
+            lines.append(f"u{qid}\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII")
+    sam = ("\n".join(lines) + "\n").encode()
+
+    for rescore in (False, True):
+        outs = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_MAPQ_FAST", fast)
+            out = io.BytesIO()
+            err_buf = io.StringIO()
+            import contextlib
+
+            with contextlib.redirect_stderr(err_buf):
+                stats = run_recalculate_mapq(
+                    io.BytesIO(sam), out, rescore=rescore,
+                    status_output_interval=0,
+                )
+            outs[fast] = (out.getvalue(), err_buf.getvalue(), stats)
+        fast_out, fast_err, fast_stats = outs["1"]
+        slow_out, slow_err, slow_stats = outs["0"]
+        assert fast_out == slow_out, f"output mismatch (rescore={rescore})"
+        assert sorted(fast_err.splitlines()) == sorted(slow_err.splitlines())
+        for f in (
+            "total_alignments", "unpaired_alignments",
+            "reads_with_and_without_mate", "mate_not_found",
+            "reads_without_valid_position",
+        ):
+            assert getattr(fast_stats, f) == getattr(slow_stats, f), f
