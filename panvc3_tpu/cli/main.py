@@ -333,7 +333,10 @@ def cmd_subset_alignments(argv=None) -> int:
     p.add_argument("-q", "--best-mapq", action="store_true")
     p.add_argument("-o", "--output-path", metavar="path")
     p.add_argument("-b", "--output-bam", action="store_true")
+    p.add_argument("--print-invocation", action="store_true")
+    p.add_argument("--print-pid", action="store_true")
     args = p.parse_args(argv)
+    _debug_flags(args)
 
     from ..pipeline.subset_alignments import run_subset_alignments
 
@@ -409,14 +412,24 @@ def cmd_rewrite_cigar(argv=None) -> int:
     p.add_argument("-a", "--alignments", metavar="filename")
     p.add_argument("-B", "--bam-input", action="store_true")
     mode = p.add_mutually_exclusive_group(required=True)
-    mode.add_argument("-M", "--alignment-match", action="store_true")
-    mode.add_argument("-S", "--sequence-match", action="store_true")
+    # reference long names (rewrite-cigar/cmdline.ggo) with short aliases
+    mode.add_argument(
+        "-M", "--output-alignment-match-ops", "--alignment-match",
+        dest="alignment_match", action="store_true",
+    )
+    mode.add_argument(
+        "-S", "--output-sequence-match-ops", "--sequence-match",
+        dest="sequence_match", action="store_true",
+    )
     p.add_argument("-r", "--reference", metavar="filename")
     p.add_argument("--ref-n-positions-tag", default="XN")
     p.add_argument("-o", "--output-path", metavar="path")
     p.add_argument("-b", "--output-bam", action="store_true")
     p.add_argument("--status-output-interval", type=int, default=5)
+    p.add_argument("--print-invocation", action="store_true")
+    p.add_argument("--print-pid", action="store_true")
     args = p.parse_args(argv)
+    _debug_flags(args)
 
     from ..pipeline.rewrite_cigar_tool import run_rewrite_cigar
 
@@ -443,8 +456,15 @@ def cmd_split_alignments(argv=None) -> int:
     p.add_argument("-a", "--alignments", metavar="filename")
     p.add_argument("-B", "--bam-input", action="store_true")
     mode = p.add_mutually_exclusive_group(required=True)
-    mode.add_argument("-S", "--split", action="store_true")
-    mode.add_argument("-R", "--list-reference-names", action="store_true")
+    # reference long names (split-alignments-by-reference/cmdline.ggo)
+    mode.add_argument(
+        "-S", "--split-alignments", "--split",
+        dest="split", action="store_true",
+    )
+    mode.add_argument(
+        "-R", "--read-reference-names", "--list-reference-names",
+        dest="list_reference_names", action="store_true",
+    )
     p.add_argument("-r", "--reference-names", metavar="filename")
     p.add_argument("-p", "--prefixes", action="store_true")
     p.add_argument("-w", "--rewrite-reference-names", action="store_true")
