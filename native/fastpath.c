@@ -5124,3 +5124,633 @@ fail:
     free(out.buf);
     return NULL;
 }
+
+/* ====================================================================== */
+/* subset_alignments engine                                               */
+/*                                                                        */
+/* subset_filter_lines(lines, refmap, ref_names, chr_id|None,             */
+/*                     sorted_read_ids|None, best_mapq)                   */
+/*   -> (blob, matches, mismatches)                                       */
+/*                                                                        */
+/* C implementation of run_subset_alignments' record loop                 */
+/* (pipeline/subset_alignments.py:88-106; subset-alignments/              */
+/* main.cc:36-195): --chr name filter, --read-id sorted binary search,    */
+/* --best-mapq per-QNAME group selection (MAPQ 255 ignored when ranking,  */
+/* mate matched by RNEXT/PNEXT).  Chunks must be cut at QNAME             */
+/* boundaries.  Emission is the canonical format_sam_record form.        */
+
+typedef struct {
+    const char *qname;
+    Py_ssize_t qname_len;
+    long flag, ref_id, pos, mapq, mate_ref, mate_pos, tlen;
+    const char *seq, *qual;
+    Py_ssize_t seq_len, qual_len;
+    size_t ops_off, tag_off;
+    int32_t n_ops;
+    int n_tags;
+} sub_rec;
+
+static int sub_emit_record(pv3_strbuf *out, const sub_rec *r,
+                           const int8_t *all_ops, const int32_t *all_counts,
+                           const tagitem *all_tags, const char **out_nm,
+                           const int *out_nml, Py_ssize_t n_refs_out,
+                           fp_err *err)
+{
+    if (pv3_sb_put(out, r->qname, r->qname_len) < 0 ||
+        pv3_sb_putc(out, '\t') < 0 || pv3_sb_put_long(out, r->flag) < 0 ||
+        pv3_sb_putc(out, '\t') < 0)
+        goto oom;
+    if (r->ref_id >= 0) {
+        if (r->ref_id >= n_refs_out) {
+            err->kind = 1;
+            snprintf(err->msg, sizeof err->msg, "reference id out of range");
+            return -1;
+        }
+        if (pv3_sb_put(out, out_nm[r->ref_id], out_nml[r->ref_id]) < 0)
+            goto oom;
+    } else if (pv3_sb_putc(out, '*') < 0)
+        goto oom;
+    if (pv3_sb_putc(out, '\t') < 0 ||
+        pv3_sb_put_long(out, r->pos + 1) < 0 ||
+        pv3_sb_putc(out, '\t') < 0 || pv3_sb_put_long(out, r->mapq) < 0 ||
+        pv3_sb_putc(out, '\t') < 0)
+        goto oom;
+    if (r->n_ops == 0) {
+        if (pv3_sb_putc(out, '*') < 0)
+            goto oom;
+    } else {
+        for (int32_t k = 0; k < r->n_ops; ++k)
+            if (pv3_sb_put_long(out, all_counts[r->ops_off + k]) < 0 ||
+                pv3_sb_putc(out,
+                            pv3_op_char_table[all_ops[r->ops_off + k] & 15]) <
+                    0)
+                goto oom;
+    }
+    if (pv3_sb_putc(out, '\t') < 0)
+        goto oom;
+    if (r->mate_ref < 0) {
+        if (pv3_sb_putc(out, '*') < 0)
+            goto oom;
+    } else if (r->mate_ref == r->ref_id && r->ref_id >= 0) {
+        if (pv3_sb_putc(out, '=') < 0)
+            goto oom;
+    } else {
+        if (r->mate_ref >= n_refs_out) {
+            err->kind = 1;
+            snprintf(err->msg, sizeof err->msg,
+                     "mate reference id out of range");
+            return -1;
+        }
+        if (pv3_sb_put(out, out_nm[r->mate_ref], out_nml[r->mate_ref]) < 0)
+            goto oom;
+    }
+    if (pv3_sb_putc(out, '\t') < 0 ||
+        pv3_sb_put_long(out, r->mate_pos + 1) < 0 ||
+        pv3_sb_putc(out, '\t') < 0 || pv3_sb_put_long(out, r->tlen) < 0 ||
+        pv3_sb_putc(out, '\t') < 0 ||
+        pv3_sb_put(out, r->seq, r->seq_len) < 0 ||
+        pv3_sb_putc(out, '\t') < 0 ||
+        pv3_sb_put(out, r->qual, r->qual_len) < 0)
+        goto oom;
+    {
+        int nt = r->n_tags;
+        tagitem local[96];
+        tagitem *items = local;
+        tagitem *heap = NULL;
+        if (nt > 96) {
+            heap = malloc(nt * sizeof(tagitem));
+            if (!heap)
+                goto oom;
+            items = heap;
+        }
+        memcpy(items, all_tags + r->tag_off, nt * sizeof(tagitem));
+        qsort(items, nt, sizeof(tagitem), tag_key_cmp);
+        for (int q2 = 0; q2 < nt; ++q2)
+            if (mq_emit_tag(out, &items[q2], 0, err) < 0) {
+                free(heap);
+                if (!err->kind)
+                    err->kind = 2;
+                return -1;
+            }
+        free(heap);
+    }
+    if (pv3_sb_putc(out, '\n') < 0)
+        goto oom;
+    return 0;
+oom:
+    err->kind = 2;
+    return -1;
+}
+
+/* _output_best_mate (subset_alignments.py:24-37) */
+static int sub_output_best_mate(pv3_strbuf *out, const sub_rec *group,
+                                size_t gn, long mate_ref, long mate_pos,
+                                const int8_t *all_ops,
+                                const int32_t *all_counts,
+                                const tagitem *all_tags, const char **out_nm,
+                                const int *out_nml, Py_ssize_t n_refs_out,
+                                fp_err *err)
+{
+    long best = 0;
+    for (size_t i = 0; i < gn; ++i) {
+        const sub_rec *r = &group[i];
+        if (r->ref_id != mate_ref || r->pos != mate_pos)
+            continue;
+        if (r->mapq == 255)
+            continue;
+        if (r->mapq > best)
+            best = r->mapq;
+    }
+    for (size_t i = 0; i < gn; ++i) {
+        const sub_rec *r = &group[i];
+        if (r->mapq == best && r->ref_id == mate_ref && r->pos == mate_pos)
+            return sub_emit_record(out, r, all_ops, all_counts, all_tags,
+                                   out_nm, out_nml, n_refs_out, err);
+    }
+    return 0;
+}
+
+/* _process_group (subset_alignments.py:40-59) */
+static int sub_process_group(pv3_strbuf *out, const sub_rec *group,
+                             size_t gn, const int8_t *all_ops,
+                             const int32_t *all_counts,
+                             const tagitem *all_tags, const char **out_nm,
+                             const int *out_nml, Py_ssize_t n_refs_out,
+                             fp_err *err)
+{
+    if (!gn)
+        return 0;
+    long best = 0;
+    for (size_t i = 0; i < gn; ++i)
+        if (group[i].mapq != 255 && group[i].mapq > best)
+            best = group[i].mapq;
+    for (size_t i = 0; i < gn; ++i) {
+        const sub_rec *r = &group[i];
+        if (r->mapq == best) {
+            if (sub_emit_record(out, r, all_ops, all_counts, all_tags,
+                                out_nm, out_nml, n_refs_out, err) < 0)
+                return -1;
+            if (r->mate_ref < 0 || r->mate_pos < 0)
+                return 0;
+            return sub_output_best_mate(out, group, gn, r->mate_ref,
+                                        r->mate_pos, all_ops, all_counts,
+                                        all_tags, out_nm, out_nml,
+                                        n_refs_out, err);
+        }
+    }
+    /* default: output the first */
+    {
+        const sub_rec *r = &group[0];
+        if (sub_emit_record(out, r, all_ops, all_counts, all_tags, out_nm,
+                            out_nml, n_refs_out, err) < 0)
+            return -1;
+        if (r->mate_ref >= 0 && r->mate_pos >= 0)
+            return sub_output_best_mate(out, group, gn, r->mate_ref,
+                                        r->mate_pos, all_ops, all_counts,
+                                        all_tags, out_nm, out_nml,
+                                        n_refs_out, err);
+    }
+    return 0;
+}
+
+/* sorted read-id binary search (subset-alignments/main.cc:191-195) */
+static int sub_name_in(const char **names, const Py_ssize_t *nlens,
+                       Py_ssize_t n, const char *s, Py_ssize_t sl)
+{
+    Py_ssize_t lo = 0, hi = n;
+    while (lo < hi) {
+        Py_ssize_t mid = (lo + hi) / 2;
+        Py_ssize_t cl = nlens[mid] < sl ? nlens[mid] : sl;
+        int c = memcmp(names[mid], s, cl);
+        if (c == 0)
+            c = (nlens[mid] > sl) - (nlens[mid] < sl);
+        if (c < 0)
+            lo = mid + 1;
+        else if (c > 0)
+            hi = mid;
+        else
+            return 1;
+    }
+    return 0;
+}
+
+PyObject *pv3_subset_filter_lines(PyObject *self, PyObject *args)
+{
+    PyObject *lines, *refmap, *ref_names, *chr_obj, *ids_obj;
+    int best_mapq;
+    if (!PyArg_ParseTuple(args, "O!O!O!OOi",
+                          &PyList_Type, &lines, &PyDict_Type, &refmap,
+                          &PyList_Type, &ref_names, &chr_obj, &ids_obj,
+                          &best_mapq))
+        return NULL;
+
+    const char *chr_id = NULL;
+    Py_ssize_t chr_len = 0;
+    if (chr_obj != Py_None) {
+        if (PyBytes_AsStringAndSize(chr_obj, (char **)&chr_id, &chr_len) < 0)
+            return NULL;
+    }
+
+    Py_ssize_t n_lines = PyList_GET_SIZE(lines);
+    Py_ssize_t n_refs_out = PyList_GET_SIZE(ref_names);
+
+    const char **line_ptr = NULL;
+    Py_ssize_t *line_len_a = NULL;
+    const char **out_nm = NULL;
+    int *out_nml = NULL;
+    const char **id_nm = NULL;
+    Py_ssize_t *id_nl = NULL;
+    Py_ssize_t n_ids = 0;
+    refent *ents = NULL;
+    int32_t *hslot = NULL;
+    size_t hcap = 8;
+    sub_rec *group = NULL;
+    size_t group_cap = 0, gn = 0;
+    int8_t *all_ops = NULL;
+    int32_t *all_counts = NULL;
+    size_t ops_cap = 0, ops_n = 0;
+    tagitem *all_tags = NULL;
+    size_t tags_cap = 0, tags_n = 0;
+    pv3_strbuf out = {NULL, 0, 0};
+    PyThreadState *ts = NULL;
+    fp_err err = {0, {0}};
+    long matches = 0, mismatches = 0;
+
+    line_ptr = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(char *));
+    line_len_a = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(Py_ssize_t));
+    out_nm = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(char *));
+    out_nml = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(int));
+    if (!line_ptr || !line_len_a || !out_nm || !out_nml)
+        goto oom;
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        char *lp;
+        if (PyBytes_AsStringAndSize(PyList_GET_ITEM(lines, li), &lp,
+                                    &line_len_a[li]) < 0)
+            goto fail;
+        line_ptr[li] = lp;
+    }
+    for (Py_ssize_t i = 0; i < n_refs_out; ++i) {
+        PyObject *o = PyList_GET_ITEM(ref_names, i);
+        if (PyUnicode_Check(o)) {
+            Py_ssize_t n;
+            const char *p = PyUnicode_AsUTF8AndSize(o, &n);
+            if (!p)
+                goto fail;
+            out_nm[i] = p;
+            out_nml[i] = (int)n;
+        } else if (PyBytes_Check(o)) {
+            out_nm[i] = PyBytes_AS_STRING(o);
+            out_nml[i] = (int)PyBytes_GET_SIZE(o);
+        } else {
+            PyErr_SetString(PyExc_TypeError, "ref_names must be str/bytes");
+            goto fail;
+        }
+    }
+    if (ids_obj != Py_None) {
+        if (!PyList_Check(ids_obj)) {
+            PyErr_SetString(PyExc_TypeError,
+                            "read ids must be a sorted list of bytes");
+            goto fail;
+        }
+        n_ids = PyList_GET_SIZE(ids_obj);
+        id_nm = PyMem_Malloc((n_ids ? n_ids : 1) * sizeof(char *));
+        id_nl = PyMem_Malloc((n_ids ? n_ids : 1) * sizeof(Py_ssize_t));
+        if (!id_nm || !id_nl)
+            goto oom;
+        for (Py_ssize_t i = 0; i < n_ids; ++i) {
+            char *p;
+            if (PyBytes_AsStringAndSize(PyList_GET_ITEM(ids_obj, i), &p,
+                                        &id_nl[i]) < 0)
+                goto fail;
+            id_nm[i] = p;
+        }
+    }
+    {
+        Py_ssize_t n_refs = PyDict_GET_SIZE(refmap);
+        while (hcap < (size_t)n_refs * 2)
+            hcap <<= 1;
+        ents = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(refent));
+        hslot = PyMem_Malloc(hcap * sizeof(int32_t));
+        if (!ents || !hslot)
+            goto oom;
+        for (size_t i = 0; i < hcap; ++i)
+            hslot[i] = -1;
+        PyObject *k, *v;
+        Py_ssize_t ppos = 0, ei = 0;
+        while (PyDict_Next(refmap, &ppos, &k, &v)) {
+            char *kp;
+            Py_ssize_t kl;
+            if (PyBytes_AsStringAndSize(k, &kp, &kl) < 0)
+                goto fail;
+            long idv = PyLong_AsLong(v);
+            if (idv == -1 && PyErr_Occurred())
+                goto fail;
+            uint64_t h = fnv1a(kp, kl) & (hcap - 1);
+            while (hslot[h] >= 0)
+                h = (h + 1) & (hcap - 1);
+            ents[ei].name = kp;
+            ents[ei].len = kl;
+            ents[ei].id = idv;
+            hslot[h] = (int32_t)ei;
+            ++ei;
+        }
+    }
+
+    ts = PyEval_SaveThread();
+
+    for (Py_ssize_t li = 0; li < n_lines && !err.kind; ++li) {
+        const char *line = line_ptr[li];
+        Py_ssize_t line_len = line_len_a[li];
+        while (line_len > 0 &&
+               (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
+            --line_len;
+        {
+            Py_ssize_t w = 0;
+            while (w < line_len &&
+                   (line[w] == ' ' || line[w] == '\t' || line[w] == '\v' ||
+                    line[w] == '\f'))
+                ++w;
+            if (w == line_len)
+                continue;
+        }
+        const char *fields[12];
+        Py_ssize_t flens[12];
+        int n_fields = 0;
+        const char *p = line, *end = line + line_len;
+        while (n_fields < 11) {
+            const char *tab = memchr(p, '\t', end - p);
+            fields[n_fields] = p;
+            flens[n_fields] = (tab ? tab : end) - p;
+            ++n_fields;
+            if (!tab) {
+                p = end;
+                break;
+            }
+            p = tab + 1;
+        }
+        if (n_fields < 11) {
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg, "truncated SAM record: %.100s",
+                     line);
+            break;
+        }
+        long flag, pos, mapq, pnext, tlen;
+        if (fp_parse_long(fields[1], fields[1] + flens[1], &flag) != 0 ||
+            fp_parse_long(fields[3], fields[3] + flens[3], &pos) != 0 ||
+            fp_parse_long(fields[4], fields[4] + flens[4], &mapq) != 0 ||
+            fp_parse_long(fields[7], fields[7] + flens[7], &pnext) != 0 ||
+            fp_parse_long(fields[8], fields[8] + flens[8], &tlen) != 0) {
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg, "malformed SAM record: %.100s",
+                     line);
+            break;
+        }
+        long ref_id = -1;
+        if (!(flens[2] == 1 && fields[2][0] == '*')) {
+            ref_id = ref_lookup(ents, hslot, hcap, fields[2], flens[2]);
+            if (ref_id == -2) {
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown reference '%.100s'", fields[2]);
+                break;
+            }
+        }
+        long mate_ref = -1;
+        if (flens[6] == 1 && fields[6][0] == '*') {
+            mate_ref = -1;
+        } else if (flens[6] == 1 && fields[6][0] == '=') {
+            mate_ref = ref_id;
+        } else {
+            mate_ref = ref_lookup(ents, hslot, hcap, fields[6], flens[6]);
+            if (mate_ref == -2) {
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown mate reference '%.100s'", fields[6]);
+                break;
+            }
+        }
+
+        /* filters (subset_alignments.py:89-95) */
+        if (chr_id) {
+            int ok = ref_id >= 0 && flens[2] == chr_len &&
+                     memcmp(fields[2], chr_id, chr_len) == 0;
+            if (!ok) {
+                ++mismatches;
+                continue;
+            }
+        }
+        if (id_nm &&
+            !sub_name_in(id_nm, id_nl, n_ids, fields[0], flens[0])) {
+            ++mismatches;
+            continue;
+        }
+        ++matches;
+
+        /* parse CIGAR + tags for emission */
+        size_t ops_off = ops_n;
+        int32_t rec_ops = 0;
+        {
+            const char *c = fields[5], *cend = c + flens[5];
+            if (!(flens[5] == 1 && *c == '*')) {
+                while (c < cend) {
+                    long count = 0;
+                    const char *d0 = c;
+                    while (c < cend && *c >= '0' && *c <= '9')
+                        count = count * 10 + (*c++ - '0');
+                    char oc = (c < cend) ? *c : 0;
+                    int8_t code = pv3_op_code_table[(unsigned char)oc];
+                    if (c == d0 || c == cend || (code == 0 && oc != 'M')) {
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "invalid CIGAR: '%.50s'", fields[5]);
+                        goto loop_done;
+                    }
+                    ++c;
+                    if (ops_n + 1 > ops_cap) {
+                        size_t ncap = ops_cap ? ops_cap * 2 : 1024;
+                        int8_t *no_ = realloc(all_ops, ncap);
+                        int32_t *nc =
+                            realloc(all_counts, ncap * sizeof(int32_t));
+                        if (no_)
+                            all_ops = no_;
+                        if (nc)
+                            all_counts = nc;
+                        if (!no_ || !nc) {
+                            err.kind = 2;
+                            goto loop_done;
+                        }
+                        ops_cap = ncap;
+                    }
+                    all_ops[ops_n] = code;
+                    all_counts[ops_n] = (int32_t)count;
+                    ++ops_n;
+                    ++rec_ops;
+                }
+            }
+        }
+        size_t tag_off = tags_n;
+        int rec_tags = 0;
+        {
+            const char *tp = p;
+            while (tp < end) {
+                const char *tab = memchr(tp, '\t', end - tp);
+                const char *fend = tab ? tab : end;
+                const char *c1 = memchr(tp, ':', fend - tp);
+                if (!c1 || c1 + 2 > fend || c1[2] != ':') {
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "malformed tag field: %.50s", tp);
+                    goto loop_done;
+                }
+                tagitem it;
+                it.key = tp;
+                it.klen = (int)(c1 - tp);
+                it.typ = c1[1];
+                it.val = c1 + 3;
+                it.vlen = (int)(fend - (c1 + 3));
+                it.synth = 0;
+                int replaced = 0;
+                for (int q2 = 0; q2 < rec_tags; ++q2) {
+                    tagitem *ex = &all_tags[tag_off + q2];
+                    if (ex->klen == it.klen &&
+                        memcmp(ex->key, it.key, it.klen) == 0) {
+                        *ex = it;
+                        replaced = 1;
+                        break;
+                    }
+                }
+                if (!replaced) {
+                    if (tags_n + 1 > tags_cap) {
+                        size_t ncap = tags_cap ? tags_cap * 2 : 1024;
+                        tagitem *nt =
+                            realloc(all_tags, ncap * sizeof(tagitem));
+                        if (!nt) {
+                            err.kind = 2;
+                            goto loop_done;
+                        }
+                        all_tags = nt;
+                        tags_cap = ncap;
+                    }
+                    all_tags[tags_n++] = it;
+                    ++rec_tags;
+                }
+                tp = tab ? tab + 1 : end;
+            }
+        }
+
+        sub_rec rec;
+        memset(&rec, 0, sizeof rec);
+        rec.qname = fields[0];
+        rec.qname_len = flens[0];
+        rec.flag = flag;
+        rec.ref_id = ref_id;
+        rec.pos = pos - 1;
+        rec.mapq = mapq;
+        rec.mate_ref = mate_ref;
+        rec.mate_pos = pnext - 1;
+        rec.tlen = tlen;
+        rec.seq = fields[9];
+        rec.seq_len = flens[9];
+        rec.qual = fields[10];
+        rec.qual_len = flens[10];
+        rec.ops_off = ops_off;
+        rec.n_ops = rec_ops;
+        rec.tag_off = tag_off;
+        rec.n_tags = rec_tags;
+
+        if (!best_mapq) {
+            if (sub_emit_record(&out, &rec, all_ops, all_counts, all_tags,
+                                out_nm, out_nml, n_refs_out, &err) < 0)
+                break;
+            /* arenas can be reset per record on the streaming path */
+            ops_n = ops_off;
+            tags_n = tag_off;
+            continue;
+        }
+        if (gn &&
+            !(rec.qname_len == group[0].qname_len &&
+              memcmp(rec.qname, group[0].qname, rec.qname_len) == 0)) {
+            if (sub_process_group(&out, group, gn, all_ops, all_counts,
+                                  all_tags, out_nm, out_nml, n_refs_out,
+                                  &err) < 0)
+                break;
+            gn = 0;
+            /* reset the pools; rec's spans were appended after the group's,
+               so shift them down */
+            memmove(all_ops, all_ops + ops_off, rec_ops);
+            memmove(all_counts, all_counts + ops_off,
+                    rec_ops * sizeof(int32_t));
+            memmove(all_tags, all_tags + tag_off, rec_tags * sizeof(tagitem));
+            rec.ops_off = 0;
+            rec.tag_off = 0;
+            ops_n = rec_ops;
+            tags_n = rec_tags;
+        }
+        if (gn + 1 > group_cap) {
+            size_t ncap = group_cap ? group_cap * 2 : 64;
+            sub_rec *ng = realloc(group, ncap * sizeof(sub_rec));
+            if (!ng) {
+                err.kind = 2;
+                break;
+            }
+            group = ng;
+            group_cap = ncap;
+        }
+        group[gn++] = rec;
+    }
+loop_done:
+    if (!err.kind && gn)
+        sub_process_group(&out, group, gn, all_ops, all_counts, all_tags,
+                          out_nm, out_nml, n_refs_out, &err);
+
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+
+    if (err.kind == 1) {
+        PyErr_SetString(PyExc_ValueError, err.msg);
+        goto fail;
+    }
+    if (err.kind == 2)
+        goto oom;
+
+    {
+        PyObject *res = Py_BuildValue("(y#ll)",
+                                      out.buf ? out.buf : "",
+                                      (Py_ssize_t)out.len, matches,
+                                      mismatches);
+        PyMem_Free(line_ptr);
+        PyMem_Free(line_len_a);
+        PyMem_Free(out_nm);
+        PyMem_Free(out_nml);
+        PyMem_Free(id_nm);
+        PyMem_Free(id_nl);
+        PyMem_Free(ents);
+        PyMem_Free(hslot);
+        free(group);
+        free(all_ops);
+        free(all_counts);
+        free(all_tags);
+        free(out.buf);
+        return res;
+    }
+
+oom:
+    PyErr_NoMemory();
+fail:
+    if (ts)
+        PyEval_RestoreThread(ts);
+    PyMem_Free(line_ptr);
+    PyMem_Free(line_len_a);
+    PyMem_Free(out_nm);
+    PyMem_Free(out_nml);
+    PyMem_Free(id_nm);
+    PyMem_Free(id_nl);
+    PyMem_Free(ents);
+    PyMem_Free(hslot);
+    free(group);
+    free(all_ops);
+    free(all_counts);
+    free(all_tags);
+    free(out.buf);
+    return NULL;
+}

@@ -1123,6 +1123,8 @@ static PyMethodDef methods[] = {
      "Cap the internal slab threads of splice/finalize (0 = auto)."},
     {"mapq_score_groups", pv3_mapq_score_groups, METH_VARARGS,
      "Score QNAME groups and emit MAPQ-recalculated SAM text."},
+    {"subset_filter_lines", pv3_subset_filter_lines, METH_VARARGS,
+     "Filter raw SAM lines (chr / read-id / best-mapq) and emit text."},
     {"splice_apply_format", pv3_splice_apply_format, METH_VARARGS,
      "Splice device results, apply tag surgery and format SAM text for a "
      "batch."},

@@ -9,10 +9,12 @@ main.cc:36-126; MAPQ 255 is ignored when ranking).
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 
 from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
+from ..native import get_native
 
 
 @dataclass
@@ -84,6 +86,61 @@ def run_subset_alignments(
     name_set = set(read_ids) if read_ids is not None else None
     mc = MatchCount()
     buffer: list[SamRecord] = []
+
+    # Native chunk engine: the whole filter + best-mapq group loop in C on
+    # raw line chunks (cut at QNAME boundaries), emitting the canonical
+    # format_sam_record form byte-identical to the object path.
+    nat = get_native()
+    raw_ok = not reader.is_bam or (
+        nat is not None and hasattr(nat, "bam_to_sam_lines")
+    )
+    write_ok = not output_bam or (
+        nat is not None and hasattr(nat, "sam_text_to_bam")
+    )
+    if (
+        nat is not None
+        and hasattr(nat, "subset_filter_lines")
+        and raw_ok
+        and write_ok
+        and os.environ.get("PANVC3_SUBSET_FAST") != "0"
+    ):
+        refmap = {n.encode(): i for i, n in enumerate(header.ref_names)}
+        chr_b = chr_id.encode() if chr_id is not None else None
+        ids_b = (
+            sorted(n.encode() for n in name_set)
+            if name_set is not None
+            else None
+        )
+        CHUNK = 16384
+        pending: list[bytes] = []
+
+        def flush(chunk_lines):
+            blob, m, mm = nat.subset_filter_lines(
+                chunk_lines, refmap, header.ref_names, chr_b, ids_b,
+                1 if best_mapq else 0,
+            )
+            mc.matches += m
+            mc.mismatches += mm
+            writer.write_raw(blob)
+
+        for block in reader.raw_record_line_blocks():
+            pending.extend(block)
+            while len(pending) > CHUNK:
+                i = CHUNK
+                last_q = pending[i - 1].split(b"\t", 1)[0]
+                n = len(pending)
+                while i < n and pending[i].split(b"\t", 1)[0] == last_q:
+                    i += 1
+                if i >= n:
+                    break  # group spans the buffer end; read more first
+                flush(pending[:i])
+                del pending[:i]
+        if pending:
+            flush(pending)
+        writer.close()
+        print(f"Matches:    {mc.matches}", file=sys.stderr)
+        print(f"Mismatches: {mc.mismatches}", file=sys.stderr)
+        return mc
 
     for rec in reader:
         if chr_id is not None:

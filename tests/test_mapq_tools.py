@@ -349,3 +349,59 @@ def test_mapq_native_chunk_engine_differential(monkeypatch):
             "reads_without_valid_position",
         ):
             assert getattr(fast_stats, f) == getattr(slow_stats, f), f
+
+def test_subset_native_engine_differential(monkeypatch):
+    """The C subset engine (subset_filter_lines) must be byte-identical to
+    the object path across chr/read-id/best-mapq filter combinations,
+    MAPQ-255 groups, mates, '*' positions, and tag canonicalization."""
+    import io
+
+    import numpy as np
+
+    from panvc3_tpu.pipeline.subset_alignments import run_subset_alignments
+
+    rng = np.random.default_rng(11)
+    names = ["chr1", "chr2"]
+    lines = ["@HD\tVN:1.6"] + [f"@SQ\tSN:{n}\tLN:100000" for n in names]
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for g in range(300):
+        qname = f"r{g}"
+        n_cand = int(rng.integers(1, 5))
+        for c in range(n_cand):
+            ref = names[int(rng.integers(0, 2))]
+            pos = int(rng.integers(1, 90000))
+            seq = rng.choice(bases, 30).tobytes().decode()
+            mapq = int(rng.choice([0, 10, 37, 60, 255]))
+            paired = bool(rng.integers(0, 2))
+            rnext = ("=" if rng.integers(0, 2) else names[int(rng.integers(0, 2))]) if paired else "*"
+            pnext = int(rng.integers(1, 90000)) if paired else 0
+            tags = []
+            if rng.integers(0, 2):
+                tags.append(f"AS:i:{-int(rng.integers(0, 30))}")
+            if rng.integers(0, 4) == 0:
+                tags.append("ZF:f:2.50")  # canonicalizes to 2.5
+            if rng.integers(0, 4) == 0:
+                tags.append(f"ZB:B:c,{-int(rng.integers(0, 5))},07")
+            lines.append(
+                f"{qname}\t{0 if not paired else 99}\t{ref}\t{pos}\t{mapq}\t"
+                f"30=\t{rnext}\t{pnext}\t0\t{seq}\t{'I' * 30}"
+                + ("\t" + "\t".join(tags) if tags else "")
+            )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    read_ids = [f"r{g}" for g in range(0, 300, 3)]
+    cases = [
+        dict(best_mapq=True),
+        dict(chr_id="chr1", best_mapq=True),
+        dict(chr_id="chr2"),
+        dict(read_ids=read_ids, best_mapq=True),
+        dict(chr_id="chr1", read_ids=read_ids),
+    ]
+    for kw in cases:
+        outs = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_SUBSET_FAST", fast)
+            out = io.BytesIO()
+            mc = run_subset_alignments(io.BytesIO(sam), out, **kw)
+            outs[fast] = (out.getvalue(), mc.matches, mc.mismatches)
+        assert outs["1"] == outs["0"], f"mismatch for {kw}"
