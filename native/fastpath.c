@@ -4070,6 +4070,16 @@ static int mq_emit_tag(pv3_strbuf *sb, const tagitem *it, long as_new,
             return -1;
         return 0;
     }
+    if (it->synth == 12) { /* B:C from a raw byte buffer in val/vlen */
+        if (pv3_sb_put(sb, "B:C", 3) < 0)
+            return -1;
+        for (int i = 0; i < it->vlen; ++i)
+            if (pv3_sb_putc(sb, ',') < 0 ||
+                pv3_sb_put_long(sb,
+                                (long)(unsigned char)it->val[i]) < 0)
+                return -1;
+        return 0;
+    }
     if (pv3_sb_putc(sb, it->typ) < 0 || pv3_sb_putc(sb, ':') < 0)
         return -1;
     const char *v = it->val, *vend = it->val + it->vlen;
@@ -5150,11 +5160,16 @@ typedef struct {
     int n_tags;
 } sub_rec;
 
-static int sub_emit_record(pv3_strbuf *out, const sub_rec *r,
-                           const int8_t *all_ops, const int32_t *all_counts,
-                           const tagitem *all_tags, const char **out_nm,
-                           const int *out_nml, Py_ssize_t n_refs_out,
-                           fp_err *err)
+/* Emit one record canonically.  cig_ops/cig_counts/cig_n give the CIGAR to
+   write (already offset to this record); extra, when non-NULL, is a tag
+   upserted into the record's tag set before the sorted emission. */
+static int sub_emit_record_cig(pv3_strbuf *out, const sub_rec *r,
+                               const int8_t *cig_ops,
+                               const int32_t *cig_counts, int32_t cig_n,
+                               const tagitem *all_tags,
+                               const tagitem *extra, const char **out_nm,
+                               const int *out_nml, Py_ssize_t n_refs_out,
+                               fp_err *err)
 {
     if (pv3_sb_put(out, r->qname, r->qname_len) < 0 ||
         pv3_sb_putc(out, '\t') < 0 || pv3_sb_put_long(out, r->flag) < 0 ||
@@ -5175,15 +5190,13 @@ static int sub_emit_record(pv3_strbuf *out, const sub_rec *r,
         pv3_sb_putc(out, '\t') < 0 || pv3_sb_put_long(out, r->mapq) < 0 ||
         pv3_sb_putc(out, '\t') < 0)
         goto oom;
-    if (r->n_ops == 0) {
+    if (cig_n == 0) {
         if (pv3_sb_putc(out, '*') < 0)
             goto oom;
     } else {
-        for (int32_t k = 0; k < r->n_ops; ++k)
-            if (pv3_sb_put_long(out, all_counts[r->ops_off + k]) < 0 ||
-                pv3_sb_putc(out,
-                            pv3_op_char_table[all_ops[r->ops_off + k] & 15]) <
-                    0)
+        for (int32_t k = 0; k < cig_n; ++k)
+            if (pv3_sb_put_long(out, cig_counts[k]) < 0 ||
+                pv3_sb_putc(out, pv3_op_char_table[cig_ops[k] & 15]) < 0)
                 goto oom;
     }
     if (pv3_sb_putc(out, '\t') < 0)
@@ -5217,13 +5230,25 @@ static int sub_emit_record(pv3_strbuf *out, const sub_rec *r,
         tagitem local[96];
         tagitem *items = local;
         tagitem *heap = NULL;
-        if (nt > 96) {
-            heap = malloc(nt * sizeof(tagitem));
+        if (nt + 1 > 96) {
+            heap = malloc((nt + 1) * sizeof(tagitem));
             if (!heap)
                 goto oom;
             items = heap;
         }
         memcpy(items, all_tags + r->tag_off, nt * sizeof(tagitem));
+        if (extra) { /* dict upsert */
+            int done = 0;
+            for (int q2 = 0; q2 < nt; ++q2)
+                if (items[q2].klen == extra->klen &&
+                    memcmp(items[q2].key, extra->key, extra->klen) == 0) {
+                    items[q2] = *extra;
+                    done = 1;
+                    break;
+                }
+            if (!done)
+                items[nt++] = *extra;
+        }
         qsort(items, nt, sizeof(tagitem), tag_key_cmp);
         for (int q2 = 0; q2 < nt; ++q2)
             if (mq_emit_tag(out, &items[q2], 0, err) < 0) {
@@ -5240,6 +5265,17 @@ static int sub_emit_record(pv3_strbuf *out, const sub_rec *r,
 oom:
     err->kind = 2;
     return -1;
+}
+
+static int sub_emit_record(pv3_strbuf *out, const sub_rec *r,
+                           const int8_t *all_ops, const int32_t *all_counts,
+                           const tagitem *all_tags, const char **out_nm,
+                           const int *out_nml, Py_ssize_t n_refs_out,
+                           fp_err *err)
+{
+    return sub_emit_record_cig(out, r, all_ops + r->ops_off,
+                               all_counts + r->ops_off, r->n_ops, all_tags,
+                               NULL, out_nm, out_nml, n_refs_out, err);
 }
 
 /* _output_best_mate (subset_alignments.py:24-37) */
@@ -5751,6 +5787,630 @@ fail:
     free(all_ops);
     free(all_counts);
     free(all_tags);
+    free(out.buf);
+    return NULL;
+}
+
+/* ====================================================================== */
+/* rewrite_cigar tool engine                                              */
+/*                                                                        */
+/* rewrite_cigar_lines(lines, refmap, ref_names, ref_list, mode, xn_tag)  */
+/*   -> (blob, n_records) | ref_id (int: load this contig and retry)      */
+/*                                                                        */
+/* C implementation of run_rewrite_cigar's record loop                    */
+/* (pipeline/rewrite_cigar_tool.py:120-146; rewrite-cigar/                */
+/* main.cc:151-284).  mode 0 = -M (=/X -> M, cigar_buffer merging),       */
+/* mode 1 = -S (M -> =/X by raw byte comparison, runs merged within each  */
+/* M op only, XN bitmask of reference N positions).  ref_list is indexed  */
+/* by ref id (bytes or None); a record needing an unloaded contig makes   */
+/* the call return that ref id BEFORE emitting anything (pre-pass), so    */
+/* the caller can load it into the bounded store and retry the chunk.     */
+
+PyObject *pv3_rewrite_cigar_lines(PyObject *self, PyObject *args)
+{
+    PyObject *lines, *refmap, *ref_names, *ref_list, *xn_obj;
+    int mode;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!iO",
+                          &PyList_Type, &lines, &PyDict_Type, &refmap,
+                          &PyList_Type, &ref_names, &PyList_Type, &ref_list,
+                          &mode, &xn_obj))
+        return NULL;
+    const char *xn_tag = NULL;
+    Py_ssize_t xn_tag_len = 0;
+    if (xn_obj != Py_None &&
+        PyBytes_AsStringAndSize(xn_obj, (char **)&xn_tag, &xn_tag_len) < 0)
+        return NULL;
+    if (mode == 1 && (!xn_tag || xn_tag_len != 2)) {
+        PyErr_SetString(PyExc_ValueError, "xn_tag must be 2 bytes");
+        return NULL;
+    }
+
+    Py_ssize_t n_lines = PyList_GET_SIZE(lines);
+    Py_ssize_t n_refs_out = PyList_GET_SIZE(ref_names);
+
+    const char **line_ptr = NULL;
+    Py_ssize_t *line_len_a = NULL;
+    const char **out_nm = NULL;
+    int *out_nml = NULL;
+    const char **refs = NULL;
+    Py_ssize_t *ref_lens = NULL;
+    refent *ents = NULL;
+    int32_t *hslot = NULL;
+    size_t hcap = 8;
+    int8_t *ops_sc = NULL;
+    int32_t *cnt_sc = NULL;
+    size_t ops_cap = 0;
+    int8_t *nops_sc = NULL;
+    int32_t *ncnt_sc = NULL;
+    size_t nops_cap = 0;
+    unsigned char *xn_sc = NULL;
+    size_t xn_cap = 0;
+    tagitem *tags_sc = NULL;
+    size_t tags_cap = 0;
+    pv3_strbuf out = {NULL, 0, 0};
+    PyThreadState *ts = NULL;
+    fp_err err = {0, {0}};
+    long n_records = 0;
+    long need_ref = -1;
+
+    line_ptr = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(char *));
+    line_len_a = PyMem_Malloc((n_lines ? n_lines : 1) * sizeof(Py_ssize_t));
+    out_nm = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(char *));
+    out_nml = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(int));
+    refs = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(char *));
+    ref_lens = PyMem_Malloc((n_refs_out ? n_refs_out : 1) * sizeof(Py_ssize_t));
+    if (!line_ptr || !line_len_a || !out_nm || !out_nml || !refs || !ref_lens)
+        goto oom;
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        char *lp;
+        if (PyBytes_AsStringAndSize(PyList_GET_ITEM(lines, li), &lp,
+                                    &line_len_a[li]) < 0)
+            goto fail;
+        line_ptr[li] = lp;
+    }
+    for (Py_ssize_t i = 0; i < n_refs_out; ++i) {
+        PyObject *o = PyList_GET_ITEM(ref_names, i);
+        if (PyUnicode_Check(o)) {
+            Py_ssize_t n;
+            const char *p = PyUnicode_AsUTF8AndSize(o, &n);
+            if (!p)
+                goto fail;
+            out_nm[i] = p;
+            out_nml[i] = (int)n;
+        } else if (PyBytes_Check(o)) {
+            out_nm[i] = PyBytes_AS_STRING(o);
+            out_nml[i] = (int)PyBytes_GET_SIZE(o);
+        } else {
+            PyErr_SetString(PyExc_TypeError, "ref_names must be str/bytes");
+            goto fail;
+        }
+        PyObject *rb = i < PyList_GET_SIZE(ref_list)
+                           ? PyList_GET_ITEM(ref_list, i)
+                           : Py_None;
+        if (rb == Py_None) {
+            refs[i] = NULL;
+            ref_lens[i] = 0;
+        } else {
+            char *p;
+            if (PyBytes_AsStringAndSize(rb, &p, &ref_lens[i]) < 0)
+                goto fail;
+            refs[i] = p;
+        }
+    }
+    {
+        Py_ssize_t n_refs = PyDict_GET_SIZE(refmap);
+        while (hcap < (size_t)n_refs * 2)
+            hcap <<= 1;
+        ents = PyMem_Malloc((n_refs ? n_refs : 1) * sizeof(refent));
+        hslot = PyMem_Malloc(hcap * sizeof(int32_t));
+        if (!ents || !hslot)
+            goto oom;
+        for (size_t i = 0; i < hcap; ++i)
+            hslot[i] = -1;
+        PyObject *k, *v;
+        Py_ssize_t ppos = 0, ei = 0;
+        while (PyDict_Next(refmap, &ppos, &k, &v)) {
+            char *kp;
+            Py_ssize_t kl;
+            if (PyBytes_AsStringAndSize(k, &kp, &kl) < 0)
+                goto fail;
+            long idv = PyLong_AsLong(v);
+            if (idv == -1 && PyErr_Occurred())
+                goto fail;
+            uint64_t h = fnv1a(kp, kl) & (hcap - 1);
+            while (hslot[h] >= 0)
+                h = (h + 1) & (hcap - 1);
+            ents[ei].name = kp;
+            ents[ei].len = kl;
+            ents[ei].id = idv;
+            hslot[h] = (int32_t)ei;
+            ++ei;
+        }
+    }
+
+    ts = PyEval_SaveThread();
+
+    /* pre-pass (mode 1): every contig a record will touch must be loaded,
+       so nothing is emitted before a retry */
+    if (mode == 1) {
+        for (Py_ssize_t li = 0; li < n_lines; ++li) {
+            const char *line = line_ptr[li];
+            Py_ssize_t line_len = line_len_a[li];
+            while (line_len > 0 && (line[line_len - 1] == '\n' ||
+                                    line[line_len - 1] == '\r'))
+                --line_len;
+            const char *fields[5];
+            Py_ssize_t flens[5];
+            int n_fields = 0;
+            const char *p = line, *end = line + line_len;
+            while (n_fields < 4) {
+                const char *tab = memchr(p, '\t', end - p);
+                fields[n_fields] = p;
+                flens[n_fields] = (tab ? tab : end) - p;
+                ++n_fields;
+                if (!tab)
+                    break;
+                p = tab + 1;
+            }
+            if (n_fields < 4)
+                continue; /* blank/truncated: the main pass handles */
+            long pos;
+            if (fp_parse_long(fields[3], fields[3] + flens[3], &pos) != 0)
+                continue;
+            if (pos - 1 < 0)
+                continue;
+            if (flens[2] == 1 && fields[2][0] == '*')
+                continue;
+            long rid = ref_lookup(ents, hslot, hcap, fields[2], flens[2]);
+            if (rid >= 0 && rid < n_refs_out && !refs[rid]) {
+                need_ref = rid;
+                break;
+            }
+        }
+        if (need_ref >= 0) {
+            PyEval_RestoreThread(ts);
+            PyMem_Free(line_ptr);
+            PyMem_Free(line_len_a);
+            PyMem_Free(out_nm);
+            PyMem_Free(out_nml);
+            PyMem_Free(refs);
+            PyMem_Free(ref_lens);
+            PyMem_Free(ents);
+            PyMem_Free(hslot);
+            return PyLong_FromLong(need_ref);
+        }
+    }
+
+    for (Py_ssize_t li = 0; li < n_lines && !err.kind; ++li) {
+        const char *line = line_ptr[li];
+        Py_ssize_t line_len = line_len_a[li];
+        while (line_len > 0 &&
+               (line[line_len - 1] == '\n' || line[line_len - 1] == '\r'))
+            --line_len;
+        {
+            Py_ssize_t w = 0;
+            while (w < line_len &&
+                   (line[w] == ' ' || line[w] == '\t' || line[w] == '\v' ||
+                    line[w] == '\f'))
+                ++w;
+            if (w == line_len)
+                continue;
+        }
+        const char *fields[12];
+        Py_ssize_t flens[12];
+        int n_fields = 0;
+        const char *p = line, *end = line + line_len;
+        while (n_fields < 11) {
+            const char *tab = memchr(p, '\t', end - p);
+            fields[n_fields] = p;
+            flens[n_fields] = (tab ? tab : end) - p;
+            ++n_fields;
+            if (!tab) {
+                p = end;
+                break;
+            }
+            p = tab + 1;
+        }
+        if (n_fields < 11) {
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg, "truncated SAM record: %.100s",
+                     line);
+            break;
+        }
+        long flag, pos, mapq, pnext, tlen;
+        if (fp_parse_long(fields[1], fields[1] + flens[1], &flag) != 0 ||
+            fp_parse_long(fields[3], fields[3] + flens[3], &pos) != 0 ||
+            fp_parse_long(fields[4], fields[4] + flens[4], &mapq) != 0 ||
+            fp_parse_long(fields[7], fields[7] + flens[7], &pnext) != 0 ||
+            fp_parse_long(fields[8], fields[8] + flens[8], &tlen) != 0) {
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg, "malformed SAM record: %.100s",
+                     line);
+            break;
+        }
+        long ref_id = -1;
+        if (!(flens[2] == 1 && fields[2][0] == '*')) {
+            ref_id = ref_lookup(ents, hslot, hcap, fields[2], flens[2]);
+            if (ref_id == -2) {
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown reference '%.100s'", fields[2]);
+                break;
+            }
+        }
+        long mate_ref = -1;
+        if (flens[6] == 1 && fields[6][0] == '*') {
+            mate_ref = -1;
+        } else if (flens[6] == 1 && fields[6][0] == '=') {
+            mate_ref = ref_id;
+        } else {
+            mate_ref = ref_lookup(ents, hslot, hcap, fields[6], flens[6]);
+            if (mate_ref == -2) {
+                err.kind = 1;
+                snprintf(err.msg, sizeof err.msg,
+                         "unknown mate reference '%.100s'", fields[6]);
+                break;
+            }
+        }
+        /* CIGAR into per-record scratch */
+        int32_t rec_ops = 0;
+        {
+            const char *c = fields[5], *cend = c + flens[5];
+            if (!(flens[5] == 1 && *c == '*')) {
+                while (c < cend) {
+                    long count = 0;
+                    const char *d0 = c;
+                    while (c < cend && *c >= '0' && *c <= '9')
+                        count = count * 10 + (*c++ - '0');
+                    char oc = (c < cend) ? *c : 0;
+                    int8_t code = pv3_op_code_table[(unsigned char)oc];
+                    if (c == d0 || c == cend || (code == 0 && oc != 'M')) {
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "invalid CIGAR: '%.50s'", fields[5]);
+                        goto loop_done;
+                    }
+                    ++c;
+                    if ((size_t)rec_ops + 1 > ops_cap) {
+                        size_t ncap = ops_cap ? ops_cap * 2 : 256;
+                        int8_t *no_ = realloc(ops_sc, ncap);
+                        int32_t *nc =
+                            realloc(cnt_sc, ncap * sizeof(int32_t));
+                        if (no_)
+                            ops_sc = no_;
+                        if (nc)
+                            cnt_sc = nc;
+                        if (!no_ || !nc) {
+                            err.kind = 2;
+                            goto loop_done;
+                        }
+                        ops_cap = ncap;
+                    }
+                    ops_sc[rec_ops] = code;
+                    cnt_sc[rec_ops] = (int32_t)count;
+                    ++rec_ops;
+                }
+            }
+        }
+        /* tags into per-record scratch (dict semantics) */
+        int rec_tags = 0;
+        {
+            const char *tp = p;
+            while (tp < end) {
+                const char *tab = memchr(tp, '\t', end - tp);
+                const char *fend = tab ? tab : end;
+                const char *c1 = memchr(tp, ':', fend - tp);
+                if (!c1 || c1 + 2 > fend || c1[2] != ':') {
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "malformed tag field: %.50s", tp);
+                    goto loop_done;
+                }
+                tagitem it;
+                it.key = tp;
+                it.klen = (int)(c1 - tp);
+                it.typ = c1[1];
+                it.val = c1 + 3;
+                it.vlen = (int)(fend - (c1 + 3));
+                it.synth = 0;
+                int replaced = 0;
+                for (int q2 = 0; q2 < rec_tags; ++q2)
+                    if (tags_sc[q2].klen == it.klen &&
+                        memcmp(tags_sc[q2].key, it.key, it.klen) == 0) {
+                        tags_sc[q2] = it;
+                        replaced = 1;
+                        break;
+                    }
+                if (!replaced) {
+                    if ((size_t)rec_tags + 1 > tags_cap) {
+                        size_t ncap = tags_cap ? tags_cap * 2 : 64;
+                        tagitem *nt =
+                            realloc(tags_sc, ncap * sizeof(tagitem));
+                        if (!nt) {
+                            err.kind = 2;
+                            goto loop_done;
+                        }
+                        tags_sc = nt;
+                        tags_cap = ncap;
+                    }
+                    tags_sc[rec_tags++] = it;
+                }
+                tp = tab ? tab + 1 : end;
+            }
+        }
+
+        sub_rec rec;
+        memset(&rec, 0, sizeof rec);
+        rec.qname = fields[0];
+        rec.qname_len = flens[0];
+        rec.flag = flag;
+        rec.ref_id = ref_id;
+        rec.pos = pos - 1;
+        rec.mapq = mapq;
+        rec.mate_ref = mate_ref;
+        rec.mate_pos = pnext - 1;
+        rec.tlen = tlen;
+        rec.seq = fields[9];
+        rec.seq_len = flens[9];
+        rec.qual = fields[10];
+        rec.qual_len = flens[10];
+        rec.tag_off = 0;
+        rec.n_tags = rec_tags;
+        ++n_records;
+
+        if (mode == 0) {
+            /* -M: =/X -> M with cigar_buffer merging (cigar.cc:54-95) */
+            int32_t n_new = 0;
+            int8_t pend_op = -1;
+            long pend_cnt = 0;
+            for (int32_t k = 0; k <= rec_ops; ++k) {
+                int8_t op;
+                long cnt;
+                if (k < rec_ops) {
+                    op = ops_sc[k];
+                    if (op == OP_EQ || op == OP_X)
+                        op = OP_M;
+                    cnt = cnt_sc[k];
+                    if (cnt == 0)
+                        continue;
+                } else {
+                    op = -2; /* flush */
+                    cnt = 0;
+                }
+                if (op == pend_op) {
+                    pend_cnt += cnt;
+                    continue;
+                }
+                if (pend_op >= 0 && pend_cnt) {
+                    if ((size_t)n_new + 1 > nops_cap) {
+                        size_t ncap = nops_cap ? nops_cap * 2 : 256;
+                        int8_t *no_ = realloc(nops_sc, ncap);
+                        int32_t *nc =
+                            realloc(ncnt_sc, ncap * sizeof(int32_t));
+                        if (no_)
+                            nops_sc = no_;
+                        if (nc)
+                            ncnt_sc = nc;
+                        if (!no_ || !nc) {
+                            err.kind = 2;
+                            goto loop_done;
+                        }
+                        nops_cap = ncap;
+                    }
+                    nops_sc[n_new] = pend_op;
+                    ncnt_sc[n_new] = (int32_t)pend_cnt;
+                    ++n_new;
+                }
+                pend_op = op;
+                pend_cnt = cnt;
+            }
+            if (sub_emit_record_cig(&out, &rec, nops_sc, ncnt_sc, n_new,
+                                    tags_sc, NULL, out_nm, out_nml,
+                                    n_refs_out, &err) < 0)
+                break;
+            continue;
+        }
+
+        /* -S */
+        if (rec.pos < 0 || rec.ref_id < 0) {
+            if (sub_emit_record_cig(&out, &rec, ops_sc, cnt_sc, rec_ops,
+                                    tags_sc, NULL, out_nm, out_nml,
+                                    n_refs_out, &err) < 0)
+                break;
+            continue;
+        }
+        {
+            const unsigned char *ref =
+                (const unsigned char *)refs[rec.ref_id];
+            Py_ssize_t ref_len = ref_lens[rec.ref_id];
+            const unsigned char *q = (const unsigned char *)rec.seq;
+            long base = rec.pos;
+            long qp = 0, rp = 0;
+            size_t xn_len = 0;
+            int32_t n_new = 0;
+#define RW_PUSH(OPV, CNTV)                                                  \
+    do {                                                                    \
+        if ((size_t)n_new + 1 > nops_cap) {                                 \
+            size_t ncap = nops_cap ? nops_cap * 2 : 256;                    \
+            int8_t *no_ = realloc(nops_sc, ncap);                           \
+            int32_t *nc = realloc(ncnt_sc, ncap * sizeof(int32_t));         \
+            if (no_)                                                        \
+                nops_sc = no_;                                              \
+            if (nc)                                                         \
+                ncnt_sc = nc;                                               \
+            if (!no_ || !nc) {                                              \
+                err.kind = 2;                                               \
+                goto loop_done;                                             \
+            }                                                               \
+            nops_cap = ncap;                                                \
+        }                                                                   \
+        nops_sc[n_new] = (OPV);                                             \
+        ncnt_sc[n_new] = (int32_t)(CNTV);                                   \
+        ++n_new;                                                            \
+    } while (0)
+#define RW_FILL_XN(RP, CNT)                                                 \
+    do {                                                                    \
+        size_t need = ((size_t)(RP) + (size_t)(CNT) + 7) / 8;               \
+        if (xn_len < need) {                                                \
+            if (need > xn_cap) {                                            \
+                size_t ncap = xn_cap ? xn_cap * 2 : 64;                     \
+                while (ncap < need)                                         \
+                    ncap *= 2;                                              \
+                unsigned char *nx = realloc(xn_sc, ncap);                   \
+                if (!nx) {                                                  \
+                    err.kind = 2;                                           \
+                    goto loop_done;                                         \
+                }                                                           \
+                xn_sc = nx;                                                 \
+                xn_cap = ncap;                                              \
+            }                                                               \
+            memset(xn_sc + xn_len, 0, need - xn_len);                       \
+            xn_len = need;                                                  \
+        }                                                                   \
+        if (base + (RP) + (CNT) > ref_len) {                                \
+            err.kind = 1;                                                   \
+            snprintf(err.msg, sizeof err.msg,                               \
+                     "CIGAR overruns the reference");                       \
+            goto loop_done;                                                 \
+        }                                                                   \
+        for (long i_ = 0; i_ < (CNT); ++i_)                                 \
+            if (ref[base + (RP) + i_] == 'N')                               \
+                xn_sc[((RP) + i_) / 8] |=                                   \
+                    (unsigned char)(1u << (((RP) + i_) % 8));               \
+    } while (0)
+
+            for (int32_t k = 0; k < rec_ops; ++k) {
+                int8_t op = ops_sc[k];
+                long cnt = cnt_sc[k];
+                switch (op) {
+                case OP_H:
+                case OP_P:
+                    RW_PUSH(op, cnt);
+                    break;
+                case OP_I:
+                case OP_S:
+                    RW_PUSH(op, cnt);
+                    qp += cnt;
+                    break;
+                case OP_EQ:
+                case OP_X:
+                    RW_PUSH(op, cnt);
+                    RW_FILL_XN(rp, cnt);
+                    qp += cnt;
+                    rp += cnt;
+                    break;
+                case OP_D:
+                case OP_N:
+                    RW_PUSH(op, cnt);
+                    RW_FILL_XN(rp, cnt);
+                    rp += cnt;
+                    break;
+                case OP_M: {
+                    RW_FILL_XN(rp, cnt);
+                    if (qp >= rec.seq_len || qp + cnt > rec.seq_len) {
+                        err.kind = 1;
+                        snprintf(err.msg, sizeof err.msg,
+                                 "CIGAR overruns SEQ");
+                        goto loop_done;
+                    }
+                    long prev_cnt = 1;
+                    int8_t prev = (q[qp] == ref[base + rp]) ? OP_EQ : OP_X;
+                    for (long i = 1; i < cnt; ++i) {
+                        int8_t cur = (q[qp + i] == ref[base + rp + i])
+                                         ? OP_EQ
+                                         : OP_X;
+                        if (cur == prev) {
+                            ++prev_cnt;
+                        } else {
+                            RW_PUSH(prev, prev_cnt);
+                            prev_cnt = 1;
+                            prev = cur;
+                        }
+                    }
+                    RW_PUSH(prev, prev_cnt);
+                    rp += cnt;
+                    qp += cnt;
+                    break;
+                }
+                default:
+                    err.kind = 1;
+                    snprintf(err.msg, sizeof err.msg,
+                             "unexpected CIGAR operation '%c'",
+                             pv3_op_char_table[op]);
+                    goto loop_done;
+                }
+            }
+#undef RW_PUSH
+#undef RW_FILL_XN
+            tagitem xn_it;
+            tagitem *extra = NULL;
+            if (xn_len) {
+                xn_it.key = xn_tag;
+                xn_it.klen = 2;
+                xn_it.typ = 'B';
+                xn_it.val = (const char *)xn_sc;
+                xn_it.vlen = (int)xn_len;
+                xn_it.synth = 12;
+                extra = &xn_it;
+            }
+            if (sub_emit_record_cig(&out, &rec, nops_sc, ncnt_sc, n_new,
+                                    tags_sc, extra, out_nm, out_nml,
+                                    n_refs_out, &err) < 0)
+                break;
+        }
+    }
+loop_done:
+
+    PyEval_RestoreThread(ts);
+    ts = NULL;
+
+    if (err.kind == 1) {
+        PyErr_SetString(PyExc_ValueError, err.msg);
+        goto fail;
+    }
+    if (err.kind == 2)
+        goto oom;
+
+    {
+        PyObject *res = Py_BuildValue("(y#l)", out.buf ? out.buf : "",
+                                      (Py_ssize_t)out.len, n_records);
+        PyMem_Free(line_ptr);
+        PyMem_Free(line_len_a);
+        PyMem_Free(out_nm);
+        PyMem_Free(out_nml);
+        PyMem_Free(refs);
+        PyMem_Free(ref_lens);
+        PyMem_Free(ents);
+        PyMem_Free(hslot);
+        free(ops_sc);
+        free(cnt_sc);
+        free(nops_sc);
+        free(ncnt_sc);
+        free(xn_sc);
+        free(tags_sc);
+        free(out.buf);
+        return res;
+    }
+
+oom:
+    PyErr_NoMemory();
+fail:
+    if (ts)
+        PyEval_RestoreThread(ts);
+    PyMem_Free(line_ptr);
+    PyMem_Free(line_len_a);
+    PyMem_Free(out_nm);
+    PyMem_Free(out_nml);
+    PyMem_Free(refs);
+    PyMem_Free(ref_lens);
+    PyMem_Free(ents);
+    PyMem_Free(hslot);
+    free(ops_sc);
+    free(cnt_sc);
+    free(nops_sc);
+    free(ncnt_sc);
+    free(xn_sc);
+    free(tags_sc);
     free(out.buf);
     return NULL;
 }

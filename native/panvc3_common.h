@@ -101,6 +101,7 @@ PyObject *pv3_splice_apply_format(PyObject *self, PyObject *args);
 PyObject *pv3_set_slab_threads(PyObject *self, PyObject *args);
 PyObject *pv3_mapq_score_groups(PyObject *self, PyObject *args);
 PyObject *pv3_subset_filter_lines(PyObject *self, PyObject *args);
+PyObject *pv3_rewrite_cigar_lines(PyObject *self, PyObject *args);
 PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args);
 PyObject *pv3_event_geometry_batch(PyObject *self, PyObject *args);
 PyObject *pv3_format_float_c(PyObject *self, PyObject *args);

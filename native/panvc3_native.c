@@ -1125,6 +1125,8 @@ static PyMethodDef methods[] = {
      "Score QNAME groups and emit MAPQ-recalculated SAM text."},
     {"subset_filter_lines", pv3_subset_filter_lines, METH_VARARGS,
      "Filter raw SAM lines (chr / read-id / best-mapq) and emit text."},
+    {"rewrite_cigar_lines", pv3_rewrite_cigar_lines, METH_VARARGS,
+     "Rewrite CIGARs (M <-> =/X + XN bitmask) over raw SAM lines."},
     {"splice_apply_format", pv3_splice_apply_format, METH_VARARGS,
      "Splice device results, apply tag surgery and format SAM text for a "
      "batch."},

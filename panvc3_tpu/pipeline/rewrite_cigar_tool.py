@@ -15,9 +15,12 @@ Reimplements /root/reference/rewrite-cigar/main.cc:
 
 from __future__ import annotations
 
+import os
+
 from ..cigar import Cigar, CigarBuffer
 from ..io.fasta import FastaReader
 from ..io.sam import SamHeader, SamReader, SamWriter
+from ..native import get_native
 
 
 def rewrite_alignment_match(cigar: Cigar) -> Cigar:
@@ -115,6 +118,74 @@ def run_rewrite_cigar(
         "panvc3.rewrite-cigar", "PanVC 3 rewrite_cigar", command_line, version
     )
     writer = SamWriter(output_path_or_fh, out_header, bam=output_bam)
+
+    if mode not in ("alignment-match", "sequence-match"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "sequence-match" and reference_path is None:
+        raise ValueError("sequence-match mode requires a reference FASTA")
+
+    # Native chunk engine: the whole record loop in C over raw line chunks
+    # (canonical emission, byte-identical to the object path).  A chunk
+    # whose records touch an unloaded contig returns that ref id so the
+    # bounded LRU store loads it and the chunk retries — nothing is
+    # emitted before the retry (pre-pass inside the C call).
+    nat = get_native()
+    raw_ok = not reader.is_bam or (
+        nat is not None and hasattr(nat, "bam_to_sam_lines")
+    )
+    write_ok = not output_bam or (
+        nat is not None and hasattr(nat, "sam_text_to_bam")
+    )
+    if (
+        nat is not None
+        and hasattr(nat, "rewrite_cigar_lines")
+        and raw_ok
+        and write_ok
+        and os.environ.get("PANVC3_REWRITE_TOOL_FAST") != "0"
+    ):
+        refmap = {nm.encode(): i for i, nm in enumerate(header.ref_names)}
+        mode_i = 0 if mode == "alignment-match" else 1
+        store = None
+        if mode_i == 1:
+            from ..seqbuf import SequenceBufferStore
+
+            fasta = FastaReader(reference_path)
+            store = SequenceBufferStore(
+                lambda rid: fasta.read_sequence(header.ref_names[rid]),
+                max_size=4,
+            )
+        xn_b = ref_n_positions_tag.encode() if mode_i == 1 else None
+        n = 0
+        CHUNK = 16384
+        pending: list[bytes] = []
+
+        def flush(chunk_lines):
+            nonlocal n
+            # per-chunk contig snapshot (keeps the store's bound between
+            # chunks, like the per-batch snapshots of the projection lane)
+            ref_list: list = [None] * len(header.ref_names)
+            while True:
+                res = nat.rewrite_cigar_lines(
+                    chunk_lines, refmap, header.ref_names, ref_list,
+                    mode_i, xn_b,
+                )
+                if isinstance(res, int):
+                    ref_list[res] = store.get(res)
+                    continue
+                blob, n_recs = res
+                n += n_recs
+                writer.write_raw(blob)
+                return
+
+        for block in reader.raw_record_line_blocks():
+            pending.extend(block)
+            while len(pending) >= CHUNK:
+                flush(pending[:CHUNK])
+                del pending[:CHUNK]
+        if pending:
+            flush(pending)
+        writer.close()
+        return n
 
     n = 0
     if mode == "alignment-match":

@@ -405,3 +405,82 @@ def test_subset_native_engine_differential(monkeypatch):
             mc = run_subset_alignments(io.BytesIO(sam), out, **kw)
             outs[fast] = (out.getvalue(), mc.matches, mc.mismatches)
         assert outs["1"] == outs["0"], f"mismatch for {kw}"
+
+def test_rewrite_cigar_native_engine_differential(monkeypatch, tmp_path):
+    """The C rewrite_cigar engine must be byte-identical to the object path
+    in both modes, across M/=/X/I/D/N/S/H/P CIGARs, reference N bases (XN
+    bitmask), multi-contig inputs (LRU retry protocol), unmapped records,
+    and existing-XN replacement."""
+    import io
+
+    import numpy as np
+
+    from panvc3_tpu.pipeline.rewrite_cigar_tool import run_rewrite_cigar
+
+    rng = np.random.default_rng(13)
+    refs = {}
+    ref_lines = []
+    for nm in ("c1", "c2", "c3", "c4", "c5", "c6"):
+        seq = rng.choice(
+            np.frombuffer(b"ACGTN", dtype=np.uint8), 5000,
+            p=[0.23, 0.23, 0.23, 0.23, 0.08],
+        )
+        refs[nm] = seq
+        ref_lines.append(f">{nm}\n{seq.tobytes().decode()}")
+    ref_path = tmp_path / "refs.fa"
+    ref_path.write_text("\n".join(ref_lines) + "\n")
+
+    names = list(refs)
+    lines = ["@HD\tVN:1.6"] + [f"@SQ\tSN:{n}\tLN:5000" for n in names]
+    for i in range(600):
+        nm = names[int(rng.integers(0, len(names)))]
+        pos = int(rng.integers(0, 4500))
+        kind = int(rng.integers(0, 6))
+        L = 50
+        seq = refs[nm][pos:pos + L].tobytes().decode().replace("N", "A")
+        if kind == 0:
+            cigar = f"{L}M"
+        elif kind == 1:
+            cigar = f"10M2I{L - 17}M5S"
+            seq = seq[:10] + "GG" + seq[10:L - 7] + "TTTTT"
+        elif kind == 2:
+            cigar = f"5S10M3D{L - 15}M"
+            seq = seq[:5] + refs[nm][pos + 5:pos + 15].tobytes().decode().replace("N", "A") + \
+                refs[nm][pos + 18:pos + 18 + L - 15].tobytes().decode().replace("N", "A")
+        elif kind == 3:
+            cigar = f"2H{L}M3P"
+        elif kind == 4:
+            cigar = f"20=5X{L - 25}="
+        else:
+            cigar = f"{L}M"
+        # mutate a few bases so X runs appear
+        if rng.integers(0, 2):
+            s = list(seq)
+            for _ in range(int(rng.integers(1, 4))):
+                j = int(rng.integers(0, len(s)))
+                s[j] = "T" if s[j] != "T" else "C"
+            seq = "".join(s)
+        tags = []
+        if rng.integers(0, 4) == 0:
+            tags.append("XN:B:C,1,2")  # existing XN gets replaced
+        if rng.integers(0, 3) == 0:
+            tags.append(f"AS:i:{-int(rng.integers(0, 20))}")
+        lines.append(
+            f"q{i}\t0\t{nm}\t{pos + 1}\t60\t{cigar}\t*\t0\t0\t{seq}\t"
+            + "I" * len(seq) + (("\t" + "\t".join(tags)) if tags else "")
+        )
+        if i % 40 == 0:
+            lines.append(f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII")
+    sam = ("\n".join(lines) + "\n").encode()
+
+    for mode in ("sequence-match", "alignment-match"):
+        outs = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_REWRITE_TOOL_FAST", fast)
+            out = io.BytesIO()
+            n = run_rewrite_cigar(
+                io.BytesIO(sam), out, mode=mode,
+                reference_path=str(ref_path),
+            )
+            outs[fast] = (out.getvalue(), n)
+        assert outs["1"] == outs["0"], f"mismatch in {mode}"
