@@ -233,6 +233,7 @@ class AlignmentSweep:
     def update(self, var_pos: int) -> None:
         st = self.statistics
         self.candidates = [c for c in self.candidates if c.ref_end > var_pos]
+        cand_pos = {c.pos for c in self.candidates}
 
         while True:
             # Like the reference, a record beyond var_pos is left at the
@@ -282,7 +283,8 @@ class AlignmentSweep:
             # The reference's candidate container is a std::set keyed by
             # reference position only (main.cc:479-484,677), so a second
             # record at an already-present start position is NOT inserted.
-            if all(c.pos != rec.pos for c in self.candidates):
+            if rec.pos not in cand_pos:
+                cand_pos.add(rec.pos)
                 self.candidates.append(
                     _Candidate(
                         pos=rec.pos,
