@@ -509,6 +509,10 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         int8_t *po = (int8_t *)PyBytes_AS_STRING(ops2d);
         int32_t *pc = (int32_t *)PyBytes_AS_STRING(counts2d);
         unsigned char *pq = (unsigned char *)PyBytes_AS_STRING(query2d);
+
+        /* the padded-array fill touches only raw buffers — drop the GIL so
+           concurrent pool batches don't convoy on this per-base loop */
+        Py_BEGIN_ALLOW_THREADS
         memset(po, CODE_NONE, n_rec * O);
         memset(pc, 0, n_rec * O * sizeof(int32_t));
         memset(pq, 0, n_rec * Lq);
@@ -534,6 +538,7 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                     pq[i * Lq + k] = dna5_table[s[k]];
             }
         }
+        Py_END_ALLOW_THREADS
 
         PyObject *unit_op_b =
             PyBytes_FromStringAndSize(NULL, total_units);
@@ -553,6 +558,7 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         int8_t *uo = (int8_t *)PyBytes_AS_STRING(unit_op_b);
         int32_t *uc = (int32_t *)PyBytes_AS_STRING(unit_count_b);
         int32_t *ur = (int32_t *)PyBytes_AS_STRING(unit_rec_b);
+        Py_BEGIN_ALLOW_THREADS
         {
             size_t cur = 0, u = 0;
             for (size_t i = 0; i < n_rec; ++i) {
@@ -577,6 +583,7 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                 cur += no;
             }
         }
+        Py_END_ALLOW_THREADS
 
         PyObject *res = Py_BuildValue(
             "{s:l s:n s:l s:l s:l"
