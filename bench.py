@@ -372,6 +372,46 @@ def _kernel_metrics(
         file=sys.stderr,
     )
 
+    # the event-geometry rewrite kernel (the fast device rewrite: searches
+    # the per-pair MSA-difference event tables instead of per-unit
+    # rank/select gathers; bit-identical to the gap kernel's packed wire)
+    from panvc3_tpu.ops.event_geometry import DeviceEventGeometry, EventGeometry
+
+    host_geo = EventGeometry(src_entries, dst_entries, ref_id_mapping)
+    dev_geo = DeviceEventGeometry(
+        host_geo,
+        bp.index,
+        bp.src_dev_ids,
+        np.asarray(bp.dst_dev_ids, np.int32)[
+            np.asarray(ref_id_mapping, np.int32)
+        ],
+    )
+    ev_kern = jax.jit(dev_geo.kernel_wire, static_argnames=("R",))
+    rid_dev = jax.device_put(
+        np.asarray([rec.ref_id for rec in recs], np.int32)
+    )
+
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def event_loop(rid, pos, nu, n_iters):
+        def body(i, carry):
+            acc, pos = carry
+            pos = pos.at[0].set(acc % 7)
+            wire, overflow = ev_kern(rid, pos, nu, batch.pad_ref_units)
+            acc = acc + wire[0, 0].astype(jnp.int32) + overflow
+            return acc, pos
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), pos))[0]
+
+    jax.block_until_ready(event_loop(rid_dev, dev[2], n_units_dev, iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(event_loop(rid_dev, dev[2], n_units_dev, iters))
+    dt = time.perf_counter() - t0
+    kernel_event_rewrite_reads_per_s = len(recs) * iters / dt
+    print(
+        f"[bench] event rewrite kernel: {iters}x{len(recs)} device-resident "
+        f"reads in {dt:.2f}s (single dispatch)",
+        file=sys.stderr,
+    )
+
     # realignment DP on the workload's run shapes
     rng = np.random.default_rng(7)
     S = 16384
@@ -414,6 +454,9 @@ def _kernel_metrics(
     return {
         "kernel_reads_per_s": round(kernel_reads_per_s, 1),
         "kernel_rewrite_reads_per_s": round(kernel_rewrite_reads_per_s, 1),
+        "kernel_event_rewrite_reads_per_s": round(
+            kernel_event_rewrite_reads_per_s, 1
+        ),
         "kernel_dp_cell_updates_per_s": round(cells * iters / dt, 1),
         "kernel_dp_padded_cell_updates_per_s": round(S * Rr * Qq * iters / dt, 1),
     }

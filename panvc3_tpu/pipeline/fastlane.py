@@ -100,9 +100,28 @@ def run_fast(
     # where the src/dst gap vectors differ, so the whole rewrite-geometry
     # device dispatch (and its tunnel round trip) reduces to host
     # searchsorted + event decoding.  PANVC3_EVENT_GEOMETRY=0 restores
-    # the device gap kernel.
+    # the device gap kernel; =device runs the same event math as a device
+    # kernel (ops/event_geometry.DeviceEventGeometry — ~3x the gap kernel,
+    # for hosts that want the geometry off-CPU), with the host event path
+    # as the bit-identical fallback on event-slot overflow.
     event_geo = None
-    if os.environ.get("PANVC3_EVENT_GEOMETRY") != "0":
+    dev_event = dev_event_wire = dev_event_host = None
+    _ev_mode = os.environ.get("PANVC3_EVENT_GEOMETRY", "1")
+    if _ev_mode == "device":
+        from ..ops.event_geometry import DeviceEventGeometry, EventGeometry
+
+        dev_event_host = EventGeometry(src_entries, dst_entries, ref_id_mapping)
+        rim_np = np.asarray(ref_id_mapping, dtype=np.int32)
+        dst_per_rid = (
+            np.asarray(bp.dst_dev_ids, np.int32)[rim_np]
+            if len(ref_id_mapping)
+            else np.zeros(0, np.int32)
+        )
+        dev_event = DeviceEventGeometry(
+            dev_event_host, bp.index, bp.src_dev_ids, dst_per_rid
+        )
+        dev_event_wire = jax.jit(dev_event.kernel_wire, static_argnames=("R",))
+    elif _ev_mode != "0":
         from ..ops.event_geometry import EventGeometry
 
         event_geo = EventGeometry(src_entries, dst_entries, ref_id_mapping)
@@ -208,7 +227,7 @@ def run_fast(
         t0 = _time.perf_counter() if _PROF else 0.0
         staged = nat.parse_stage_batch(
             lines, refmap, FLAG_SKIP, primary_mask,
-            4, 2, 2,
+            4, 8 if dev_event is not None else 2, 2,
         )
         if _PROF:
             t0 = _tick("parse_stage", t0)
@@ -244,7 +263,31 @@ def run_fast(
         O, R, Lq = staged["O"], staged["R"], staged["Lq"]
 
         out = fut = None
-        if event_geo is None:
+        if dev_event is not None:
+            target = batch_size
+            bucket = min(target, _next_pow2(kept))
+            n_pad = bucket - kept if kept < bucket else 0
+
+            def _pad(a):
+                a = np.ascontiguousarray(a, dtype=np.int32)
+                if n_pad:
+                    a = np.concatenate([a, np.repeat(a[:1], n_pad)])
+                return a
+
+            if _PROF:
+                t0 = _tick("stage_arrays", t0)
+            out = dev_event_wire(
+                _pad(ref_id),
+                _pad(fields[:, 2]),
+                _pad(np.frombuffer(staged["n_ref_units"], np.int32)),
+                R,
+            )
+            fut = (
+                fetch_pool.submit(jax.device_get, out)
+                if fetch_pool is not None
+                else None
+            )
+        elif event_geo is None:
             bp._ensure_refs(snap)
             # gap-geometry kernel input: one packed u8 array (10 B/record
             # on the wire); the query/reference stay host-side for the
@@ -322,7 +365,34 @@ def run_fast(
         staged = ctx["staged"]
         kept = ctx["kept"]
         t0 = _time.perf_counter() if _PROF else 0.0
-        if event_geo is not None:
+        if dev_event is not None:
+            if ctx["fut"] is not None:
+                wire, overflow = ctx["fut"].result()
+            else:
+                wire, overflow = jax.device_get(ctx["out"])
+            if int(overflow):
+                # rare event-slot overflow: the host event path is
+                # bit-identical and handles the dense-deletion case
+                fields = ctx["fields"]
+                dst_pos_a, gapbits, d_vals, d_pos, d_n, use_full, d_full = (
+                    dev_event_host.batch(
+                        fields[:, 1],
+                        fields[:, 2],
+                        np.frombuffer(staged["n_ref_units"], np.int32),
+                        ctx["R"],
+                        D_SPARSE_SLOTS,
+                    )
+                )
+                d_full = np.ascontiguousarray(d_full)
+            else:
+                dst_pos_a, d_n, gapbits, d_pos, d_vals = unpack_gap_wire(
+                    np.asarray(wire)[:kept], ctx["R"]
+                )
+                use_full = 0
+                d_full = np.zeros(0, np.int32)
+            if _PROF:
+                t0 = _tick("rewrite_fetch", t0)
+        elif event_geo is not None:
             fields = ctx["fields"]
             dst_pos_a, gapbits, d_vals, d_pos, d_n, use_full, d_full = (
                 event_geo.batch(

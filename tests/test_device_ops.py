@@ -481,6 +481,68 @@ class TestWireFormats:
                 got_d[rw, d_pos[valid].astype(np.int64)] = d_vals[valid]
             np.testing.assert_array_equal(got_d, d_run)
 
+    def test_device_event_geometry_matches_gap_kernel(self):
+        """The device event-geometry kernel == the device gap kernel's
+        packed outputs on random MSAs whenever no record overflows the
+        event slots (the kernel reports overflow otherwise)."""
+        import jax
+
+        from panvc3_tpu.bitvec import GapBitVector
+        from panvc3_tpu.msa_index import SequenceEntry
+        from panvc3_tpu.ops.event_geometry import (
+            DeviceEventGeometry,
+            EventGeometry,
+        )
+        from panvc3_tpu.ops.rank_select import DeviceGapIndex
+        from panvc3_tpu.ops.rewrite_batch import _gap_math_packed
+
+        rng = np.random.default_rng(17)
+        for trial in range(4):
+            n_cols = 600
+            vecs = []
+            for _ in range(3):
+                gaps = rng.random(n_cols) < (0.02 + 0.06 * trial)
+                s = np.where(gaps, ord("-"), ord("A")).astype(np.uint8)
+                vecs.append(GapBitVector.from_gap_string(s.tobytes()))
+            entries = [SequenceEntry(str(i), v) for i, v in enumerate(vecs)]
+            rim = [0, 0, 0]
+            index = DeviceGapIndex.build(vecs)
+
+            B, R = 128, 48
+            ref_ids = rng.integers(0, 3, B).astype(np.int32)
+            n_units = rng.integers(0, R + 1, B).astype(np.int32)
+            max_pos = min(v.n_zeros for v in vecs) - R - 2
+            pos = rng.integers(0, max_pos, B).astype(np.int32)
+
+            want = [
+                np.asarray(x)
+                for x in jax.jit(_gap_math_packed, static_argnames=("R",))(
+                    index, ref_ids, np.zeros(B, np.int32), pos, n_units, R
+                )
+            ]
+
+            host = EventGeometry(entries, [entries[0]], rim)
+            dev = DeviceEventGeometry(
+                host, index, np.arange(3, dtype=np.int32),
+                np.zeros(3, dtype=np.int32),
+            )
+            got = [
+                np.asarray(x)
+                for x in jax.jit(dev.kernel, static_argnames=("R",))(
+                    ref_ids, pos, n_units, R
+                )
+            ]
+            if int(got[5]) or int(want[5]):
+                # overflowing trials prove nothing; the slot counts make
+                # this rare (assert so the test stays meaningful)
+                assert trial >= 2, "unexpected overflow on sparse trial"
+                continue
+            for g, w, name in zip(
+                got[:5], want[:5],
+                ("dst_pos", "gapbits", "d_vals", "d_pos", "d_n"),
+            ):
+                np.testing.assert_array_equal(g, w, err_msg=name)
+
     def test_event_geometry_native_matches_numpy(self):
         """The C event_geometry_batch is bit-identical to the numpy
         implementation, including the use_full (dense deletion) path and

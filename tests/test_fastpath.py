@@ -427,6 +427,35 @@ def test_fastlane_bam_input_output(msa_files, founder_seqs, tmp_path):
     ]
     assert got == want
 
+def test_fastlane_device_event_geometry_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """PANVC3_EVENT_GEOMETRY=device (the event tables searched on device
+    by DeviceEventGeometry.kernel_wire instead of on the host) must stay
+    byte-identical to the default host event path, including the ranges
+    TSV and a tiny batch size that exercises the bucket padding."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs, n_reads=150)
+    base, base_stats, base_ranges = _run(
+        sam, index_path, tmp_path, fastlane=True, name="devevbase"
+    )
+    monkeypatch.setenv("PANVC3_EVENT_GEOMETRY", "device")
+    dev, dev_stats, dev_ranges = _run(
+        sam, index_path, tmp_path, fastlane=True, name="devev"
+    )
+    dev16, _, dev16_ranges = _run(
+        sam, index_path, tmp_path, fastlane=True, name="devev16",
+        device_batch_size=16,
+    )
+    assert dev == base
+    assert dev16 == base
+    assert dev_ranges == base_ranges
+    assert dev16_ranges == base_ranges
+    assert dev_stats.matched_reads == base_stats.matched_reads
+    assert dev_stats.realigned_range_count == base_stats.realigned_range_count
+    assert dev_stats.removed_tag_counts == base_stats.removed_tag_counts
+
+
 def test_fastlane_parse_in_pool_byte_identical(
     msa_files, founder_seqs, tmp_path, monkeypatch
 ):
