@@ -378,14 +378,7 @@ def _kernel_metrics(
     from panvc3_tpu.ops.event_geometry import DeviceEventGeometry, EventGeometry
 
     host_geo = EventGeometry(src_entries, dst_entries, ref_id_mapping)
-    dev_geo = DeviceEventGeometry(
-        host_geo,
-        bp.index,
-        bp.src_dev_ids,
-        np.asarray(bp.dst_dev_ids, np.int32)[
-            np.asarray(ref_id_mapping, np.int32)
-        ],
-    )
+    dev_geo = DeviceEventGeometry(host_geo)
     ev_kern = jax.jit(dev_geo.kernel_wire, static_argnames=("R",))
     rid_dev = jax.device_put(
         np.asarray([rec.ref_id for rec in recs], np.int32)

@@ -2035,17 +2035,19 @@ cleanup_null:
 /* ------------------------------------------------------------------ */
 /* event_geometry_batch: C implementation of EventGeometry.batch
  * (ops/event_geometry.py).  Per record, the projection geometry is read
- * off the precomputed per-(src,dst)-pair difference events with two
- * binary searches, and dst_pos via select0 on the source gap bitvector +
- * rank0 on the destination one (msa_index.hh:239-258 semantics).
+ * off the precomputed per-(src,dst)-pair difference events with binary
+ * searches only: dst_pos comes from the prefix-sum identity
+ * dst.rank0(src.select0(u+1)) == u - G(u) + D(u) (see project_unit in
+ * ops/event_geometry.py; msa_index.hh:239-258 semantics) so no gap
+ * bitvector or rank table is touched at all — resident state is
+ * O(#MSA differences) per pair.
  *
  * event_geometry_batch(ref_ids y*(i32 B), pos y*(i32 B),
  *                      n_units y*(i32 B), R, K,
- *                      group (list: rid -> None | 9-tuple(
- *                          gap_start y*, gap_end y*, del_b y*, del_len y*
- *                          (all i64), src_words y*(u32), src_rank y*(i64),
- *                          src_nzeros int, dst_words y*(u32),
- *                          dst_rank y*(i64))))
+ *                      group (list: rid -> None | 7-tuple(
+ *                          gap_start y*, gap_end y*, del_b y*, del_len y*,
+ *                          gap_clen y*(n_gap+1), del_clen y*(n_del+1)
+ *                          (all i64), src_nzeros int)))
  *   -> (dst_pos i32[B], gapbits u8[B*ceil(R/8)], d_vals u8[B*K],
  *       d_pos u8[B*K], d_n u8[B], use_full int, d_full i32[B*R]|b"")
  * Outputs are bit-identical to the numpy implementation (enforced by
@@ -2053,71 +2055,11 @@ cleanup_null:
 
 typedef struct {
     const int64_t *gap_start, *gap_end, *del_b, *del_len;
+    const int64_t *gap_clen, *del_clen;
     Py_ssize_t n_gap, n_del;
-    const uint32_t *src_words;
-    const int64_t *src_rank;
-    Py_ssize_t src_nw;
     int64_t src_nzeros;
-    const uint32_t *dst_words;
-    const int64_t *dst_rank;
-    Py_ssize_t dst_nw;
     int present;
 } eg_pair;
-
-static inline int popcount32_c(uint32_t x)
-{
-#if defined(__GNUC__) || defined(__clang__)
-    return __builtin_popcount(x);
-#else
-    x = x - ((x >> 1) & 0x55555555u);
-    x = (x & 0x33333333u) + ((x >> 2) & 0x33333333u);
-    x = (x + (x >> 4)) & 0x0F0F0F0Fu;
-    return (int)((x * 0x01010101u) >> 24);
-#endif
-}
-
-/* zeros strictly before position pos */
-static inline int64_t eg_rank0(const uint32_t *words, const int64_t *rank,
-                               int64_t pos)
-{
-    int64_t w = pos >> 5;
-    uint32_t mask = (pos & 31) ? ((1u << (pos & 31)) - 1u) : 0u;
-    return rank[w] + popcount32_c(~words[w] & mask);
-}
-
-/* aligned position of the k-th zero (1-based), nw = number of words */
-static inline int64_t eg_select0(const uint32_t *words, const int64_t *rank,
-                                 Py_ssize_t nw, int64_t k)
-{
-    /* last word index w with rank[w] < k (rank has nw+1 entries) */
-    Py_ssize_t lo = 0, hi = nw + 1; /* searchsorted_left over rank */
-    while (lo < hi) {
-        Py_ssize_t mid = (lo + hi) / 2;
-        if (rank[mid] < k)
-            lo = mid + 1;
-        else
-            hi = mid;
-    }
-    Py_ssize_t w = lo - 1;
-    int64_t rem = k - rank[w];
-    uint32_t inv = ~words[w];
-    int64_t posn = 0, cur = 0;
-    int width = 16;
-    uint32_t shifted = inv;
-    while (width) {
-        uint32_t lower = shifted & ((1u << width) - 1u);
-        int cnt = popcount32_c(lower);
-        if (cnt < rem - cur) {
-            cur += cnt;
-            posn += width;
-            shifted >>= width;
-        } else {
-            shifted = lower;
-        }
-        width >>= 1;
-    }
-    return ((int64_t)w << 5) + posn;
-}
 
 static inline Py_ssize_t eg_searchsorted(const int64_t *a, Py_ssize_t n,
                                          int64_t v)
@@ -2127,6 +2069,21 @@ static inline Py_ssize_t eg_searchsorted(const int64_t *a, Py_ssize_t n,
     while (lo < hi) {
         Py_ssize_t mid = (lo + hi) / 2;
         if (a[mid] < v)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    return lo;
+}
+
+static inline Py_ssize_t eg_searchsorted_right(const int64_t *a,
+                                               Py_ssize_t n, int64_t v)
+{
+    /* right insertion point */
+    Py_ssize_t lo = 0, hi = n;
+    while (lo < hi) {
+        Py_ssize_t mid = (lo + hi) / 2;
+        if (a[mid] <= v)
             lo = mid + 1;
         else
             hi = mid;
@@ -2161,7 +2118,7 @@ PyObject *pv3_event_geometry_batch(PyObject *self, PyObject *args)
     int oom_flag = 0;
 
     pairs = PyMem_Calloc(n_rids ? n_rids : 1, sizeof(eg_pair));
-    views = PyMem_Calloc((n_rids ? n_rids : 1) * 8, sizeof(Py_buffer));
+    views = PyMem_Calloc((n_rids ? n_rids : 1) * 6, sizeof(Py_buffer));
     if (!pairs || !views) {
         PyErr_NoMemory();
         goto fail;
@@ -2172,25 +2129,21 @@ PyObject *pv3_event_geometry_batch(PyObject *self, PyObject *args)
             continue;
         long src_nzeros;
         Py_buffer *v = views + n_views;
-        if (!PyArg_ParseTuple(t, "y*y*y*y*y*y*ly*y*",
+        if (!PyArg_ParseTuple(t, "y*y*y*y*y*y*l",
                               &v[0], &v[1], &v[2], &v[3], &v[4], &v[5],
-                              &src_nzeros, &v[6], &v[7]))
+                              &src_nzeros))
             goto fail;
-        n_views += 8;
+        n_views += 6;
         eg_pair *pe = pairs + i;
         pe->gap_start = v[0].buf;
         pe->gap_end = v[1].buf;
         pe->del_b = v[2].buf;
         pe->del_len = v[3].buf;
+        pe->gap_clen = v[4].buf;
+        pe->del_clen = v[5].buf;
         pe->n_gap = v[0].len / 8;
         pe->n_del = v[2].len / 8;
-        pe->src_words = v[4].buf;
-        pe->src_rank = v[5].buf;
-        pe->src_nw = v[4].len / 4;
         pe->src_nzeros = src_nzeros;
-        pe->dst_words = v[6].buf;
-        pe->dst_rank = v[7].buf;
-        pe->dst_nw = v[6].len / 4;
         pe->present = 1;
     }
 
@@ -2224,16 +2177,29 @@ PyObject *pv3_event_geometry_batch(PyObject *self, PyObject *args)
         int64_t p = pos[k];
         int64_t n = n_units[k] < R ? n_units[k] : R;
 
-        /* dst_pos = dst.rank0(src.select0(clip(p+1, 1, src_nzeros))) */
-        int64_t kk = p + 1;
-        int64_t hi_clip = pe->src_nzeros > 1 ? pe->src_nzeros : 1;
-        if (kk < 1)
-            kk = 1;
-        if (kk > hi_clip)
-            kk = hi_clip;
-        int64_t acol = eg_select0(pe->src_words, pe->src_rank, pe->src_nw,
-                                  kk);
-        dst_pos[k] = (int32_t)eg_rank0(pe->dst_words, pe->dst_rank, acol);
+        /* dst_pos = dst.rank0(src.select0(u+1)) = u - G(u) + D(u) over
+         * the event prefix sums (project_unit identity) */
+        int64_t u = p;
+        int64_t u_hi = pe->src_nzeros - 1;
+        if (u_hi < 0)
+            u_hi = 0;
+        if (u < 0)
+            u = 0;
+        if (u > u_hi)
+            u = u_hi;
+        int64_t g_cov = 0;
+        if (pe->n_gap) {
+            Py_ssize_t j = eg_searchsorted(pe->gap_end, pe->n_gap, u);
+            Py_ssize_t i2 = eg_searchsorted(pe->gap_start, pe->n_gap, u);
+            g_cov = pe->gap_clen[j];
+            if (i2 > j)
+                g_cov += u - pe->gap_start[j];
+        }
+        int64_t d_cov = 0;
+        if (pe->n_del)
+            d_cov = pe->del_clen[eg_searchsorted_right(pe->del_b,
+                                                       pe->n_del, u)];
+        dst_pos[k] = (int32_t)(u - g_cov + d_cov);
 
         /* gap runs overlapping [p, p+n) */
         if (pe->n_gap) {

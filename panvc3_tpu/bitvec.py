@@ -2,25 +2,38 @@
 
 TPU-native replacement for the reference's ``sdsl::rrr_vector<15>`` plus
 rank0/select0 supports (/root/reference/include/panvc3/msa_index.hh:43-54,
-239-258).  Instead of RRR compression we store:
+239-258).  Instead of RRR compression we store the plain packed bits plus
+a two-level rank directory (sdsl ``rank_support_v5``-class overhead,
+~0.07 bits per column, so ~1.07 bits/column resident total — the
+genome-scale memory answer; the reference needs RRR because sdsl's plain
+rank support costs far more):
 
-- ``words``:      uint32[ceil(n/32)] packed bits (bit i of word w = position
-                  32*w + i; 1 == gap),
-- ``block_rank0``: int64[ceil(n/32)+1] cumulative count of zeros strictly
-                  before each word boundary.
+- ``words``:     uint32[ceil(n/32)] packed bits (bit i of word w =
+                 position 32*w + i; 1 == gap),
+- ``sb_rank0``:  int64[ceil(nw/256)+1] zeros strictly before each
+                 256-word (8192-bit) superblock, final entry = total,
+- ``rel_rank0``: uint16[ceil(nw/8)] zeros from the enclosing superblock
+                 start to each 8-word (256-bit) block start.
 
-rank0(pos)   = block_rank0[pos>>5] + popcount(~word & mask(pos&31))
-select0(k)   = binary search block_rank0 for the word containing the k-th
-               zero, then an in-word popcount binary search.
+rank0(pos)   = sb + rel + masked popcounts over the block's 8 words
+select0(k)   = binary search superblocks, fixed-trip search of the 32
+               in-superblock blocks, popcount scan of the 8 block words,
+               then an in-word popcount binary search.
 
-Both are branch-free gather+popcount pipelines, which is exactly what the
-TPU's VPU wants; the same arrays are uploaded to HBM unchanged for the
-batched device kernels in :mod:`panvc3_tpu.ops.rank_select`.
+Everything is branch-free gather+popcount pipelines, which is exactly
+what the TPU's VPU wants; the hot projection paths never even touch
+these structures — they run on the O(#MSA-differences) event tables of
+:mod:`panvc3_tpu.ops.event_geometry`, and the batched device kernels in
+:mod:`panvc3_tpu.ops.rank_select` build their own HBM tables from
+``words`` under an HBM budget policy.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+BLOCK_WORDS = 8    # 256-bit rank block
+SB_BLOCKS = 32     # 32 blocks = 256 words = 8192 bits per superblock
 
 
 def pack_bits(bits: np.ndarray) -> np.ndarray:
@@ -61,23 +74,47 @@ class GapBitVector:
     correspond to actual sequence characters ("unaligned" positions).
     """
 
-    __slots__ = ("n", "n_zeros", "words", "block_rank0")
+    __slots__ = ("n", "n_zeros", "words", "sb_rank0", "rel_rank0")
 
-    def __init__(self, words: np.ndarray, n: int, block_rank0: np.ndarray | None = None):
+    def __init__(
+        self,
+        words: np.ndarray,
+        n: int,
+        sb_rank0: np.ndarray | None = None,
+        rel_rank0: np.ndarray | None = None,
+    ):
         self.words = np.ascontiguousarray(words, dtype=np.uint32)
         self.n = int(n)
-        if block_rank0 is None:
-            # zeros per word; padding bits beyond n are zeros in the packed
-            # representation, so mask them out of the last word's count.
-            zeros_per_word = 32 - _popcount32(self.words)
-            tail = self.n & 31
-            if tail and len(zeros_per_word):
-                pad = 32 - tail
-                zeros_per_word[-1] -= pad
-            block_rank0 = np.zeros(len(self.words) + 1, dtype=np.int64)
-            np.cumsum(zeros_per_word, out=block_rank0[1:])
-        self.block_rank0 = np.ascontiguousarray(block_rank0, dtype=np.int64)
-        self.n_zeros = int(self.block_rank0[-1])
+        nw = len(self.words)
+        if sb_rank0 is None or rel_rank0 is None:
+            cum = self._word_rank0()
+            sbw = BLOCK_WORDS * SB_BLOCKS
+            n_sb = (nw + sbw - 1) // sbw
+            n_blocks = (nw + BLOCK_WORDS - 1) // BLOCK_WORDS
+            sb_idx = np.minimum(np.arange(n_sb + 1, dtype=np.int64) * sbw, nw)
+            sb_rank0 = cum[sb_idx]
+            blk_idx = np.minimum(
+                np.arange(n_blocks, dtype=np.int64) * BLOCK_WORDS, nw
+            )
+            rel_rank0 = (
+                cum[blk_idx] - sb_rank0[np.arange(n_blocks) // SB_BLOCKS]
+            ).astype(np.uint16)
+        self.sb_rank0 = np.ascontiguousarray(sb_rank0, dtype=np.int64)
+        self.rel_rank0 = np.ascontiguousarray(rel_rank0, dtype=np.uint16)
+        self.n_zeros = int(self.sb_rank0[-1])
+
+    def _word_rank0(self) -> np.ndarray:
+        """int64[nw+1] zeros strictly before each word boundary (transient;
+        built on demand for the device HBM tables, not kept resident)."""
+        zeros_per_word = 32 - _popcount32(self.words)
+        # padding bits beyond n are zeros in the packed representation —
+        # mask them out of the last word's count
+        tail = self.n & 31
+        if tail and len(zeros_per_word):
+            zeros_per_word[-1] -= 32 - tail
+        cum = np.zeros(len(self.words) + 1, dtype=np.int64)
+        np.cumsum(zeros_per_word, out=cum[1:])
+        return cum
 
     @classmethod
     def from_gap_string(cls, seq: str | bytes, gap: str = "-") -> "GapBitVector":
@@ -107,20 +144,32 @@ class GapBitVector:
         pos = np.asarray(pos, dtype=np.int64)
         return ((self.words[pos >> 5] >> (pos & 31).astype(np.uint32)) & 1).astype(np.uint8)
 
+    @property
+    def nbytes(self) -> int:
+        """Resident bytes of the packed bits + rank directory."""
+        return self.words.nbytes + self.sb_rank0.nbytes + self.rel_rank0.nbytes
+
     # -- rank/select -------------------------------------------------------
 
     def rank0(self, pos) -> np.ndarray:
         """Number of zeros strictly before aligned position ``pos``.
 
         Matches sdsl rank0 semantics used by project_aligned_position
-        (/root/reference/include/panvc3/msa_index.hh:246-250).  Vectorised.
+        (/root/reference/include/panvc3/msa_index.hh:246-250).  Vectorised:
+        directory lookup + masked popcounts over the block's 8 words.
         """
         pos = np.asarray(pos, dtype=np.int64)
-        word_idx = pos >> 5
-        bit_idx = (pos & 31).astype(np.uint32)
-        base = self.block_rank0[word_idx]
-        mask = (np.uint64(1) << bit_idx.astype(np.uint64)) - np.uint64(1)
-        inword = _popcount32((~self.words[word_idx]) & mask.astype(np.uint32))
+        nw = len(self.words)
+        n_blocks = len(self.rel_rank0)
+        blk = np.minimum(pos >> 8, max(n_blocks - 1, 0))
+        base = self.sb_rank0[blk >> 5] + self.rel_rank0[blk]
+        lanes = (blk << 3)[..., None] + np.arange(BLOCK_WORDS, dtype=np.int64)
+        wv = self.words[np.minimum(lanes, max(nw - 1, 0))]
+        # bits of lane j counted: max(0, min(pos - 32*lane, 32)); padding
+        # bits (>= n >= pos) are excluded by the limit automatically
+        lim = np.clip(pos[..., None] - (lanes << 5), 0, 32).astype(np.uint64)
+        mask = ((np.uint64(1) << lim) - np.uint64(1)).astype(np.uint32)
+        inword = _popcount32((~wv) & mask).sum(axis=-1)
         return base + inword
 
     def select0(self, k) -> np.ndarray:
@@ -131,9 +180,33 @@ class GapBitVector:
         (/root/reference/include/panvc3/msa_index.hh:239-243).  Vectorised.
         """
         k = np.asarray(k, dtype=np.int64)
-        # word containing the k-th zero: last word index w with block_rank0[w] < k
-        word_idx = np.searchsorted(self.block_rank0, k, side="left") - 1
-        rem = k - self.block_rank0[word_idx]  # 1-based rank of the zero within the word
+        nw = len(self.words)
+        n_blocks = len(self.rel_rank0)
+        # superblock containing the k-th zero
+        s = np.searchsorted(self.sb_rank0, k, side="left") - 1
+        s = np.clip(s, 0, max(len(self.sb_rank0) - 2, 0))
+        rem_s = k - self.sb_rank0[s]
+        # last block b in the superblock with rel_rank0[b] < rem_s
+        lo = s << 5
+        hi = np.minimum(lo + SB_BLOCKS, n_blocks)
+        for _ in range(6):  # fixed-trip bisect over <= 32 blocks
+            mid = (lo + hi) >> 1
+            relv = self.rel_rank0[np.minimum(mid, max(n_blocks - 1, 0))].astype(np.int64)
+            go = (relv < rem_s) & (mid < hi)
+            lo = np.where(go, mid + 1, lo)
+            hi = np.where(go, hi, mid)
+        b = np.maximum(lo - 1, 0)
+        rem_b = rem_s - self.rel_rank0[b].astype(np.int64)
+        # word within the block (padding zeros sit above all real zeros,
+        # so the exclusive-cumulative comparison is unaffected by them)
+        lanes = (b << 3)[..., None] + np.arange(BLOCK_WORDS, dtype=np.int64)
+        wv = self.words[np.minimum(lanes, max(nw - 1, 0))]
+        zc = _popcount32(~wv)
+        cum = np.cumsum(zc, axis=-1)
+        cumexcl = cum - zc
+        lane = np.sum(cumexcl < rem_b[..., None], axis=-1) - 1
+        word_idx = (b << 3) + lane
+        rem = rem_b - np.take_along_axis(cumexcl, lane[..., None], -1)[..., 0]
         inv = (~self.words[word_idx]).astype(np.uint32)
         # in-word binary search over 5 levels using prefix popcounts
         pos = np.zeros_like(k)
@@ -153,8 +226,15 @@ class GapBitVector:
     # -- (de)serialisation -------------------------------------------------
 
     def state(self) -> dict:
-        return {"words": self.words, "n": np.int64(self.n), "block_rank0": self.block_rank0}
+        return {
+            "words": self.words,
+            "n": np.int64(self.n),
+            "sb_rank0": self.sb_rank0,
+            "rel_rank0": self.rel_rank0,
+        }
 
     @classmethod
-    def from_state(cls, words, n, block_rank0) -> "GapBitVector":
-        return cls(np.asarray(words, dtype=np.uint32), int(n), np.asarray(block_rank0, dtype=np.int64))
+    def from_state(cls, words, n, sb_rank0=None, rel_rank0=None) -> "GapBitVector":
+        sb = None if sb_rank0 is None else np.asarray(sb_rank0, dtype=np.int64)
+        rel = None if rel_rank0 is None else np.asarray(rel_rank0, dtype=np.uint16)
+        return cls(np.asarray(words, dtype=np.uint32), int(n), sb, rel)

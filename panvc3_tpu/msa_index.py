@@ -24,7 +24,9 @@ import numpy as np
 from .bitvec import GapBitVector
 
 MAGIC = "panvc3_tpu-msa-index"
-FORMAT_VERSION = 1
+# v1: per-word int64 rank array; v2: two-level rank directory
+# (int64 superblocks + uint16 relative blocks, see bitvec.GapBitVector)
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -123,7 +125,8 @@ class MsaIndex:
                 st = entry.gaps.state()
                 arrays[f"{key}_words"] = st["words"]
                 arrays[f"{key}_n"] = np.array([st["n"]], dtype=np.int64)
-                arrays[f"{key}_rank"] = st["block_rank0"]
+                arrays[f"{key}_sb"] = st["sb_rank0"]
+                arrays[f"{key}_rel"] = st["rel_rank0"]
         arrays["__names__"] = np.frombuffer("\n".join(names).encode(), dtype=np.uint8)
         with open(path, "wb") as fh:
             np.savez_compressed(fh, **arrays)
@@ -166,9 +169,19 @@ class MsaIndex:
                     chr_id, seq_id, key = line.split("\t")
                     if chr_ids is not None and chr_id not in chr_ids:
                         continue
-                    gv = GapBitVector.from_state(
-                        data[f"{key}_words"], int(data[f"{key}_n"][0]), data[f"{key}_rank"]
-                    )
+                    if version >= 2:
+                        gv = GapBitVector.from_state(
+                            data[f"{key}_words"],
+                            int(data[f"{key}_n"][0]),
+                            data[f"{key}_sb"],
+                            data[f"{key}_rel"],
+                        )
+                    else:
+                        # v1 stored a per-word rank array; rebuild the
+                        # two-level directory from the words instead
+                        gv = GapBitVector.from_state(
+                            data[f"{key}_words"], int(data[f"{key}_n"][0])
+                        )
                     chrom = chrom_map.get(chr_id)
                     if chrom is None:
                         chrom = ChrEntry(chr_id)

@@ -40,6 +40,16 @@ class PairEvents:
     gap_end: np.ndarray    # int64[] last unit rank (inclusive)
     del_b: np.ndarray      # int64[] boundary rank (strictly increasing)
     del_len: np.ndarray    # int64[] dst bases between units b-1 and b
+    gap_clen: np.ndarray   # int64[n_gap+1] cumulative gap-run lengths
+    del_clen: np.ndarray   # int64[n_del+1] cumulative deleted-base counts
+
+
+def _make_pair_events(gap_start, gap_end, del_b, del_len) -> PairEvents:
+    gap_clen = np.zeros(len(gap_start) + 1, np.int64)
+    np.cumsum(gap_end - gap_start + 1, out=gap_clen[1:])
+    del_clen = np.zeros(len(del_b) + 1, np.int64)
+    np.cumsum(del_len, out=del_clen[1:])
+    return PairEvents(gap_start, gap_end, del_b, del_len, gap_clen, del_clen)
 
 
 def build_pair_events(src: GapBitVector, dst: GapBitVector) -> PairEvents:
@@ -49,12 +59,12 @@ def build_pair_events(src: GapBitVector, dst: GapBitVector) -> PairEvents:
     nzw = np.flatnonzero(wd)
     empty = np.zeros(0, np.int64)
     if nzw.size == 0:
-        return PairEvents(empty, empty, empty, empty)
+        return _make_pair_events(empty, empty, empty, empty)
     bits = ((wd[nzw, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1).astype(bool)
     cols = ((nzw.astype(np.int64) << 5)[:, None] + np.arange(32, dtype=np.int64)[None, :])[bits]
     cols = cols[cols < min(src.n, dst.n)]
     if cols.size == 0:
-        return PairEvents(empty, empty, empty, empty)
+        return _make_pair_events(empty, empty, empty, empty)
     sbit = src.bit_at(cols)
     srank = src.rank0(cols)
 
@@ -74,7 +84,38 @@ def build_pair_events(src: GapBitVector, dst: GapBitVector) -> PairEvents:
         del_len = del_len.astype(np.int64)
     else:
         del_b = del_len = empty
-    return PairEvents(gap_start, gap_end, del_b, del_len)
+    return _make_pair_events(gap_start, gap_end, del_b, del_len)
+
+
+def project_unit(pe: PairEvents, u: np.ndarray) -> np.ndarray:
+    """Destination position of source unit ``u`` from the events alone.
+
+    Identity: ``dst.rank0(src.select0(u + 1)) == u - G(u) + D(u)`` where
+    ``G(u)`` counts source units below ``u`` that project onto destination
+    gaps (gap-event coverage of ``[0, u)``) and ``D(u)`` counts
+    destination-only bases at boundaries ``<= u`` (del-event prefix sum).
+    Proof sketch: the aligned columns before ``select0(u+1)`` hold exactly
+    ``u`` source units plus the source gaps of rank ``<= u``; a column is
+    a destination zero unless it is a gap/del difference event.  This
+    replaces the rank/select evaluation of project_position
+    (/root/reference/include/panvc3/msa_index.hh:253-258) with two binary
+    searches over the O(#MSA-differences) event tables.
+    """
+    u = np.asarray(u, dtype=np.int64)
+    if pe.gap_start.size:
+        j = np.searchsorted(pe.gap_end, u, side="left")
+        i = np.searchsorted(pe.gap_start, u, side="left")
+        straddle = np.where(
+            i > j, u - pe.gap_start[np.minimum(j, pe.gap_start.size - 1)], 0
+        )
+        g = pe.gap_clen[j] + straddle
+    else:
+        g = np.zeros_like(u)
+    if pe.del_b.size:
+        d = pe.del_clen[np.searchsorted(pe.del_b, u, side="right")]
+    else:
+        d = np.zeros_like(u)
+    return u - g + d
 
 
 def _ranges(cnt: np.ndarray) -> np.ndarray:
@@ -109,18 +150,17 @@ class DeviceEventGeometry:
     GAP_SLOTS = 8   # dst-gap runs a record may overlap
     DEL_SLOTS = 8   # deletion boundaries a record may overlap (= K)
 
-    def __init__(self, host_geo: "EventGeometry", index, src_dev_ids, dst_dev_ids):
-        """``src_dev_ids``/``dst_dev_ids``: device sequence id per INPUT
-        reference id (the destination side already composed through
-        ref_id_mapping)."""
+    def __init__(self, host_geo: "EventGeometry"):
+        """All tables (incl. the prefix sums used for the initial-position
+        identity, see :func:`project_unit`) come from the host event
+        geometry; no device rank/select structures are required."""
         import jax.numpy as jnp
 
-        self.index = index
-        self.src_dev_ids = np.asarray(src_dev_ids, np.int32)
-        self.dst_dev_ids = np.asarray(dst_dev_ids, np.int32)
         gs_parts, ge_parts, db_parts, dl_parts = [], [], [], []
         gap_off, del_off = [0], [0]
-        for pe in host_geo.events:
+        nzeros = []
+        for pe, sgv in zip(host_geo.events, host_geo.src_gv):
+            nzeros.append(sgv.n_zeros if sgv is not None else 0)
             if pe is None:
                 gap_off.append(gap_off[-1])
                 del_off.append(del_off[-1])
@@ -141,12 +181,27 @@ class DeviceEventGeometry:
             # one sentinel so fixed-trip searches can clamp safely
             return jnp.asarray(np.r_[a, np.int32(2**31 - 1)].astype(np.int32))
 
+        def catsum(parts):
+            # global cumulative sums; per-pair values are differences
+            # against the value at the pair's base offset
+            a = (
+                np.concatenate(parts).astype(np.int64)
+                if parts
+                else np.zeros(0, np.int64)
+            )
+            return jnp.asarray(np.r_[np.int64(0), np.cumsum(a)].astype(np.int32))
+
         self.gap_start = cat(gs_parts)
         self.gap_end = cat(ge_parts)
         self.del_b = cat(db_parts)
         self.del_len = cat(dl_parts)
+        self.gap_clen = catsum(
+            [pe_ge - pe_gs + 1 for pe_gs, pe_ge in zip(gs_parts, ge_parts)]
+        )
+        self.del_clen = catsum(dl_parts)
         self.gap_off = jnp.asarray(np.asarray(gap_off, np.int32))
         self.del_off = jnp.asarray(np.asarray(del_off, np.int32))
+        self.nzeros = jnp.asarray(np.asarray(nzeros, np.int32))
         self.max_gap = int(np.max(np.diff(gap_off), initial=0))
         self.max_del = int(np.max(np.diff(del_off), initial=0))
 
@@ -171,18 +226,32 @@ class DeviceEventGeometry:
                 hi = jnp.where(go_right, hi, mid)
             return lo
 
-        src = jnp.asarray(self.src_dev_ids)[ref_ids]
-        dst = jnp.asarray(self.dst_dev_ids)[ref_ids]
         p = pos.astype(jnp.int32)
         n = jnp.minimum(n_units.astype(jnp.int32), R)
         B = p.shape[0]
-
-        initial = self.index.rank0(dst, self.index.select0(src, p + 1))
 
         gsteps = max(1, int(np.ceil(np.log2(self.max_gap + 1))) + 1)
         dsteps = max(1, int(np.ceil(np.log2(self.max_del + 1))) + 1)
         g_lo0 = self.gap_off[ref_ids]
         g_hi0 = self.gap_off[ref_ids + 1]
+        d_lo = self.del_off[ref_ids]
+        d_hi = self.del_off[ref_ids + 1]
+
+        # initial = u - G(u) + D(u) over the event prefix sums (see
+        # project_unit); no rank/select tables involved.
+        u = jnp.clip(p, 0, jnp.maximum(self.nzeros[ref_ids] - 1, 0))
+        ju = searchsorted(self.gap_end, g_lo0, g_hi0, u, gsteps)
+        iu = searchsorted(self.gap_start, g_lo0, g_hi0, u, gsteps)
+        straddle = jnp.where(
+            iu > ju,
+            u - self.gap_start[jnp.clip(ju, 0, self.gap_start.shape[0] - 1)],
+            0,
+        )
+        g_cov = self.gap_clen[ju] - self.gap_clen[g_lo0] + straddle
+        jd = searchsorted(self.del_b, d_lo, d_hi, u + 1, dsteps)
+        d_cov = self.del_clen[jd] - self.del_clen[d_lo]
+        initial = (u - g_cov + d_cov).astype(jnp.int32)
+
         lo = searchsorted(self.gap_end, g_lo0, g_hi0, p, gsteps)
         hi = searchsorted(self.gap_start, g_lo0, g_hi0, p + n, gsteps)
         gcnt = jnp.maximum(hi - lo, 0)
@@ -203,10 +272,8 @@ class DeviceEventGeometry:
         weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
         gapbits = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
 
-        d_lo0 = self.del_off[ref_ids]
-        d_hi0 = self.del_off[ref_ids + 1]
-        dlo = searchsorted(self.del_b, d_lo0, d_hi0, p + 1, dsteps)
-        dhi = searchsorted(self.del_b, d_lo0, d_hi0, p + n, dsteps)
+        dlo = searchsorted(self.del_b, d_lo, d_hi, p + 1, dsteps)
+        dhi = searchsorted(self.del_b, d_lo, d_hi, p + n, dsteps)
         dcnt = jnp.maximum(dhi - dlo, 0)
 
         K = D_SPARSE_SLOTS
@@ -295,8 +362,9 @@ class EventGeometry:
                         np.ascontiguousarray(pe.gap_end),
                         np.ascontiguousarray(pe.del_b),
                         np.ascontiguousarray(pe.del_len),
-                        s.words, s.block_rank0, int(s.n_zeros),
-                        d.words, d.block_rank0,
+                        np.ascontiguousarray(pe.gap_clen),
+                        np.ascontiguousarray(pe.del_clen),
+                        int(s.n_zeros),
                     ))
 
     def batch(
@@ -339,14 +407,13 @@ class EventGeometry:
             idx = np.flatnonzero(ref_ids == rid)
             pe = self.events[rid]
             sgv = self.src_gv[rid]
-            dgv = self.dst_gv[rid]
             if pe is None:
                 raise ValueError(f"record references index-less ref id {rid}")
             p = pos[idx].astype(np.int64)
             n = np.minimum(n_units[idx].astype(np.int64), R)
 
-            k = np.clip(p + 1, 1, max(1, sgv.n_zeros))
-            dst_pos[idx] = dgv.rank0(sgv.select0(k)).astype(np.int32)
+            u = np.clip(p, 0, max(0, sgv.n_zeros - 1))
+            dst_pos[idx] = project_unit(pe, u).astype(np.int32)
 
             if pe.gap_start.size:
                 lo = np.searchsorted(pe.gap_end, p, side="left")

@@ -107,13 +107,16 @@ class DeviceGapIndex:
         woff = boff = 0
         for gv in vectors:
             words_parts.append(gv.words)
-            brank_parts.append(gv.block_rank0.astype(np.int32))
+            # per-word zero ranks, materialised transiently for the HBM
+            # copy (the host directory is two-level, bitvec.GapBitVector)
+            wr = gv._word_rank0().astype(np.int32)
+            brank_parts.append(wr)
             word_off.append(woff)
             brank_off.append(boff)
             nwords.append(len(gv.words))
             nzeros.append(gv.n_zeros)
             woff += len(gv.words)
-            boff += len(gv.block_rank0)
+            boff += len(wr)
         max_nwords = max(nwords) if nwords else 1
 
         total_zeros = sum(nzeros)

@@ -111,15 +111,7 @@ def run_fast(
         from ..ops.event_geometry import DeviceEventGeometry, EventGeometry
 
         dev_event_host = EventGeometry(src_entries, dst_entries, ref_id_mapping)
-        rim_np = np.asarray(ref_id_mapping, dtype=np.int32)
-        dst_per_rid = (
-            np.asarray(bp.dst_dev_ids, np.int32)[rim_np]
-            if len(ref_id_mapping)
-            else np.zeros(0, np.int32)
-        )
-        dev_event = DeviceEventGeometry(
-            dev_event_host, bp.index, bp.src_dev_ids, dst_per_rid
-        )
+        dev_event = DeviceEventGeometry(dev_event_host)
         dev_event_wire = jax.jit(dev_event.kernel_wire, static_argnames=("R",))
     elif _ev_mode != "0":
         from ..ops.event_geometry import EventGeometry

@@ -66,6 +66,76 @@ def test_serialisation_state_roundtrip():
     bits = (rng.random(500) < 0.4).astype(np.uint8)
     gv = GapBitVector.from_bits(bits)
     st = gv.state()
-    gv2 = GapBitVector.from_state(st["words"], st["n"], st["block_rank0"])
+    gv2 = GapBitVector.from_state(
+        st["words"], st["n"], st["sb_rank0"], st["rel_rank0"]
+    )
     pos = np.arange(500)
     assert np.array_equal(gv.rank0(pos), gv2.rank0(pos))
+    # rebuilding the directory from the words alone (v1-archive load path)
+    gv3 = GapBitVector.from_state(st["words"], st["n"])
+    assert np.array_equal(gv3.sb_rank0, gv.sb_rank0)
+    assert np.array_equal(gv3.rel_rank0, gv.rel_rank0)
+
+
+@pytest.mark.parametrize("n", [255, 256, 8192, 8193, 70000])
+def test_rank_directory_boundaries(n):
+    """rank0/select0 across block (256-bit) and superblock (8192-bit)
+    boundaries, including the pos == n and k == n_zeros edges."""
+    rng = np.random.default_rng(n)
+    bits = (rng.random(n) < 0.15).astype(np.uint8)
+    bits[-1] = 0
+    gv = GapBitVector.from_bits(bits)
+    zeros = np.flatnonzero(bits == 0)
+    csum = np.r_[0, np.cumsum(bits == 0)]
+    # all block/superblock edges plus the extremes
+    edges = np.unique(np.clip(np.r_[
+        0, 1, n - 1, n,
+        np.arange(0, n + 1, 256), np.arange(0, n + 1, 8192),
+        np.arange(255, n, 256), rng.integers(0, n + 1, 64),
+    ], 0, n))
+    assert np.array_equal(gv.rank0(edges), csum[edges])
+    ks = np.unique(np.clip(np.r_[
+        1, gv.n_zeros, rng.integers(1, gv.n_zeros + 1, 128),
+    ], 1, gv.n_zeros))
+    assert np.array_equal(gv.select0(ks), zeros[ks - 1])
+
+
+def test_load_v1_index_archive(tmp_path):
+    """v1 archives (per-word int64 rank arrays) still load; the two-level
+    directory is rebuilt from the packed words."""
+    from panvc3_tpu.msa_index import MAGIC, MsaIndex
+
+    rng = np.random.default_rng(3)
+    bits = (rng.random(700) < 0.2).astype(np.uint8)
+    gv = GapBitVector.from_bits(bits)
+    # per-word rank array exactly as FORMAT_VERSION=1 wrote it
+    v1_rank = gv._word_rank0()
+    arrays = {
+        "__magic__": np.frombuffer(MAGIC.encode(), dtype=np.uint8),
+        "__version__": np.array([1], dtype=np.int64),
+        "__names__": np.frombuffer(b"chr1\tREF\te0_0", dtype=np.uint8),
+        "e0_0_words": gv.words,
+        "e0_0_n": np.array([gv.n], dtype=np.int64),
+        "e0_0_rank": v1_rank,
+    }
+    p = tmp_path / "v1.npz"
+    with open(p, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    idx = MsaIndex.load(str(p))
+    entry = idx.find("chr1", "REF")
+    pos = np.arange(700)
+    assert np.array_equal(entry.gaps.rank0(pos), gv.rank0(pos))
+    ks = np.arange(1, gv.n_zeros + 1)
+    assert np.array_equal(entry.gaps.select0(ks), gv.select0(ks))
+
+
+def test_rank_directory_memory_overhead():
+    """The resident rank directory must stay v5-class: < 0.08 bits per
+    column on top of the 1-bit packed words (the genome-scale memory
+    contract replacing the reference's rrr_vector, msa_index.hh:43-54)."""
+    n = 4_000_000
+    rng = np.random.default_rng(11)
+    gv = GapBitVector.from_bits((rng.random(n) < 0.02).astype(np.uint8))
+    directory_bits = 8 * (gv.sb_rank0.nbytes + gv.rel_rank0.nbytes)
+    assert directory_bits / n < 0.08
+    assert 8 * gv.nbytes / n < 1.1

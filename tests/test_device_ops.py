@@ -522,10 +522,7 @@ class TestWireFormats:
             ]
 
             host = EventGeometry(entries, [entries[0]], rim)
-            dev = DeviceEventGeometry(
-                host, index, np.arange(3, dtype=np.int32),
-                np.zeros(3, dtype=np.int32),
-            )
+            dev = DeviceEventGeometry(host)
             got = [
                 np.asarray(x)
                 for x in jax.jit(dev.kernel, static_argnames=("R",))(
