@@ -104,6 +104,8 @@ def run_fast(
     # kernel (ops/event_geometry.DeviceEventGeometry — ~3x the gap kernel,
     # for hosts that want the geometry off-CPU), with the host event path
     # as the bit-identical fallback on event-slot overflow.
+    from ..ops.event_geometry import project_unit
+
     event_geo = None
     dev_event = dev_event_wire = dev_event_host = None
     _ev_mode = os.environ.get("PANVC3_EVENT_GEOMETRY", "1")
@@ -320,18 +322,27 @@ def run_fast(
             t0 = _tick("rewrite_dispatch", t0)
 
         # host mate projection, vectorised per distinct mate reference
-        # (project_position, msa_index.hh:253-258)
+        # (project_position, msa_index.hh:253-258); runs on the event
+        # prefix sums (project_unit identity) when event geometry is
+        # active so no rank/select structure is touched
         mate_dst = np.full(kept, -1, dtype=np.int32)
         mrid = fields[:, 4]
         mpos = fields[:, 5]
         mask = (mrid >= 0) & (mpos >= 0)
         if mask.any():
+            geo = event_geo if event_geo is not None else dev_event_host
             for mr in np.unique(mrid[mask]):
                 sel = mask & (mrid == mr)
-                dst_e = dst_entries[int(rim[mr])]
-                mate_dst[sel] = src_entries[int(mr)].project_position(
-                    mpos[sel], dst_e
-                )
+                pe = geo.events[int(mr)] if geo is not None else None
+                if pe is not None:
+                    sgv = geo.src_gv[int(mr)]
+                    u = np.clip(mpos[sel], 0, max(0, sgv.n_zeros - 1))
+                    mate_dst[sel] = project_unit(pe, u).astype(np.int32)
+                else:
+                    dst_e = dst_entries[int(rim[mr])]
+                    mate_dst[sel] = src_entries[int(mr)].project_position(
+                        mpos[sel], dst_e
+                    )
 
         return {
             "staged": staged,
