@@ -1148,6 +1148,11 @@ static PyMethodDef methods[] = {
     {"sam_text_to_bam", pv3_sam_text_to_bam, METH_VARARGS,
      "Encode SAM text record lines as BAM alignment records (fast lane "
      "BAM output)."},
+    {"bgzf_compress", pv3_bgzf_compress, METH_VARARGS,
+     "Parallel BGZF deflate of a byte buffer (whole blocks, no EOF "
+     "marker)."},
+    {"bgzf_decompress", pv3_bgzf_decompress, METH_VARARGS,
+     "Parallel BGZF inflate of a whole-block stream, CRC-checked."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -9,6 +9,7 @@ decompression.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -23,6 +24,56 @@ MAX_BLOCK_UNCOMPRESSED = 65280
 def is_bgzf(path: str) -> bool:
     with open(path, "rb") as fh:
         return fh.read(4) == BGZF_MAGIC
+
+
+def _native_bgzf():
+    """The C parallel codec (native/bgzf.c), or None."""
+    from ..native import get_native
+
+    nat = get_native()
+    if nat is not None and hasattr(nat, "bgzf_decompress"):
+        return nat
+    return None
+
+
+def bgzf_threads() -> int:
+    v = os.environ.get("PANVC3_BGZF_THREADS")
+    if v:
+        return max(1, int(v))
+    return min(8, os.cpu_count() or 1)
+
+
+def _parse_block_header(buf, off: int) -> int:
+    """BSIZE (total compressed block size) of the block at ``off``, or 0
+    if the header is incomplete; raises on a non-BGZF prefix."""
+    if off + 12 > len(buf):
+        return 0
+    if bytes(buf[off:off + 4]) != BGZF_MAGIC:
+        raise ValueError("not a BGZF block")
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    end = off + 12 + xlen
+    if end > len(buf):
+        return 0
+    xo = off + 12
+    while xo + 4 <= end:
+        si1, si2 = buf[xo], buf[xo + 1]
+        slen = struct.unpack_from("<H", buf, xo + 2)[0]
+        if si1 == 66 and si2 == 67 and slen == 2 and xo + 6 <= end:
+            return struct.unpack_from("<H", buf, xo + 4)[0] + 1
+        xo += 4 + slen
+    raise ValueError("BGZF block without BC subfield")
+
+
+def whole_block_prefix(buf) -> int:
+    """Largest p such that buf[:p] consists of whole BGZF blocks."""
+    off = 0
+    n = len(buf)
+    while off < n:
+        bsize = _parse_block_header(buf, off)
+        if bsize == 0 or off + bsize > n:
+            break
+        off += bsize
+    return off
 
 
 def _read_block(fh) -> tuple[bytes, int] | None:
@@ -54,7 +105,12 @@ def _read_block(fh) -> tuple[bytes, int] | None:
 
 
 def read_all(path: str) -> bytes:
-    """Decompress an entire BGZF file."""
+    """Decompress an entire BGZF file (parallel inflate when the native
+    codec is built)."""
+    nat = _native_bgzf()
+    if nat is not None:
+        with open(path, "rb") as fh:
+            return nat.bgzf_decompress(fh.read(), bgzf_threads())
     chunks = []
     with open(path, "rb") as fh:
         while True:
@@ -93,16 +149,26 @@ class BgzfReader:
         return entries
 
     def _scan_blocks(self) -> list[tuple[int, int]]:
+        # header-walk only: BSIZE from the BC subfield, ISIZE from the
+        # trailer — no inflate needed to build the index
         entries = [(0, 0)]
         comp = uncomp = 0
         self._fh.seek(0)
         while True:
-            blk = _read_block(self._fh)
-            if blk is None:
+            header = self._fh.read(12)
+            if not header:
                 break
-            data, bsize = blk
+            if len(header) < 12 or header[:4] != BGZF_MAGIC:
+                raise ValueError("not a BGZF block")
+            xlen = struct.unpack("<H", header[10:12])[0]
+            extra = self._fh.read(xlen)
+            bsize = _parse_block_header(header + extra, 0)
+            if bsize == 0:
+                raise ValueError("truncated BGZF header")
+            self._fh.seek(comp + bsize - 4)
+            (isize,) = struct.unpack("<I", self._fh.read(4))
             comp += bsize
-            uncomp += len(data)
+            uncomp += isize
             entries.append((comp, uncomp))
         return entries
 
@@ -130,6 +196,21 @@ class BgzfReader:
                 hi = mid - 1
         comp_off, uncomp_off = self._blocks[lo]
         self._fh.seek(comp_off)
+        nat = _native_bgzf()
+        if nat is not None:
+            # compressed span covering [start, start+length), inflated in
+            # parallel
+            j = lo + 1
+            nb = len(self._blocks)
+            while j < nb and self._blocks[j][1] <= start + length - 1:
+                j += 1
+            if j < nb:
+                span = self._fh.read(self._blocks[j][0] - comp_off)
+            else:
+                span = self._fh.read()
+            data = nat.bgzf_decompress(span, bgzf_threads())
+            off = start - uncomp_off
+            return data[off:off + length]
         out = []
         have = 0
         skip = start - uncomp_off
@@ -150,15 +231,33 @@ class BgzfReader:
 
 
 class BgzfWriter:
-    """Streaming BGZF writer (used for BAM and bgzipped text output)."""
+    """Streaming BGZF writer (used for BAM and bgzipped text output).
+
+    With the native codec built, whole blocks are deflated in parallel
+    over pthreads in ~4 MiB batches (same 65280-byte block framing, so
+    the output stream is structurally identical to the per-block path)."""
 
     def __init__(self, fileobj, level: int = 6):
         self._fh = fileobj
         self._level = level
         self._buf = bytearray()
+        self._nat = _native_bgzf()
+        self._flush_at = MAX_BLOCK_UNCOMPRESSED * (64 if self._nat else 1)
 
     def write(self, data: bytes) -> None:
         self._buf += data
+        if self._nat is not None:
+            if len(self._buf) >= self._flush_at:
+                whole = (
+                    len(self._buf) // MAX_BLOCK_UNCOMPRESSED
+                ) * MAX_BLOCK_UNCOMPRESSED
+                self._fh.write(
+                    self._nat.bgzf_compress(
+                        bytes(self._buf[:whole]), self._level, bgzf_threads()
+                    )
+                )
+                del self._buf[:whole]
+            return
         while len(self._buf) >= MAX_BLOCK_UNCOMPRESSED:
             self._flush_block(self._buf[:MAX_BLOCK_UNCOMPRESSED])
             del self._buf[:MAX_BLOCK_UNCOMPRESSED]
@@ -180,7 +279,14 @@ class BgzfWriter:
 
     def close(self) -> None:
         if self._buf:
-            self._flush_block(bytes(self._buf))
+            if self._nat is not None:
+                self._fh.write(
+                    self._nat.bgzf_compress(
+                        bytes(self._buf), self._level, bgzf_threads()
+                    )
+                )
+            else:
+                self._flush_block(bytes(self._buf))
             self._buf.clear()
         self._fh.write(BGZF_EOF)
         self._fh.flush()

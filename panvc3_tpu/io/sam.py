@@ -571,12 +571,37 @@ class SamReader:
                 self.header.lines.append(f"@SQ\tSN:{n}\tLN:{l}")
 
     def _bam_fill(self) -> bool:
-        blk = _read_block(self._fh)
-        if blk is None:
-            self._bam_eof = True
-            return False
-        self._bam_buf += blk[0]
-        return True
+        from .bgzf import _native_bgzf, bgzf_threads, whole_block_prefix
+
+        nat = _native_bgzf()
+        if nat is None:
+            blk = _read_block(self._fh)
+            if blk is None:
+                self._bam_eof = True
+                return False
+            self._bam_buf += blk[0]
+            return True
+        # parallel path: inflate all whole blocks of a ~4 MiB compressed
+        # chunk at once (compressed remainder carries to the next fill)
+        if not hasattr(self, "_bam_comp"):
+            self._bam_comp = bytearray()
+        comp = self._bam_comp
+        while True:
+            chunk = self._fh.read(1 << 22)
+            if chunk:
+                comp += chunk
+            p = whole_block_prefix(comp)
+            if p:
+                self._bam_buf += nat.bgzf_decompress(
+                    bytes(comp[:p]), bgzf_threads()
+                )
+                del comp[:p]
+                return True
+            if not chunk:
+                self._bam_eof = True
+                if comp:
+                    raise ValueError("truncated BGZF block at EOF")
+                return False
 
     def _bam_need(self, n: int) -> bytes:
         while len(self._bam_buf) < n and not self._bam_eof:

@@ -32,6 +32,55 @@ def test_bgzf_roundtrip(tmp_path):
     assert rd.read_range(len(data) - 5, 100) == data[-5:]
 
 
+def test_bgzf_native_python_cross_compat(tmp_path, monkeypatch):
+    """Files written by the parallel C codec must read back through the
+    pure-Python block loop and vice versa (same 65280-byte framing)."""
+    import numpy as np
+
+    from panvc3_tpu.io import bgzf as bgzf_mod
+    from panvc3_tpu.native import get_native
+
+    if get_native() is None or not hasattr(get_native(), "bgzf_compress"):
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(5)
+    # compressible + incompressible segments, > one 4 MiB flush batch
+    data = (
+        bytes(rng.integers(0, 256, 3 << 20, dtype=np.uint8))
+        + b"ACGT" * (1 << 20)
+        + bytes(rng.integers(0, 4, 1 << 20, dtype=np.uint8))
+    )
+
+    p_nat = tmp_path / "nat.bgz"
+    with open(p_nat, "wb") as fh:
+        w = BgzfWriter(fh)
+        assert w._nat is not None
+        for i in range(0, len(data), 100003):
+            w.write(data[i:i + 100003])
+        w.close()
+
+    p_py = tmp_path / "py.bgz"
+    monkeypatch.setattr(bgzf_mod, "_native_bgzf", lambda: None)
+    with open(p_py, "wb") as fh:
+        w = BgzfWriter(fh)
+        assert w._nat is None
+        for i in range(0, len(data), 100003):
+            w.write(data[i:i + 100003])
+        w.close()
+    # python reader on the native file
+    assert read_all(str(p_nat)) == data
+    rd = BgzfReader(str(p_nat))
+    assert rd.read_range(65279, 3) == data[65279:65282]
+    monkeypatch.undo()
+    # native reader on the python file, and both rebuilt indexes agree
+    assert read_all(str(p_py)) == data
+    rd_nat = BgzfReader(str(p_nat))
+    rd_py = BgzfReader(str(p_py))
+    assert rd_nat._blocks == rd_py._blocks  # identical block framing
+    for start, ln in [(0, 1), (65280, 65280), (len(data) - 7, 7),
+                      (4 << 20, 1 << 20)]:
+        assert rd_nat.read_range(start, ln) == data[start:start + ln]
+
+
 @pytest.mark.skipif(not REF_WORKFLOW.exists(), reason="reference data absent")
 def test_read_bundled_genome():
     fa = FastaReader(str(REF_WORKFLOW / "genome/genome.fa.gz"))
