@@ -74,6 +74,79 @@ def test_rewrite_preserves_query_and_consistency(seed):
                 rpos += n
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_rewrite_matches_constructed_expectation(seed):
+    """Mirror of rewrite_cigar_arbitrary.cc:1036-1090: build a two-row
+    MSA from typed columns so the expected projected position AND the
+    full expected CIGAR are derived from the construction itself, then
+    check rewrite_cigar reproduces them (cigar_eq, indel-run-permutation
+    insensitive)."""
+    from panvc3_tpu.cigar import cigar_eq, collapse_cigar
+
+    rng = np.random.default_rng(300 + seed)
+    n = 160
+    # column types: 0 both-match, 1 mismatch, 2 src-gap (dst char),
+    # 3 dst-gap (src char), 4 both-gap (no-op column)
+    kinds = rng.choice(5, size=n, p=[0.55, 0.1, 0.13, 0.13, 0.09])
+    src_parts, dst_parts = [], []
+    for k in kinds:
+        c = "ACGT"[int(rng.integers(0, 4))]
+        if k == 0:
+            src_parts.append(c)
+            dst_parts.append(c)
+        elif k == 1:
+            src_parts.append(c)
+            dst_parts.append("ACGT"[("ACGT".index(c) + 1) % 4])
+        elif k == 2:
+            src_parts.append("-")
+            dst_parts.append(c)
+        elif k == 3:
+            src_parts.append(c)
+            dst_parts.append("-")
+        else:
+            src_parts.append("-")
+            dst_parts.append("-")
+    src = "".join(src_parts)
+    dst = "".join(dst_parts)
+    se, de = make_sequence_entry_pair(src, dst)
+    src_gapless = src.replace("-", "")
+    dst_gapless = dst.replace("-", "")
+    if len(src_gapless) < 20:
+        pytest.skip("degenerate")
+
+    src_cols = [i for i, ch in enumerate(src) if ch != "-"]
+    for _ in range(10):
+        read_len = int(rng.integers(4, min(20, len(src_gapless))))
+        pos = int(rng.integers(0, len(src_gapless) - read_len + 1))
+        query = src_gapless[pos:pos + read_len]
+
+        # expected: walk the aligned columns covered by the read
+        lo_col = src_cols[pos]
+        hi_col = src_cols[pos + read_len - 1]
+        exp_pos = sum(
+            1 for i in range(lo_col) if dst[i] != "-"
+        )
+        expected = []
+        for i in range(lo_col, hi_col + 1):
+            s, d = src[i], dst[i]
+            if s != "-" and d != "-":
+                expected.append((1, "=" if s == d else "X"))
+            elif s != "-" and d == "-":
+                expected.append((1, "I"))
+            elif s == "-" and d != "-":
+                expected.append((1, "D"))
+            # both gaps: nothing
+        expected = collapse_cigar(expected)
+
+        dst_pos, out = rewrite_cigar(
+            pos, [(read_len, "=")], se, de, query, dst_gapless
+        )
+        assert dst_pos == exp_pos
+        assert cigar_eq(out, expected, count_padding=True), (
+            f"{format_cigar(out)} != {format_cigar(expected)} @ {pos}"
+        )
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_indel_run_checker_reports_exactly_the_ID_runs(seed):
     """Mirror of indel_run_checker_arbitrary.cc: generate random op
