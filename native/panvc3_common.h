@@ -110,6 +110,9 @@ PyObject *pv3_bam_to_sam_lines(PyObject *self, PyObject *args);
 PyObject *pv3_sam_text_to_bam(PyObject *self, PyObject *args);
 PyObject *pv3_bgzf_compress(PyObject *self, PyObject *args);
 PyObject *pv3_bgzf_decompress(PyObject *self, PyObject *args);
+PyObject *pv3_csr_sweep_new(PyObject *self, PyObject *args);
+PyObject *pv3_csr_sweep_chunk(PyObject *self, PyObject *args);
+PyObject *pv3_csr_sweep_stats(PyObject *self, PyObject *args);
 int pv3_format_f32(double dv, char *out);
 
 #endif /* PANVC3_COMMON_H */

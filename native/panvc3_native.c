@@ -1153,6 +1153,13 @@ static PyMethodDef methods[] = {
      "marker)."},
     {"bgzf_decompress", pv3_bgzf_decompress, METH_VARARGS,
      "Parallel BGZF inflate of a whole-block stream, CRC-checked."},
+    {"csr_sweep_new", pv3_csr_sweep_new, METH_VARARGS,
+     "Create count_supporting_reads sweep state (capsule)."},
+    {"csr_sweep_chunk", pv3_csr_sweep_chunk, METH_VARARGS,
+     "Advance the count_supporting_reads sweep over SAM line and variant "
+     "chunks, emitting V/R TSV text."},
+    {"csr_sweep_stats", pv3_csr_sweep_stats, METH_VARARGS,
+     "Read the sweep's alignment statistics counters."},
     {NULL, NULL, 0, NULL},
 };
 

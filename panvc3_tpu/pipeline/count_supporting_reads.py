@@ -15,6 +15,7 @@ Output is a TSV stream of V (variant), R (allele,count) and S/T
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -23,6 +24,7 @@ from ..cigar import Cigar
 from ..io.bed import RegionSet
 from ..io.sam import SamReader, SamRecord
 from ..io.vcf import VcfReader
+from ..native import get_native
 
 # dna11 ordering: rank order of the alphabet (dna11_alphabet.hh:15-108)
 _DNA11_RANK = {c: i for i, c in enumerate("ACGNTacgnt~")}
@@ -298,47 +300,19 @@ class AlignmentSweep:
             self._order += 1
 
 
-def run_count_supporting_reads(
-    vcf_path: str,
-    alignments_path_or_fh,
-    out=sys.stdout,
-    *,
-    chr_id: str | None = None,
-    regions_path: str | None = None,
-    zygosity: int = -1,
-    contig: str | None = None,
-    contig_is_prefix: bool = False,
-    primary_only: bool = False,
-    same_ref: bool = False,
-    include_clipping: bool = False,
-    anchor_left: bool = False,
-    end_field_id: str = "END",
-    co_field_id: str = "CO",
-    usra_field_id: str = "USRA",
-) -> tuple[VariantStatistics, AlignmentStatistics]:
-    if same_ref and (contig is None or not primary_only):
-        raise ValueError("--same-ref requires --contig and --primary-only")
-
-    reader = SamReader(alignments_path_or_fh)
-    sweep = AlignmentSweep(
-        reader,
-        reader.header.ref_names,
-        contig,
-        contig_is_prefix,
-        primary_only,
-        same_ref,
-    )
-
-    regions = None
-    if regions_path:
-        regions = RegionSet()
-        regions.load_bed(regions_path)
-
-    var_stats = VariantStatistics()
-    vcf = VcfReader(vcf_path)
+def _iter_passing_variants(
+    vcf: VcfReader,
+    var_stats: VariantStatistics,
+    regions: RegionSet | None,
+    chr_id: str | None,
+    zygosity: int,
+):
+    """Shared VCF validation/filter loop (main.cc:817-873): yields
+    (var, zyg) for variants reaching the sweep, updating var_stats and
+    raising on sortedness / non-diploid inputs exactly like the object
+    path."""
     prev_key = None
     seen_chroms: set[str] = set()
-
     for var in vcf:
         var_stats.variants_processed += 1
 
@@ -377,6 +351,198 @@ def run_count_supporting_reads(
             var_stats.zygosity_mismatches += 1
             continue
 
+        yield var, zyg
+
+
+def _format_v_line(var, zyg: int, co_field_id: str, usra_field_id: str) -> str:
+    is_reversed = int(
+        (co_field_id in var.info) or (usra_field_id in var.info)
+    )
+    alts_txt = ",".join(
+        "<DEL>" if a in ("<DEL>", "<DEL:ME>") else a for a in var.alts
+    )
+    return (
+        f"V\t{var.chrom}\t{var.pos}\t{','.join(var.ids)}\t{var.ref}\t"
+        f"{alts_txt}\t{zyg}\t{is_reversed}"
+    )
+
+
+def _target_mask(
+    ref_names: list[str], contig: str | None, contig_is_prefix: bool
+) -> list[bool]:
+    if contig is None:
+        return [True] * len(ref_names)
+    return [
+        (name.startswith(contig) if contig_is_prefix else name == contig)
+        for name in ref_names
+    ]
+
+
+def _run_fast(
+    nat,
+    reader: SamReader,
+    variants,
+    var_stats: VariantStatistics,
+    out,
+    *,
+    contig: str | None,
+    contig_is_prefix: bool,
+    primary_only: bool,
+    same_ref: bool,
+    include_clipping: bool,
+    anchor_left: bool,
+    end_field_id: str,
+    co_field_id: str,
+    usra_field_id: str,
+) -> AlignmentStatistics:
+    """Native sweep engine driver: batches passing variants and streams raw
+    SAM line chunks through csr_sweep_chunk, whose output is byte-identical
+    to the object path's V/R stream."""
+    mask = bytes(
+        bytearray(_target_mask(reader.header.ref_names, contig, contig_is_prefix))
+    )
+    refmap = {n.encode(): i for i, n in enumerate(reader.header.ref_names)}
+    state = nat.csr_sweep_new(
+        mask, refmap, int(primary_only), int(same_ref),
+        int(include_clipping), int(anchor_left),
+    )
+    line_iter = reader.raw_record_line_blocks()
+    lines: list[bytes] = []
+    sam_eof = False
+
+    BATCH = 512
+    vp: list[int] = []
+    ve: list[int] = []
+    va: list[int] = []
+    vlines: list[bytes] = []
+    vmeta: list[tuple[int, int]] = []  # (lineno, n_alts)
+
+    def flush() -> None:
+        nonlocal sam_eof
+        vi = 0
+        while vi < len(vp):
+            blob, vc, lc, errflag = nat.csr_sweep_chunk(
+                state, lines, vp[vi:], ve[vi:], va[vi:], vlines[vi:],
+                int(sam_eof),
+            )
+            if blob:
+                out.write(blob.decode("latin1"))
+            del lines[:lc]
+            vi += vc
+            if errflag:
+                lineno, n_alts = vmeta[vi]
+                raise ValueError(
+                    f"line {lineno}: exactly one ALT supported, got {n_alts}"
+                )
+            if vi < len(vp) and not sam_eof and not lines:
+                block = next(line_iter, None)
+                if block is None:
+                    sam_eof = True
+                else:
+                    lines.extend(block)
+        vp.clear(); ve.clear(); va.clear(); vlines.clear(); vmeta.clear()
+
+    try:
+        for var, zyg in variants:
+            vp.append(var.pos)
+            ve.append(var.end_pos(end_field_id))
+            # alt_len < 0 signals the multi-ALT error path (raised only when
+            # the variant has coverage, after its V line — main.cc order)
+            va.append(len(var.alts[0]) if len(var.alts) == 1 else -1)
+            vlines.append(
+                (_format_v_line(var, zyg, co_field_id, usra_field_id) + "\n")
+                .encode("latin1")
+            )
+            vmeta.append((var.lineno, len(var.alts)))
+            if len(vp) >= BATCH:
+                flush()
+    except Exception:
+        # drain buffered variants so partial output matches the streaming
+        # object path before re-raising
+        try:
+            flush()
+        except Exception:
+            pass
+        raise
+    flush()
+
+    (reads, flags_nm, ref_mm, mate_mm, pos_mm, matched, zero_cov) = (
+        nat.csr_sweep_stats(state)
+    )
+    var_stats.zero_coverage += zero_cov
+    return AlignmentStatistics(
+        reads_processed=reads,
+        flags_not_matched=flags_nm,
+        ref_id_mismatches=ref_mm,
+        mate_ref_id_mismatches=mate_mm,
+        position_mismatches=pos_mm,
+        matched_reads=matched,
+    )
+
+
+def run_count_supporting_reads(
+    vcf_path: str,
+    alignments_path_or_fh,
+    out=sys.stdout,
+    *,
+    chr_id: str | None = None,
+    regions_path: str | None = None,
+    zygosity: int = -1,
+    contig: str | None = None,
+    contig_is_prefix: bool = False,
+    primary_only: bool = False,
+    same_ref: bool = False,
+    include_clipping: bool = False,
+    anchor_left: bool = False,
+    end_field_id: str = "END",
+    co_field_id: str = "CO",
+    usra_field_id: str = "USRA",
+) -> tuple[VariantStatistics, AlignmentStatistics]:
+    if same_ref and (contig is None or not primary_only):
+        raise ValueError("--same-ref requires --contig and --primary-only")
+
+    reader = SamReader(alignments_path_or_fh)
+
+    regions = None
+    if regions_path:
+        regions = RegionSet()
+        regions.load_bed(regions_path)
+
+    var_stats = VariantStatistics()
+    vcf = VcfReader(vcf_path)
+    variants = _iter_passing_variants(vcf, var_stats, regions, chr_id, zygosity)
+
+    nat = get_native()
+    raw_ok = not reader.is_bam or (
+        nat is not None and hasattr(nat, "bam_to_sam_lines")
+    )
+    if (
+        nat is not None
+        and hasattr(nat, "csr_sweep_chunk")
+        and raw_ok
+        and os.environ.get("PANVC3_CSR_FAST") != "0"
+    ):
+        align_stats = _run_fast(
+            nat, reader, variants, var_stats, out,
+            contig=contig, contig_is_prefix=contig_is_prefix,
+            primary_only=primary_only, same_ref=same_ref,
+            include_clipping=include_clipping, anchor_left=anchor_left,
+            end_field_id=end_field_id, co_field_id=co_field_id,
+            usra_field_id=usra_field_id,
+        )
+        _print_stats(out, var_stats, align_stats)
+        return var_stats, align_stats
+
+    sweep = AlignmentSweep(
+        reader,
+        reader.header.ref_names,
+        contig,
+        contig_is_prefix,
+        primary_only,
+        same_ref,
+    )
+
+    for var, zyg in variants:
         var_pos = var.pos
         var_end_pos = var.end_pos(end_field_id)
         sweep.update(var_pos)
@@ -384,15 +550,7 @@ def run_count_supporting_reads(
             var_stats.zero_coverage += 1
             continue
 
-        is_reversed = int(
-            (co_field_id in var.info) or (usra_field_id in var.info)
-        )
-        alts_txt = ",".join("<DEL>" if a in ("<DEL>", "<DEL:ME>") else a for a in var.alts)
-        print(
-            f"V\t{var.chrom}\t{var_pos}\t{','.join(var.ids)}\t{var.ref}\t"
-            f"{alts_txt}\t{zyg}\t{is_reversed}",
-            file=out,
-        )
+        print(_format_v_line(var, zyg, co_field_id, usra_field_id), file=out)
 
         if len(var.alts) != 1:
             raise ValueError(
@@ -427,16 +585,19 @@ def run_count_supporting_reads(
             label = allele if allele else "<DEL>"
             print(f"R\t{supported[allele]}\t{label}", file=out)
 
+    _print_stats(out, var_stats, sweep.statistics)
+    return var_stats, sweep.statistics
+
+
+def _print_stats(out, var_stats: VariantStatistics, a: AlignmentStatistics) -> None:
     print(f"S\tTotal variants\t{var_stats.variants_processed}", file=out)
     print(f"S\tChromosome ID mismatches\t{var_stats.chr_id_mismatches}", file=out)
     print(f"S\tPosition mismatches\t{var_stats.position_mismatches}", file=out)
     print(f"S\tZygosity mismatches\t{var_stats.zygosity_mismatches}", file=out)
     print(f"S\tZero coverage\t{var_stats.zero_coverage}", file=out)
-    a = sweep.statistics
     print(f"T\tReads processed\t{a.reads_processed}", file=out)
     print(f"T\tFlags not matched\t{a.flags_not_matched}", file=out)
     print(f"T\tRef. ID mismatches\t{a.ref_id_mismatches}", file=out)
     print(f"T\tPair ref. ID mismatches\t{a.mate_ref_id_mismatches}", file=out)
     print(f"T\tPosition mismatches\t{a.position_mismatches}", file=out)
     print(f"T\tMatched alignments\t{a.matched_reads}", file=out)
-    return var_stats, a

@@ -98,3 +98,162 @@ def test_count_supporting_reads_end_to_end(tmp_path):
     assert aln_stats.matched_reads >= 3
     s_lines = [l for l in text if l.startswith("S")]
     assert "S\tTotal variants\t2" in s_lines
+
+
+# ---------------------------------------------------------------------------
+# Native sweep engine differential test: the C csr_sweep_chunk path must be
+# byte-identical to the Python object path on a randomized workload.
+
+def _random_workload(seed: int, n_reads: int = 400, n_vars: int = 120):
+    import random
+
+    rng = random.Random(seed)
+    chroms = ["chr1", "chr2"]
+    ref_len = 600
+
+    header = ["@HD\tVN:1.6\tSO:coordinate"]
+    for c in chroms:
+        header.append(f"@SQ\tSN:{c}\tLN:{ref_len}")
+
+    def rand_cigar():
+        ops = []
+        if rng.random() < 0.25:
+            ops.append((rng.randint(1, 5), "S"))
+        n_seg = rng.randint(1, 4)
+        for k in range(n_seg):
+            ops.append((rng.randint(3, 25), rng.choice("M=X")))
+            if k + 1 < n_seg:
+                ops.append((rng.randint(1, 4), rng.choice("ID")))
+        if rng.random() < 0.2:
+            ops.append((rng.randint(1, 5), "S"))
+        if rng.random() < 0.1:
+            ops.append((rng.randint(1, 3), "H"))
+        return ops
+
+    lines = list(header)
+    positions = sorted(rng.randrange(0, ref_len - 80) for _ in range(n_reads))
+    for i, p in enumerate(positions):
+        flag = 0
+        r = rng.random()
+        if r < 0.05:
+            flag |= 0x4       # unmapped
+        elif r < 0.10:
+            flag |= 0x400     # duplicate
+        elif r < 0.18:
+            flag |= 0x100     # secondary
+        ops = rand_cigar()
+        qlen = sum(c for c, o in ops if o in "M=XIS")
+        seq = "".join(rng.choice("ACGTN") for _ in range(qlen))
+        cig = "".join(f"{c}{o}" for c, o in ops)
+        chrom = rng.choice(chroms)
+        rnext, pnext = "*", 0
+        if rng.random() < 0.5:
+            rnext = "=" if rng.random() < 0.7 else rng.choice(chroms)
+            pnext = rng.randint(1, ref_len)
+        lines.append(
+            f"r{i}\t{flag}\t{chrom}\t{p + 1}\t60\t{cig}\t{rnext}\t{pnext}"
+            f"\t0\t{seq}\t{'I' * qlen}"
+        )
+    sam_text = "\n".join(lines) + "\n"
+
+    vcf = [
+        "##fileformat=VCFv4.2",
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+        '##INFO=<ID=CO,Number=0,Type=Flag,Description="c">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]
+    # variants on one chromosome only: the sweep is a single global
+    # coordinate space (the reference asserts pos <= var_pos the same way)
+    for chrom in chroms[:1]:
+        vps = sorted(rng.sample(range(1, ref_len - 12), n_vars))
+        for j, p1 in enumerate(vps):
+            kind = rng.random()
+            if kind < 0.5:
+                ref, alt = "A", "G"
+            elif kind < 0.75:
+                ref, alt = "A", "A" + "G" * rng.randint(1, 3)
+            else:
+                ref, alt = "A" + "C" * rng.randint(1, 3), "A"
+            info = "."
+            if rng.random() < 0.3:
+                info = f"END={p1 + len(ref) - 1}"
+            if rng.random() < 0.1:
+                info = (info + ";CO" if info != "." else "CO")
+            gt = rng.choice(["0|1", "1|0", "1|1", "0|0", "0/1", ".|1"])
+            vcf.append(
+                f"{chrom}\t{p1}\t{chrom}v{j}\t{ref}\t{alt}\t.\tPASS\t{info}"
+                f"\tGT\t{gt}"
+            )
+    return sam_text, "\n".join(vcf) + "\n"
+
+
+def test_csr_native_engine_differential(monkeypatch, tmp_path):
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "csr_sweep_chunk"):
+        import pytest
+
+        pytest.skip("native extension not built")
+
+    configs = [
+        {},
+        {"zygosity": 1},
+        {"include_clipping": True},
+        {"anchor_left": True},
+        {"contig": "chr1", "primary_only": True, "same_ref": True},
+        {"contig": "chr", "contig_is_prefix": True},
+    ]
+    for seed in range(4):
+        sam_text, vcf_text = _random_workload(seed)
+        vcf_path = tmp_path / f"v{seed}.vcf"
+        vcf_path.write_text(vcf_text)
+        for cfg in configs:
+            results = {}
+            for fast in ("0", "1"):
+                monkeypatch.setenv("PANVC3_CSR_FAST", fast)
+                out = io.StringIO()
+                vs, als = run_count_supporting_reads(
+                    str(vcf_path), io.BytesIO(sam_text.encode()), out, **cfg
+                )
+                results[fast] = (out.getvalue(), vs, als)
+            assert results["0"][0] == results["1"][0], (seed, cfg)
+            assert results["0"][1] == results["1"][1], (seed, cfg)
+            assert results["0"][2] == results["1"][2], (seed, cfg)
+
+
+def test_csr_native_multi_alt_error_parity(monkeypatch, tmp_path):
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "csr_sweep_chunk"):
+        import pytest
+
+        pytest.skip("native extension not built")
+
+    sam = (
+        "@HD\tVN:1.6\n@SQ\tSN:c\tLN:50\n"
+        "a\t0\tc\t1\t60\t20M\t*\t0\t0\t" + "A" * 20 + "\t" + "I" * 20 + "\n"
+    )
+    vcf = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "c\t5\tv0\tA\tG,T\t.\tPASS\t.\tGT\t0|1\n"
+    )
+    vcf_path = tmp_path / "multalt.vcf"
+    vcf_path.write_text(vcf)
+
+    outcomes = {}
+    for fast in ("0", "1"):
+        monkeypatch.setenv("PANVC3_CSR_FAST", fast)
+        out = io.StringIO()
+        try:
+            run_count_supporting_reads(
+                str(vcf_path), io.BytesIO(sam.encode()), out
+            )
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            outcomes[fast] = (str(e), out.getvalue())
+    assert outcomes["0"] == outcomes["1"]
