@@ -113,6 +113,9 @@ PyObject *pv3_bgzf_decompress(PyObject *self, PyObject *args);
 PyObject *pv3_csr_sweep_new(PyObject *self, PyObject *args);
 PyObject *pv3_csr_sweep_chunk(PyObject *self, PyObject *args);
 PyObject *pv3_csr_sweep_stats(PyObject *self, PyObject *args);
+PyObject *pv3_als_new(PyObject *self, PyObject *args);
+PyObject *pv3_als_chunk(PyObject *self, PyObject *args);
+PyObject *pv3_als_finish(PyObject *self, PyObject *args);
 int pv3_format_f32(double dv, char *out);
 
 #endif /* PANVC3_COMMON_H */

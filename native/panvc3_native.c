@@ -1160,6 +1160,13 @@ static PyMethodDef methods[] = {
      "chunks, emitting V/R TSV text."},
     {"csr_sweep_stats", pv3_csr_sweep_stats, METH_VARARGS,
      "Read the sweep's alignment statistics counters."},
+    {"als_new", pv3_als_new, METH_VARARGS,
+     "Create alignment_statistics engine state (capsule)."},
+    {"als_chunk", pv3_als_chunk, METH_VARARGS,
+     "Stream raw SAM lines through the alignment_statistics engine."},
+    {"als_finish", pv3_als_finish, METH_VARARGS,
+     "Flush the alignment_statistics engine; returns blob, aux counts and "
+     "filter statistics."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -5,7 +5,8 @@ setup(
     ext_modules=[
         Extension(
             "_panvc3_native",
-            sources=["panvc3_native.c", "fastpath.c", "bgzf.c", "csr.c"],
+            sources=["panvc3_native.c", "fastpath.c", "bgzf.c", "csr.c",
+                     "als.c"],
             libraries=["z"],
             extra_compile_args=["-O3", "-march=native", "-pthread"],
             extra_link_args=["-pthread"],

@@ -15,10 +15,12 @@ filtered stream (flags, RNAME/prefix, mate-same-ref):
 from __future__ import annotations
 
 import heapq
+import os
 import sys
 from dataclasses import dataclass
 
 from ..io.sam import SamReader
+from ..native import get_native
 
 
 @dataclass
@@ -81,10 +83,66 @@ def iter_filtered(
         yield rec
 
 
+def _run_native(
+    reader: SamReader,
+    mode: int,
+    out,
+    *,
+    include_clipping: bool = False,
+    bin_width: int = 100000,
+    rnames: tuple[str, ...] = (),
+    rname_prefix: bool = False,
+    primary_only: bool = False,
+    same_ref: bool = False,
+) -> tuple[AlignmentStatistics, list[int] | None] | None:
+    """Native chunk engine (native/als.c): streams raw lines through the
+    shared filter + mode state, byte-identical to the Python loops.
+    Returns None when the engine is unavailable."""
+    nat = get_native()
+    if (
+        nat is None
+        or not hasattr(nat, "als_chunk")
+        or os.environ.get("PANVC3_ALS_FAST") == "0"
+        or (reader.is_bam and not hasattr(nat, "bam_to_sam_lines"))
+    ):
+        return None
+    ref_names = reader.header.ref_names
+    eq_class = [-1] * len(ref_names)
+    for i, rn in enumerate(rnames):
+        for ref_id, name in enumerate(ref_names):
+            if name == rn or (rname_prefix and name.startswith(rn)):
+                eq_class[ref_id] = i
+    # like iter_filtered: a filter that matches nothing disables filtering
+    has_filter = any(e >= 0 for e in eq_class)
+    refmap = {n.encode(): i for i, n in enumerate(ref_names)}
+    state = nat.als_new(
+        mode, refmap, eq_class, int(has_filter), int(primary_only),
+        int(same_ref), int(include_clipping), bin_width,
+    )
+    for block in reader.raw_record_line_blocks():
+        blob = nat.als_chunk(state, block)
+        if blob:
+            out.write(blob.decode("latin1"))
+    blob, aux, flags_nm, ref_mm, mate_mm = nat.als_finish(state)
+    if blob:
+        out.write(blob.decode("latin1"))
+    return (
+        AlignmentStatistics(
+            flags_not_matched=flags_nm,
+            ref_id_mismatches=ref_mm,
+            mate_ref_id_mismatches=mate_mm,
+        ),
+        aux,
+    )
+
+
 def calculate_coverage(reader, out=sys.stdout, *, include_clipping=False, **filters):
     """Per-position coverage of a position-sorted stream."""
     stats = AlignmentStatistics()
     print("POSITION\tCOVERAGE", file=out)
+    res = _run_native(reader, 0, out, include_clipping=include_clipping, **filters)
+    if res is not None:
+        return res[0]
     prev_pos = 0
     # heap of interval end positions currently open ("left" set); "right"
     # holds intervals starting at the current position
@@ -125,6 +183,11 @@ def count_alignments(reader, out=sys.stdout, **filters):
     stats = AlignmentStatistics()
     print("CONTIG\tCOUNT", file=out)
     names = reader.header.ref_names
+    res = _run_native(reader, 1, out, **filters)
+    if res is not None:
+        for name, count in zip(names, res[1]):
+            print(f"{name}\t{count}", file=out)
+        return res[0]
     counts = [0] * len(names)
     for rec in iter_filtered(reader, stats, **filters):
         if rec.ref_id >= 0:
@@ -137,6 +200,12 @@ def count_alignments(reader, out=sys.stdout, **filters):
 def mapq_histogram(reader, out=sys.stdout, **filters):
     stats = AlignmentStatistics()
     print("VALUE\tCOUNT", file=out)
+    res = _run_native(reader, 2, out, **filters)
+    if res is not None:
+        for val, count in enumerate(res[1]):
+            if count:
+                print(f"{val}\t{count}", file=out)
+        return res[0]
     hist = [0] * 256
     for rec in iter_filtered(reader, stats, **filters):
         hist[rec.mapq] += 1
@@ -257,6 +326,9 @@ def mapq_box_plot(reader, out=sys.stdout, *, bin_width=100000, **filters):
         raise ValueError("bin width must be positive")
     stats = AlignmentStatistics()
     print("BIN\tMIN\tq10\tq25\tMED\tq75\tq90\tMAX\tCOUNT", file=out)
+    res = _run_native(reader, 3, out, bin_width=bin_width, **filters)
+    if res is not None:
+        return res[0]
     probs = [0.1, 0.25, 0.50, 0.75, 0.9]
     current_bin = 0
     acc = ExtendedP2(probs)

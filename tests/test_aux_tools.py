@@ -212,3 +212,87 @@ def test_run_convert_bed_positions(tmp_path):
     assert (matches, mismatches) == (1, 1)
     # end 3 ('A' after the src gap) lands at dst position 4 past the extra T
     assert out.getvalue() == "chrA\t0\t4\n"
+
+
+# ---------------------------------------------------------------------------
+# alignment_statistics native chunk engine: must be byte-identical to the
+# Python loops across all four modes and the filter matrix.
+
+def test_als_native_engine_differential(monkeypatch):
+    import random
+
+    from panvc3_tpu.native import get_native
+    from panvc3_tpu.pipeline.alignment_statistics import (
+        calculate_coverage,
+        count_alignments,
+        mapq_box_plot,
+        mapq_histogram,
+    )
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "als_chunk"):
+        pytest.skip("native extension not built")
+
+    def workload(seed):
+        rng = random.Random(seed)
+        chroms = ["chrA", "chrB", "other1"]
+        ref_len = 2000
+        lines = ["@HD\tVN:1.6\tSO:coordinate"]
+        for c in chroms:
+            lines.append(f"@SQ\tSN:{c}\tLN:{ref_len}")
+        positions = sorted(rng.randrange(0, ref_len - 60) for _ in range(800))
+        for i, p in enumerate(positions):
+            flag = 0
+            r = rng.random()
+            if r < 0.05:
+                flag |= 0x4
+            elif r < 0.10:
+                flag |= 0x200
+            elif r < 0.18:
+                flag |= 0x100
+            ops = []
+            if rng.random() < 0.3:
+                ops.append((rng.randint(1, 6), "S"))
+            ops.append((rng.randint(5, 40), rng.choice("M=X")))
+            if rng.random() < 0.3:
+                ops.append((rng.randint(1, 5), rng.choice("ID")))
+                ops.append((rng.randint(3, 20), "M"))
+            qlen = sum(c for c, o in ops if o in "M=XIS")
+            cig = "".join(f"{c}{o}" for c, o in ops)
+            chrom = rng.choice(chroms)
+            rnext = rng.choice(["*", "=", rng.choice(chroms)])
+            mapq = rng.choice([0, 1, 20, 42, 60, 254, 255])
+            lines.append(
+                f"r{i}\t{flag}\t{chrom}\t{p + 1}\t{mapq}\t{cig}\t{rnext}"
+                f"\t{rng.randint(1, ref_len)}\t0\t{'A' * qlen}\t{'I' * qlen}"
+            )
+        return ("\n".join(lines) + "\n").encode()
+
+    configs = [
+        {},
+        {"rnames": ("chrA",)},
+        {"rnames": ("chr",), "rname_prefix": True, "same_ref": True},
+        {"rnames": ("chrA", "chrB"), "same_ref": True, "primary_only": True},
+        {"rnames": ("nomatch",)},  # non-matching filter disables filtering
+    ]
+    modes = [
+        ("cov", lambda r, o, f: calculate_coverage(r, o, **f)),
+        ("cov-clip", lambda r, o, f: calculate_coverage(
+            r, o, include_clipping=True, **f)),
+        ("count", lambda r, o, f: count_alignments(r, o, **f)),
+        ("hist", lambda r, o, f: mapq_histogram(r, o, **f)),
+        ("box", lambda r, o, f: mapq_box_plot(r, o, bin_width=257, **f)),
+        ("box-wide", lambda r, o, f: mapq_box_plot(r, o, bin_width=100000, **f)),
+    ]
+    for seed in range(3):
+        sam = workload(seed)
+        for mname, fn in modes:
+            for cfg in configs:
+                results = {}
+                for fast in ("0", "1"):
+                    monkeypatch.setenv("PANVC3_ALS_FAST", fast)
+                    out = io.StringIO()
+                    stats = fn(SamReader(io.BytesIO(sam)), out, dict(cfg))
+                    results[fast] = (out.getvalue(), stats)
+                assert results["0"][0] == results["1"][0], (seed, mname, cfg)
+                assert results["0"][1] == results["1"][1], (seed, mname, cfg)
