@@ -721,18 +721,23 @@ class SamWriter:
         else:
             self._fh.write(format_sam_record(rec, self.header).encode() + b"\n")
 
-    def write_raw(self, blob: bytes) -> None:
+    def write_raw(self, blob: bytes, names: list[str] | None = None) -> None:
         """Write pre-formatted SAM text (newline-terminated lines).
 
         BAM mode converts the text blob to BAM records in C
-        (sam_text_to_bam) and streams them through the BGZF writer."""
+        (sam_text_to_bam) and streams them through the BGZF writer.
+        ``names`` overrides the RNAME lookup table for the conversion (used
+        when the output header renames references but the text still
+        carries the input names — BAM stores reference ids)."""
         if self.bam:
             nat = get_native()
             if nat is None or not hasattr(nat, "sam_text_to_bam"):
                 raise ValueError(
                     "raw text writes to BAM require the native extension"
                 )
-            self._bgzf.write(nat.sam_text_to_bam(blob, self.header.ref_names))
+            self._bgzf.write(
+                nat.sam_text_to_bam(blob, names or self.header.ref_names)
+            )
             return
         self._fh.write(blob)
 

@@ -9,10 +9,12 @@ tab-separated map; plus a listing mode that prints reference names
 from __future__ import annotations
 
 import bisect
+import os
 import sys
 from dataclasses import dataclass
 
 from ..io.sam import SamHeader, SamReader, SamWriter
+from ..native import get_native
 
 
 @dataclass
@@ -106,28 +108,93 @@ def run_split_alignments(
 
     ref_id_missing = 0
     no_match = 0
-    for rec in reader:
-        if rec.ref_id < 0:
-            ref_id_missing += 1
-            continue
-        name = header.ref_names[rec.ref_id]
-        i = bisect.bisect_right(names, name)
-        matched = False
-        if i > 0:
-            cand = records[i - 1]
-            if (prefixes and name.startswith(cand.reference_name)) or (
-                not prefixes and name == cand.reference_name
-            ):
-                cand.matches += 1
-                writers[i - 1].write(rec)
-                matched = True
-        if not matched:
-            no_match += 1
-            if report_unmatched:
-                print(
-                    f"WARNING: No reference name found that would match '{name}'.",
-                    file=sys.stderr,
-                )
+
+    # Raw fast lane: route raw text lines by RNAME and bulk-convert each
+    # writer's buffer to BAM in C (sam_text_to_bam + the parallel BGZF
+    # codec); the slot decision per header name is precomputed once.
+    nat = get_native()
+    raw_ok = (
+        nat is not None
+        and hasattr(nat, "sam_text_to_bam")
+        and (not reader.is_bam or hasattr(nat, "bam_to_sam_lines"))
+        and os.environ.get("PANVC3_SPLIT_FAST") != "0"
+    )
+    if raw_ok:
+        route: dict[bytes, int] = {}
+        for name in header.ref_names:
+            i = bisect.bisect_right(names, name)
+            slot = -1
+            if i > 0:
+                cand = records[i - 1]
+                if (prefixes and name.startswith(cand.reference_name)) or (
+                    not prefixes and name == cand.reference_name
+                ):
+                    slot = i - 1
+            route[name.encode()] = slot
+        in_names = header.ref_names
+        bufs: list[list[bytes]] = [[] for _ in records]
+        buffered = 0
+
+        def flush() -> None:
+            nonlocal buffered
+            for s, lst in enumerate(bufs):
+                if lst:
+                    writers[s].write_raw(b"".join(lst), names=in_names)
+                    lst.clear()
+            buffered = 0
+
+        for block in reader.raw_record_line_blocks():
+            for ln in block:
+                a = ln.find(b"\t")
+                b = ln.find(b"\t", a + 1)
+                c = ln.find(b"\t", b + 1)
+                name_b = ln[b + 1:c]
+                if name_b == b"*":
+                    ref_id_missing += 1
+                    continue
+                slot = route.get(name_b)
+                if slot is None:
+                    raise ValueError(f"unknown reference {name_b.decode()!r}")
+                if slot < 0:
+                    no_match += 1
+                    if report_unmatched:
+                        print(
+                            "WARNING: No reference name found that would "
+                            f"match '{name_b.decode()}'.",
+                            file=sys.stderr,
+                        )
+                    continue
+                records[slot].matches += 1
+                if not ln.endswith(b"\n"):
+                    ln += b"\n"
+                bufs[slot].append(ln)
+                buffered += 1
+            if buffered >= 16384:
+                flush()
+        flush()
+    else:
+        for rec in reader:
+            if rec.ref_id < 0:
+                ref_id_missing += 1
+                continue
+            name = header.ref_names[rec.ref_id]
+            i = bisect.bisect_right(names, name)
+            matched = False
+            if i > 0:
+                cand = records[i - 1]
+                if (prefixes and name.startswith(cand.reference_name)) or (
+                    not prefixes and name == cand.reference_name
+                ):
+                    cand.matches += 1
+                    writers[i - 1].write(rec)
+                    matched = True
+            if not matched:
+                no_match += 1
+                if report_unmatched:
+                    print(
+                        f"WARNING: No reference name found that would match '{name}'.",
+                        file=sys.stderr,
+                    )
 
     for w in writers:
         w.close()

@@ -296,3 +296,64 @@ def test_als_native_engine_differential(monkeypatch):
                     results[fast] = (out.getvalue(), stats)
                 assert results["0"][0] == results["1"][0], (seed, mname, cfg)
                 assert results["0"][1] == results["1"][1], (seed, mname, cfg)
+
+
+def test_split_alignments_fast_lane_differential(monkeypatch, tmp_path):
+    import random
+
+    from panvc3_tpu.native import get_native
+    from panvc3_tpu.pipeline.split_alignments import run_split_alignments
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "sam_text_to_bam"):
+        pytest.skip("native extension not built")
+
+    rng = random.Random(11)
+    refs = ["chrA", "chrB", "scaf1", "scaf2"]
+    lines = ["@HD\tVN:1.6"]
+    for r in refs:
+        lines.append(f"@SQ\tSN:{r}\tLN:5000")
+    for i in range(500):
+        r = rng.choice(refs + ["*"])
+        if r == "*":
+            lines.append(
+                f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{'A' * 10}\t{'I' * 10}"
+            )
+            continue
+        p = rng.randrange(1, 4800)
+        tags = "" if rng.random() < 0.5 else "\tNM:i:2\tAS:i:-5"
+        lines.append(
+            f"r{i}\t0\t{r}\t{p}\t{rng.randrange(0, 61)}\t20M\t*\t0\t0\t"
+            f"{'ACGT' * 5}\t{'I' * 20}{tags}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    for name_spec, kwargs in [
+        ("chrA\nchrB\nscaf1\nscaf2\n", {}),
+        ("chr\nscaf\n", {"prefixes": True}),
+        ("chrA\tnewA\nchrB\tnewB\nscaf1\tnews1\nscaf2\tnews2\n",
+         {"rewrite": True}),
+    ]:
+        outputs = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_SPLIT_FAST", fast)
+            d = tmp_path / f"split{fast}{len(kwargs)}"
+            d.mkdir(exist_ok=True)
+            out = io.StringIO()
+            counts = run_split_alignments(
+                io.BytesIO(sam), io.StringIO(name_spec),
+                basename=str(d) + "/", out=out, **kwargs,
+            )
+            files = {}
+            for f in sorted(d.iterdir()):
+                # decode each BAM back to records for comparison
+                rd = SamReader(str(f))
+                files[f.name] = (
+                    rd.header.ref_names,
+                    [tuple(map(str, (r.qname, r.flag, r.ref_id, r.pos,
+                                     r.mapq, r.cigar, r.tlen, r.seq, r.qual,
+                                     sorted(r.tags.items()))))
+                     for r in rd],
+                )
+            outputs[fast] = (out.getvalue(), counts, files)
+        assert outputs["0"] == outputs["1"], kwargs
