@@ -41,13 +41,12 @@ def pack_bits(bits: np.ndarray) -> np.ndarray:
     bits = np.asarray(bits, dtype=np.uint8)
     n = bits.shape[0]
     n_words = (n + 31) // 32
-    padded = np.zeros(n_words * 32, dtype=np.uint8)
-    padded[:n] = bits
-    b = padded.reshape(n_words, 4, 8)
-    weights = (1 << np.arange(8, dtype=np.uint32))
-    bytes_ = (b * weights).sum(axis=2).astype(np.uint32)
-    shifts = np.uint32(8) * np.arange(4, dtype=np.uint32)
-    return (bytes_ << shifts).sum(axis=1, dtype=np.uint32)
+    # little-endian bit order within bytes + little-endian byte order within
+    # uint32 == bit k of word w is bits[32w + k]
+    packed = np.packbits(bits, bitorder="little")
+    out = np.zeros(n_words * 4, dtype=np.uint8)
+    out[: len(packed)] = packed
+    return out.view("<u4")
 
 
 def unpack_bits(words: np.ndarray, n: int) -> np.ndarray:
@@ -59,6 +58,8 @@ def unpack_bits(words: np.ndarray, n: int) -> np.ndarray:
 
 
 def _popcount32(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(np.asarray(x, dtype=np.uint32)).astype(np.int64)
     x = x.astype(np.uint32)
     x = x - ((x >> 1) & np.uint32(0x55555555))
     x = (x & np.uint32(0x33333333)) + ((x >> 2) & np.uint32(0x33333333))

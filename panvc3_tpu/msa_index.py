@@ -128,8 +128,21 @@ class MsaIndex:
                 arrays[f"{key}_sb"] = st["sb_rank0"]
                 arrays[f"{key}_rel"] = st["rel_rank0"]
         arrays["__names__"] = np.frombuffer("\n".join(names).encode(), dtype=np.uint8)
+        # np.load-compatible zip of .npy members, but deflate level 1:
+        # savez_compressed's level-6 zlib dominates genome-scale build time
+        # (~4x slower) for a few percent of size
+        import zipfile
+        from numpy.lib import format as npformat
+
         with open(path, "wb") as fh:
-            np.savez_compressed(fh, **arrays)
+            with zipfile.ZipFile(
+                fh, "w", zipfile.ZIP_DEFLATED, compresslevel=1
+            ) as zf:
+                for name, arr in arrays.items():
+                    with zf.open(name + ".npy", "w", force_zip64=True) as ef:
+                        npformat.write_array(
+                            ef, np.asanyarray(arr), allow_pickle=False
+                        )
 
     @classmethod
     def load(
