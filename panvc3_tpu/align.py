@@ -62,6 +62,42 @@ def malde_score(matches: bool, lhs_phred: int, rhs_phred: int) -> float:
     return 2.0 - math.log2(3.0) + math.log2(combined_e)
 
 
+# The quality (-q) scheme quantises Malde scores to 1/2**MALDE_SHIFT units so
+# the whole affine DP runs on (small) integers: host float64 and device
+# float32 arithmetic are then both exact and the two paths are byte-identical
+# (the integer default scheme already has this property).  Per-base
+# quantisation error is <= 2**-(MALDE_SHIFT+1), so a chosen path's true
+# float64 Malde score is within (R+Q)/2**(MALDE_SHIFT+1) of the reference's
+# double-DP optimum — at most co-optimal-adjacent near exact ties, the same
+# deviation class as the reference's own platform-dependent double rounding.
+# Bound: |score| < 12 per base, so sums stay exact in float32 for
+# R+Q <= 2**24/(12*2**MALDE_SHIFT) = 5461 columns per realigned run.
+MALDE_SHIFT = 8
+MALDE_SCALE = float(1 << MALDE_SHIFT)
+_PHRED_RANGE = 64  # phred42 values are 0..41; leave headroom
+
+
+def malde_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Quantised (match, mismatch) score tables indexed [lhs_phred,
+    rhs_phred], int32, in units of 1/MALDE_SCALE.  Computed once in float64
+    (host) so device kernels gather the exact same integers."""
+    global _MALDE_TABLES
+    if _MALDE_TABLES is None:
+        q = np.arange(_PHRED_RANGE, dtype=np.float64)
+        e = 10.0 ** (-q / 10.0)
+        ce = e[:, None] + e[None, :] - e[:, None] / 3.0 * e[None, :] * 4.0
+        match = 2.0 + np.log2(1.0 - ce)
+        mismatch = 2.0 - np.log2(3.0) + np.log2(ce)
+        _MALDE_TABLES = (
+            np.round(match * MALDE_SCALE).astype(np.int32),
+            np.round(mismatch * MALDE_SCALE).astype(np.int32),
+        )
+    return _MALDE_TABLES
+
+
+_MALDE_TABLES: tuple[np.ndarray, np.ndarray] | None = None
+
+
 def _score_matrix(
     seq1: bytes,
     seq2: bytes,
@@ -74,14 +110,14 @@ def _score_matrix(
     eq = a2[:, None] == a1[None, :]
     if quals1 is None:
         return np.where(eq, 0.0, -1.0)
-    q1 = np.asarray(quals1, dtype=np.float64)
-    q2 = np.asarray(quals2, dtype=np.float64)
-    e1 = 10.0 ** (-q1 / 10.0)
-    e2 = 10.0 ** (-q2 / 10.0)
-    ce = e2[:, None] + e1[None, :] - e2[:, None] / 3.0 * e1[None, :] * 4.0
-    match_s = 2.0 + np.log2(1.0 - ce)
-    mismatch_s = 2.0 - np.log2(3.0) + np.log2(ce)
-    return np.where(eq, match_s, mismatch_s)
+    # quantised Malde scheme (see malde_tables): s[i, j] in 1/MALDE_SCALE
+    # units; the caller scales the gap costs to match
+    mt, xt = malde_tables()
+    q1 = np.asarray(quals1, dtype=np.int64)
+    q2 = np.asarray(quals2, dtype=np.int64)
+    match_s = mt[q1[None, :], q2[:, None]]
+    mismatch_s = xt[q1[None, :], q2[:, None]]
+    return np.where(eq, match_s, mismatch_s).astype(np.float64)
 
 
 def align_global(
@@ -112,8 +148,11 @@ def align_global(
     dst = destination if destination is not None else CigarBuffer()
     dst.clear()
 
-    go = float(gap_opening)
-    ge = float(gap_extension)
+    # quality mode works in quantised 1/MALDE_SCALE units throughout the DP
+    # (integral values, exact in float64); the returned score is unscaled
+    scale = MALDE_SCALE if quals1 is not None else 1.0
+    go = float(gap_opening) * scale
+    ge = float(gap_extension) * scale
 
     if n == 0 and m == 0:
         dst.finish()
@@ -121,11 +160,11 @@ def align_global(
     if n == 0:
         dst.push_back("I", m)
         dst.finish()
-        return go + m * ge, dst.operations
+        return (go + m * ge) / scale, dst.operations
     if m == 0:
         dst.push_back("D", n)
         dst.finish()
-        return go + n * ge, dst.operations
+        return (go + n * ge) / scale, dst.operations
 
     s = _score_matrix(seq1, seq2, quals1, quals2)
 
@@ -217,7 +256,7 @@ def align_global(
     for op in reversed(ops_rev):
         dst.push_back(op, 1)
     dst.finish()
-    return float(score), dst.operations
+    return float(score) / scale, dst.operations
 
 
 def max_quality_array(length: int) -> np.ndarray:

@@ -18,9 +18,12 @@ to a common (R, Q) shape and aligned in parallel:
   way, emitting per-character op codes that the host RLE-collapses.
 
 Scoring: integer hamming (match 0 / mismatch -1) exactly, or the Malde
-base-quality scheme in float32 (the reference computes it in double; the
-float32 fill can in principle flip near-ties — the default pipeline path
-uses the integer scheme, the quality path is opt-in via -q).
+base-quality scheme quantised to 1/2**MALDE_SHIFT units (align.py): both
+paths work on small integers, so the float32 fill is exact and the device
+output is byte-identical to the float64 host oracle.  The reference
+computes Malde in double (align.hh:21-56); the quantisation deviation is
+bounded by (R+Q)/2**(MALDE_SHIFT+1) score units per run — see
+align.malde_tables.
 """
 
 from __future__ import annotations
@@ -41,17 +44,24 @@ _TR_HORIZ = 2
 
 
 def _substitution_scores(ref, query, ref_qual, query_qual, use_quality):
-    """s[i, j] for query i vs ref j. ref/query are uint8 (B, R)/(B, Q)."""
+    """s[i, j] for query i vs ref j. ref/query are uint8 (B, R)/(B, Q).
+
+    The quality path gathers the host-precomputed quantised Malde tables
+    (align.malde_tables): every score is a small integer (x MALDE_SCALE),
+    so the float32 fill is exact and byte-identical to the float64 host
+    oracle — the gap costs arrive pre-scaled by the same factor."""
     eq = query[:, :, None] == ref[:, None, :]
     if not use_quality:
         return jnp.where(eq, 0.0, -1.0).astype(jnp.float32)
-    e1 = 10.0 ** (-ref_qual.astype(jnp.float32) / 10.0)
-    e2 = 10.0 ** (-query_qual.astype(jnp.float32) / 10.0)
-    ce = e2[:, :, None] + e1[:, None, :] - e2[:, :, None] / 3.0 * e1[:, None, :] * 4.0
-    log2 = jnp.log(jnp.float32(2.0))
-    match_s = 2.0 + jnp.log(1.0 - ce) / log2
-    mismatch_s = 2.0 - jnp.log(jnp.float32(3.0)) / log2 + jnp.log(ce) / log2
-    return jnp.where(eq, match_s, mismatch_s).astype(jnp.float32)
+    from ..align import malde_tables
+
+    mt, xt = malde_tables()
+    mtj = jnp.asarray(mt, dtype=jnp.float32)
+    xtj = jnp.asarray(xt, dtype=jnp.float32)
+    idx = ref_qual[:, None, :] * mt.shape[1] + query_qual[:, :, None]
+    match_s = jnp.take(mtj.reshape(-1), idx)
+    mismatch_s = jnp.take(xtj.reshape(-1), idx)
+    return jnp.where(eq, match_s, mismatch_s)
 
 
 def _prefix_max(x, axis_len):
@@ -398,13 +408,25 @@ def realign_batch_start(
                 np.frombuffer(ops_b, np.int8).reshape(b, R + Q),
                 np.frombuffer(cnt_b, np.int32),
             )
+    # quality mode: gap costs join the quantised-score units (align.py
+    # MALDE_SHIFT); float32 stays exact for R+Q <= 5461
+    gscale = 1.0
+    if use_quality:
+        from ..align import MALDE_SCALE
+
+        gscale = MALDE_SCALE
+        if R + Q > 5461:
+            raise ValueError(
+                f"quality-scored realignment run too long for the exact "
+                f"quantised path (R+Q={R + Q} > 5461)"
+            )
     return realign_device_kernel(
         ref_arr,
         q_arr,
         rl,
         ql,
-        np.float32(gap_opening),
-        np.float32(gap_extension),
+        np.float32(gap_opening * gscale),
+        np.float32(gap_extension * gscale),
         rq,
         qq,
         ref_quals is not None,

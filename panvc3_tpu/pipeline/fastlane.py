@@ -505,13 +505,26 @@ def run_fast(
                     # ship 4-byte dummies, not (S, Rp) zero blocks
                     rq = np.zeros((1, 1), np.int32)
                     qq = np.zeros((1, 1), np.int32)
+                if use_quality:
+                    # quantised Malde units (align.MALDE_SHIFT): gap costs
+                    # scale with the table so the float32 fill stays exact
+                    from ..align import MALDE_SCALE
+
+                    if Rp + Qp > 5461:
+                        raise ValueError(
+                            "quality-scored realignment run too long for "
+                            f"the exact quantised path (R+Q={Rp + Qp})"
+                        )
+                    kgo, kge = go * MALDE_SCALE, ge * MALDE_SCALE
+                else:
+                    kgo, kge = go, ge
                 rh = realign_device_kernel(
                     np.frombuffer(ref_b, np.uint8).reshape(S, Rp),
                     np.frombuffer(q_b, np.uint8).reshape(S, Qp),
                     np.frombuffer(rl_b, np.int32),
                     np.frombuffer(ql_b, np.int32),
-                    go,
-                    ge,
+                    kgo,
+                    kge,
                     rq,
                     qq,
                     use_quality,
