@@ -2838,7 +2838,11 @@ static void rdp_align_one(
     float go, float ge,
     float *best_prev, float *best, float *vert, /* scratch, n+1 each */
     uint8_t *trace,                 /* scratch, (m+1)*(n+1) */
-    int8_t *ops_out, int32_t *count_out)
+    int8_t *ops_out, int32_t *count_out,
+    /* quantised Malde quality scoring (align.malde_tables): 64x64 int32
+       match/mismatch tables + per-base phreds; NULL = integer scheme */
+    const int32_t *mtab, const int32_t *xtab,
+    const int32_t *rq, const int32_t *qq)
 {
     long stride = n + 1;
 
@@ -2870,7 +2874,14 @@ static void rdp_align_one(
                 v = border;
                 t = RDP_VERT;
             } else {
-                float s = (qc == ref[j - 1]) ? 0.0f : -1.0f;
+                float s;
+                if (mtab) {
+                    const int32_t *tab =
+                        (qc == ref[j - 1]) ? mtab : xtab;
+                    s = (float)tab[rq[j - 1] * 64 + qq[i - 1]];
+                } else {
+                    s = (qc == ref[j - 1]) ? 0.0f : -1.0f;
+                }
                 float diag = best_prev[j - 1] + s;
                 if (diag >= v) {
                     a = diag;
@@ -2944,17 +2955,32 @@ static void rdp_align_one(
     *count_out = (int32_t)k;
 }
 
-/* realign_runs_host(ref_b, q_b, rl_b, ql_b, Rp, Qp, go, ge)
+/* realign_runs_host(ref_b, q_b, rl_b, ql_b, Rp, Qp, go, ge
+                     [, rq_b, qq_b, mtab_b, xtab_b])
    -> (ops bytes int8[S, Rp+Qp], counts bytes int32[S])
-   Same output layout as fetching the device realign kernel. */
+   Same output layout as fetching the device realign kernel.  The four
+   optional buffers switch on the quantised Malde quality scheme: int32
+   phreds (S*Rp / S*Qp) + the 64x64 int32 match/mismatch tables; go/ge
+   arrive pre-scaled by MALDE_SCALE then. */
 PyObject *pv3_realign_runs_host(PyObject *self, PyObject *args)
 {
     Py_buffer ref_b, q_b, rl_b, ql_b;
+    Py_buffer rq_b = {0}, qq_b = {0}, mt_b = {0}, xt_b = {0};
     long Rp, Qp;
     float go, ge;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*llff",
-                          &ref_b, &q_b, &rl_b, &ql_b, &Rp, &Qp, &go, &ge))
+    if (!PyArg_ParseTuple(args, "y*y*y*y*llff|y*y*y*y*",
+                          &ref_b, &q_b, &rl_b, &ql_b, &Rp, &Qp, &go, &ge,
+                          &rq_b, &qq_b, &mt_b, &xt_b))
         return NULL;
+    int use_quality = mt_b.buf != NULL;
+    if (use_quality &&
+        (!rq_b.buf || !qq_b.buf || !xt_b.buf ||
+         mt_b.len < 64 * 64 * (Py_ssize_t)sizeof(int32_t) ||
+         xt_b.len < 64 * 64 * (Py_ssize_t)sizeof(int32_t))) {
+        PyErr_SetString(PyExc_ValueError,
+                        "quality scoring needs rq, qq and 64x64 tables");
+        goto fail_early;
+    }
 
     Py_ssize_t S = rl_b.len / sizeof(int32_t);
     long steps = Rp + Qp;
@@ -2991,28 +3017,55 @@ PyObject *pv3_realign_runs_host(PyObject *self, PyObject *args)
         }
         rdp_align_one(refs + s * Rp, n, qs + s * Qp, m, go, ge,
                       fbuf, fbuf + (Rp + 1), fbuf + 2 * (Rp + 1),
-                      trace, ops + s * steps, cnt + s);
+                      trace, ops + s * steps, cnt + s,
+                      use_quality ? (const int32_t *)mt_b.buf : NULL,
+                      use_quality ? (const int32_t *)xt_b.buf : NULL,
+                      use_quality ? (const int32_t *)rq_b.buf + s * Rp
+                                  : NULL,
+                      use_quality ? (const int32_t *)qq_b.buf + s * Qp
+                                  : NULL);
     }
     PyEval_RestoreThread(ts);
 
     res = Py_BuildValue("(NN)", ops_o, cnt_o);
     free(fbuf);
     free(trace);
-    PyBuffer_Release(&ref_b);
-    PyBuffer_Release(&q_b);
-    PyBuffer_Release(&rl_b);
-    PyBuffer_Release(&ql_b);
-    return res;
+    goto release;
 
 fail:
     Py_XDECREF(ops_o);
     Py_XDECREF(cnt_o);
     free(fbuf);
     free(trace);
+    res = NULL;
+release:
     PyBuffer_Release(&ref_b);
     PyBuffer_Release(&q_b);
     PyBuffer_Release(&rl_b);
     PyBuffer_Release(&ql_b);
+    if (rq_b.buf)
+        PyBuffer_Release(&rq_b);
+    if (qq_b.buf)
+        PyBuffer_Release(&qq_b);
+    if (mt_b.buf)
+        PyBuffer_Release(&mt_b);
+    if (xt_b.buf)
+        PyBuffer_Release(&xt_b);
+    return res;
+
+fail_early:
+    PyBuffer_Release(&ref_b);
+    PyBuffer_Release(&q_b);
+    PyBuffer_Release(&rl_b);
+    PyBuffer_Release(&ql_b);
+    if (rq_b.buf)
+        PyBuffer_Release(&rq_b);
+    if (qq_b.buf)
+        PyBuffer_Release(&qq_b);
+    if (mt_b.buf)
+        PyBuffer_Release(&mt_b);
+    if (xt_b.buf)
+        PyBuffer_Release(&xt_b);
     return NULL;
 }
 

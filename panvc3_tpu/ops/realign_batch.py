@@ -390,19 +390,40 @@ def realign_batch_start(
     # real DP cells — far below the device round-trip break-even — so run
     # the bit-identical C DP (native realign_runs_host, differentially
     # tested against the kernel) on the host when the cell count is small.
-    # Integer path with integral gap costs only: float32 arithmetic is
-    # exact there, so host and device cannot diverge.
-    if not use_quality and _host_dp_threshold(gap_opening, gap_extension):
+    # Integral gap costs only: both schemes are then exact in float32
+    # (hamming, or the quantised Malde tables), so host and device cannot
+    # diverge.
+    if _host_dp_threshold(gap_opening, gap_extension):
         cells = int(rl.astype(np.int64) @ ql.astype(np.int64))
         if cells <= _host_dp_threshold(gap_opening, gap_extension):
             from ..native import get_native
 
             nat = get_native()
-            ops_b, cnt_b = nat.realign_runs_host(
-                ref_arr.tobytes(), q_arr.tobytes(),
-                rl.tobytes(), ql.tobytes(),
-                R, Q, float(gap_opening), float(gap_extension),
-            )
+            if use_quality:
+                from ..align import MALDE_SCALE, malde_tables
+
+                if R + Q > 5461:
+                    raise ValueError(
+                        f"quality-scored realignment run too long for the "
+                        f"exact quantised path (R+Q={R + Q} > 5461)"
+                    )
+                mt, xt = malde_tables()
+                ops_b, cnt_b = nat.realign_runs_host(
+                    ref_arr.tobytes(), q_arr.tobytes(),
+                    rl.tobytes(), ql.tobytes(),
+                    R, Q,
+                    float(gap_opening) * MALDE_SCALE,
+                    float(gap_extension) * MALDE_SCALE,
+                    np.ascontiguousarray(rq).tobytes(),
+                    np.ascontiguousarray(qq).tobytes(),
+                    mt.tobytes(), xt.tobytes(),
+                )
+            else:
+                ops_b, cnt_b = nat.realign_runs_host(
+                    ref_arr.tobytes(), q_arr.tobytes(),
+                    rl.tobytes(), ql.tobytes(),
+                    R, Q, float(gap_opening), float(gap_extension),
+                )
             return (
                 "host",
                 np.frombuffer(ops_b, np.int8).reshape(b, R + Q),

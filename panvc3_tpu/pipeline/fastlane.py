@@ -155,9 +155,10 @@ def run_fast(
     # integral gap costs (float32 arithmetic is exact there, so host and
     # device cannot diverge).  PANVC3_HOST_DP=0 disables; the cell
     # threshold is PANVC3_HOST_DP_CELLS (default 4e6 ≈ 15 ms of C DP).
+    # (The quantised Malde tables made the -q scheme integral too, so the
+    # host lane covers both schemes.)
     host_dp_eligible = (
-        not use_quality
-        and float(go).is_integer()
+        float(go).is_integer()
         and float(ge).is_integer()
         and os.environ.get("PANVC3_HOST_DP") != "0"
         and hasattr(nat, "realign_runs_host")
@@ -465,17 +466,28 @@ def run_fast(
                     staged["arena"], staged["spans"], int(use_quality),
                 )
             )
-            if host_dp_eligible:
+            if host_dp_eligible and not (use_quality and Rp + Qp > 5461):
                 rl_a = np.frombuffer(rl_b, np.int32)
                 ql_a = np.frombuffer(ql_b, np.int32)
                 real_cells = int(
                     rl_a.astype(np.int64) @ ql_a.astype(np.int64)
                 )
                 if real_cells <= host_dp_cells:
-                    ops_b, cnt_b = nat.realign_runs_host(
-                        ref_b, q_b, rl_b, ql_b, Rp, Qp,
-                        float(go), float(ge),
-                    )
+                    if use_quality:
+                        from ..align import MALDE_SCALE, malde_tables
+
+                        mt, xt = malde_tables()
+                        ops_b, cnt_b = nat.realign_runs_host(
+                            ref_b, q_b, rl_b, ql_b, Rp, Qp,
+                            float(go) * MALDE_SCALE,
+                            float(ge) * MALDE_SCALE,
+                            rq_b, qq_b, mt.tobytes(), xt.tobytes(),
+                        )
+                    else:
+                        ops_b, cnt_b = nat.realign_runs_host(
+                            ref_b, q_b, rl_b, ql_b, Rp, Qp,
+                            float(go), float(ge),
+                        )
                     host_dp = (
                         np.frombuffer(ops_b, np.int8),
                         np.frombuffer(cnt_b, np.int32),

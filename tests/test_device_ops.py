@@ -192,12 +192,14 @@ def test_batched_realign_matches_oracle_hamming(seed):
         )
 
 
+@pytest.mark.parametrize("host_dp", ["0", "1"])
 @pytest.mark.parametrize("seed", [10, 11])
-def test_batched_realign_matches_oracle_quality(seed):
+def test_batched_realign_matches_oracle_quality(seed, host_dp, monkeypatch):
     """The quality path uses the quantised Malde scheme (align.MALDE_SHIFT)
     on both host and device: every DP value is a small integer, float32 is
     exact, and the device traceback must equal the host oracle byte for
     byte — same contract as the integer path."""
+    monkeypatch.setenv("PANVC3_HOST_DP", host_dp)  # C host DP and device kernel
     rng = np.random.default_rng(seed)
     refs = [random_seq(rng, 1, 12) for _ in range(30)]
     queries = [random_seq(rng, 1, 12) for _ in range(30)]

@@ -341,19 +341,24 @@ def test_fastlane_splice_thread_invariance(
     )
 
 
+@pytest.mark.parametrize("use_quality", [False, True])
 def test_fastlane_host_dp_matches_device_path(
-    msa_files, founder_seqs, tmp_path, monkeypatch
+    msa_files, founder_seqs, tmp_path, monkeypatch, use_quality
 ):
     """The adaptive realignment dispatch (host C DP below the cell
     threshold, device kernel above) must be invisible in the output:
-    forcing either side produces identical bytes."""
+    forcing either side produces identical bytes.  Covers both scoring
+    schemes — the quantised Malde tables made -q integral too."""
     index_path, _, _ = msa_files
     sam = _rich_sam(founder_seqs, n_reads=120)
+    kw = dict(use_read_base_qualities=use_quality)
     monkeypatch.setenv("PANVC3_HOST_DP", "0")
-    dev = _run(sam, index_path, tmp_path, fastlane=True, name="dp_dev")
+    dev = _run(sam, index_path, tmp_path, fastlane=True,
+               name=f"dp_dev{use_quality}", **kw)
     monkeypatch.setenv("PANVC3_HOST_DP", "1")
     monkeypatch.setenv("PANVC3_HOST_DP_CELLS", "1000000000")
-    host = _run(sam, index_path, tmp_path, fastlane=True, name="dp_host")
+    host = _run(sam, index_path, tmp_path, fastlane=True,
+                name=f"dp_host{use_quality}", **kw)
     assert dev[0] == host[0]
     assert dev[2] == host[2]
     assert dev[1].realignment_cells == host[1].realignment_cells
