@@ -357,3 +357,42 @@ def test_split_alignments_fast_lane_differential(monkeypatch, tmp_path):
                 )
             outputs[fast] = (out.getvalue(), counts, files)
         assert outputs["0"] == outputs["1"], kwargs
+
+
+def test_als_fast_engine_bam_input(monkeypatch):
+    """alignment_statistics' chunk engine over BAM input must equal the
+    SAM-text run (C BAM->SAM-text conversion feeding the same filter)."""
+    import random
+
+    from panvc3_tpu.io.sam import SamWriter
+    from panvc3_tpu.native import get_native
+    from panvc3_tpu.pipeline.alignment_statistics import calculate_coverage
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "als_chunk"):
+        pytest.skip("native extension not built")
+
+    rng = random.Random(4)
+    lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:c1\tLN:5000"]
+    for i, p in enumerate(sorted(rng.randrange(0, 4800) for _ in range(300))):
+        lines.append(
+            f"r{i}\t0\tc1\t{p + 1}\t{rng.randrange(0, 61)}\t30M\t*\t0\t0\t"
+            f"{'A' * 30}\t{'I' * 30}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    rd = SamReader(io.BytesIO(sam))
+    bam = io.BytesIO()
+    wr = SamWriter(bam, rd.header, bam=True)
+    for rec in rd:
+        wr.write(rec)
+    wr.close()
+    bam.seek(0)
+
+    monkeypatch.setenv("PANVC3_ALS_FAST", "1")
+    out_sam = io.StringIO()
+    s_sam = calculate_coverage(SamReader(io.BytesIO(sam)), out_sam)
+    out_bam = io.StringIO()
+    s_bam = calculate_coverage(SamReader(bam), out_bam)
+    assert out_sam.getvalue() == out_bam.getvalue()
+    assert s_sam == s_bam

@@ -257,3 +257,39 @@ def test_csr_native_multi_alt_error_parity(monkeypatch, tmp_path):
         except ValueError as e:
             outcomes[fast] = (str(e), out.getvalue())
     assert outcomes["0"] == outcomes["1"]
+
+
+def test_csr_fast_engine_bam_input(monkeypatch, tmp_path):
+    """The sweep engine consumes BAM input through the C BAM->SAM-text
+    converter; output must equal the SAM-text run."""
+    from panvc3_tpu.io.sam import SamReader, SamWriter
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "csr_sweep_chunk"):
+        import pytest
+
+        pytest.skip("native extension not built")
+
+    sam_text, vcf_text = _random_workload(2, n_reads=300, n_vars=60)
+    vcf_path = tmp_path / "v.vcf"
+    vcf_path.write_text(vcf_text)
+
+    # SAM -> BAM round trip for the input
+    rd = SamReader(io.BytesIO(sam_text.encode()))
+    bam = io.BytesIO()
+    wr = SamWriter(bam, rd.header, bam=True)
+    for rec in rd:
+        wr.write(rec)
+    wr.close()
+    bam.seek(0)
+
+    monkeypatch.setenv("PANVC3_CSR_FAST", "1")
+    out_sam = io.StringIO()
+    r_sam = run_count_supporting_reads(
+        str(vcf_path), io.BytesIO(sam_text.encode()), out_sam
+    )
+    out_bam = io.StringIO()
+    r_bam = run_count_supporting_reads(str(vcf_path), bam, out_bam)
+    assert out_sam.getvalue() == out_bam.getvalue()
+    assert r_sam == r_bam
