@@ -33,8 +33,16 @@ def _read_input_file(path: str, pipe_command: str | None) -> bytes:
     /root/reference/index-msa/input_handler.hh:57-66)."""
     if pipe_command:
         proc = subprocess.run(
-            shlex.split(pipe_command) + [path], capture_output=True, check=True
+            shlex.split(pipe_command) + [path], capture_output=True
         )
+        if proc.returncode != 0:
+            # the reference's SIGCHLD handler aborts on decompressor failure
+            # (index-msa/main.cc:28-58); surface it as a typed CLI error
+            detail = proc.stderr.decode("latin1", "replace").strip()
+            raise ValueError(
+                f"input decompression '{pipe_command}' failed for {path!r} "
+                f"(exit {proc.returncode})" + (f": {detail}" if detail else "")
+            )
         return proc.stdout
     with open(path, "rb") as fh:
         return fh.read()

@@ -142,3 +142,23 @@ def test_index_msa_query_repl(built_index):
     # projected coordinates appear after the prompts; 0 projects to 0
     assert "\n0\n" in text.replace(") ", ")\n") or " 0\n" in text
     assert "No entry for sequence 'nope'." in r.stderr.decode()
+
+
+def test_cli_pipe_input_failure(built_index):
+    """A failing decompressor subprocess must surface as the CLI ERROR
+    convention + exit 1, not a traceback (reference SIGCHLD abort,
+    index-msa/main.cc:28-58)."""
+    tmp, _, _ = built_index
+    r = run(
+        [
+            "index_msa",
+            "--build-index",
+            f"--sequence-inputs={tmp / 'input.tsv'}",
+            f"--msa-index-output={tmp / 'fail.npz'}",
+            "--pipe-input=false",
+        ]
+    )
+    assert r.returncode == 1
+    err = r.stderr.decode()
+    assert "ERROR:" in err and "decompression" in err
+    assert "Traceback" not in err
