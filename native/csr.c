@@ -900,3 +900,303 @@ PyObject *pv3_csr_sweep_stats(PyObject *self, PyObject *args)
                          st->mate_ref_mismatches, st->position_mismatches,
                          st->matched, st->zero_coverage);
 }
+
+/* --- VCF record-line batch parser ---------------------------------------
+ *
+ * csr_parse_vcf(lines, lineno_start, end_key, co_key, usra_key)
+ *   -> (vlines, chroms, meta_bytes, n)
+ *
+ * Parses VCF record lines for the count_supporting_reads fast driver
+ * (io/vcf.py semantics): per variant the preformatted V output line
+ * ("V\tchrom\tpos\tids\talts_txt\t..." with ids ';'->',' and
+ * <DEL>/<DEL:ME> ALT mapping), the chromosome, and an int64[ n ][8] row
+ * [pos0, end0, alt_len, n_alts, zyg, gt_len, lineno, flags].
+ * flags bit 0 = parse anomaly: the caller must re-parse that line with
+ * the Python reader to reproduce its exact error/behaviour.  Blank and
+ * '#' lines are skipped but still advance the line number.  Everything
+ * else (sortedness, region/chr/zygosity filters, error raising) stays in
+ * Python on the returned values. */
+
+#define CSR_VMETA 8
+
+static int csr_vcf_one(const char *line, Py_ssize_t len, long lineno,
+                       const char *end_key, Py_ssize_t end_len,
+                       const char *co_key, Py_ssize_t co_len,
+                       const char *usra_key, Py_ssize_t usra_len,
+                       pv3_strbuf *vline, int64_t *meta,
+                       const char **chrom, Py_ssize_t *chrom_len)
+{
+    const char *f[10] = {0};
+    Py_ssize_t fl[10] = {0};
+    int nf = 0;
+    const char *p = line, *end = line + len;
+    while (nf < 10) {
+        const char *tab = memchr(p, '\t', end - p);
+        f[nf] = p;
+        fl[nf] = (tab ? tab : end) - p;
+        ++nf;
+        if (!tab)
+            break;
+        p = tab + 1;
+    }
+    if (nf < 5)
+        return -1;
+
+    long pos1;
+    if (csr_parse_long(f[1], f[1] + fl[1], &pos1) != 0)
+        return -1;
+    long pos0 = pos1 - 1;
+
+    /* alts: raw first-ALT length; n_alts; display text with DEL mapping */
+    long n_alts = 0, alt_len = -1;
+    if (!(fl[4] == 1 && f[4][0] == '.')) {
+        n_alts = 1;
+        const char *c = f[4], *ae = f[4] + fl[4];
+        const char *first_end = memchr(c, ',', ae - c);
+        alt_len = (first_end ? first_end : ae) - c;
+        for (const char *q = c; q < ae; ++q)
+            if (*q == ',')
+                ++n_alts;
+    }
+
+    /* INFO: END value, CO/USRA presence */
+    long end0 = pos0 + fl[3]; /* default: pos + len(REF) */
+    int reversed = 0;
+    if (nf > 7 && !(fl[7] == 1 && f[7][0] == '.')) {
+        const char *c = f[7], *ie = f[7] + fl[7];
+        while (c < ie) {
+            const char *semi = memchr(c, ';', ie - c);
+            const char *te = semi ? semi : ie;
+            const char *eq = memchr(c, '=', te - c);
+            Py_ssize_t klen = (eq ? eq : te) - c;
+            if ((klen == co_len && memcmp(c, co_key, klen) == 0) ||
+                (klen == usra_len && memcmp(c, usra_key, klen) == 0))
+                reversed = 1;
+            if (eq && klen == end_len && memcmp(c, end_key, klen) == 0) {
+                long v;
+                if (csr_parse_long(eq + 1, te, &v) != 0)
+                    return -1;
+                end0 = v;
+            }
+            c = te + 1;
+        }
+    }
+
+    /* GT of sample 0 */
+    long zyg = 0, gt_len = 0;
+    {
+        if (nf < 10)
+            return -1; /* no FORMAT/sample -> Python fallback */
+        /* find GT index in FORMAT */
+        long gi = -1, idx = 0;
+        const char *c = f[8], *fe = f[8] + fl[8];
+        while (c <= fe) {
+            const char *colon = memchr(c, ':', fe - c);
+            const char *te = colon ? colon : fe;
+            if (te - c == 2 && c[0] == 'G' && c[1] == 'T') {
+                gi = idx;
+                break;
+            }
+            if (!colon)
+                break;
+            c = colon + 1;
+            ++idx;
+        }
+        if (gi < 0)
+            return -1; /* lacks GT -> Python raises its error */
+        /* sample 0 value #gi (missing -> ".") */
+        const char *sv = f[9], *se = f[9] + fl[9];
+        long k = 0;
+        const char *vstart = sv, *vend = se;
+        int found = 0;
+        while (k <= gi) {
+            const char *colon = memchr(vstart, ':', se - vstart);
+            vend = colon ? colon : se;
+            if (k == gi) {
+                found = 1;
+                break;
+            }
+            if (!colon)
+                break;
+            vstart = colon + 1;
+            ++k;
+        }
+        if (!found) {
+            /* fewer sample fields than gi: Python substitutes "." */
+            vstart = vend = se;
+        }
+        /* split on | and / */
+        const char *c2 = vstart;
+        const char *part = c2;
+        for (;; ++c2) {
+            if (c2 == vend || *c2 == '|' || *c2 == '/') {
+                Py_ssize_t plen = c2 - part;
+                ++gt_len;
+                if (plen == 1 && part[0] == '.') {
+                    /* None allele */
+                } else {
+                    long av;
+                    if (csr_parse_long(part, part + plen, &av) != 0)
+                        return -1; /* malformed int -> Python error */
+                    if (av)
+                        ++zyg;
+                }
+                if (c2 == vend)
+                    break;
+                part = c2 + 1;
+            }
+        }
+        if (vstart == vend && gt_len == 1) {
+            /* empty value parsed as one empty part: Python int("") raises */
+            return -1;
+        }
+    }
+
+    /* V line: V\tchrom\tpos\tids(;->,)\tref\talts_txt\tzyg\treversed\n */
+    if (pv3_sb_put(vline, "V\t", 2) < 0 ||
+        pv3_sb_put(vline, f[0], fl[0]) < 0 || pv3_sb_putc(vline, '\t') < 0 ||
+        pv3_sb_put_long(vline, pos0) < 0 || pv3_sb_putc(vline, '\t') < 0)
+        return -2;
+    {
+        /* ids */
+        if (pv3_sb_reserve(vline, (size_t)fl[2] + 1) < 0)
+            return -2;
+        for (Py_ssize_t i = 0; i < fl[2]; ++i)
+            vline->buf[vline->len + i] = f[2][i] == ';' ? ',' : f[2][i];
+        vline->len += (size_t)fl[2];
+    }
+    if (pv3_sb_putc(vline, '\t') < 0 ||
+        pv3_sb_put(vline, f[3], fl[3]) < 0 || pv3_sb_putc(vline, '\t') < 0)
+        return -2;
+    if (n_alts == 0) {
+        /* alts == [] -> ",".join([]) == "" */
+    } else {
+        const char *c = f[4], *ae = f[4] + fl[4];
+        int first = 1;
+        while (c < ae) {
+            const char *comma = memchr(c, ',', ae - c);
+            const char *te = comma ? comma : ae;
+            if (!first && pv3_sb_putc(vline, ',') < 0)
+                return -2;
+            first = 0;
+            Py_ssize_t al = te - c;
+            if ((al == 5 && memcmp(c, "<DEL>", 5) == 0) ||
+                (al == 8 && memcmp(c, "<DEL:ME>", 8) == 0)) {
+                if (pv3_sb_put(vline, "<DEL>", 5) < 0)
+                    return -2;
+            } else if (pv3_sb_put(vline, c, al) < 0)
+                return -2;
+            c = te + 1;
+        }
+    }
+    if (pv3_sb_putc(vline, '\t') < 0 || pv3_sb_put_long(vline, zyg) < 0 ||
+        pv3_sb_putc(vline, '\t') < 0 ||
+        pv3_sb_put_long(vline, reversed) < 0 ||
+        pv3_sb_putc(vline, '\n') < 0)
+        return -2;
+
+    meta[0] = pos0;
+    meta[1] = end0;
+    meta[2] = n_alts == 1 ? alt_len : -1;
+    meta[3] = n_alts;
+    meta[4] = zyg;
+    meta[5] = gt_len;
+    meta[6] = lineno;
+    meta[7] = 0;
+    *chrom = f[0];
+    *chrom_len = fl[0];
+    return 0;
+}
+
+PyObject *pv3_csr_parse_vcf(PyObject *self, PyObject *args)
+{
+    PyObject *lines;
+    long lineno_start;
+    const char *end_key, *co_key, *usra_key;
+    Py_ssize_t end_len, co_len, usra_len;
+    if (!PyArg_ParseTuple(args, "O!ls#s#s#", &PyList_Type, &lines,
+                          &lineno_start, &end_key, &end_len, &co_key,
+                          &co_len, &usra_key, &usra_len))
+        return NULL;
+
+    Py_ssize_t n_lines = PyList_GET_SIZE(lines);
+    PyObject *vlines = PyList_New(0);
+    PyObject *chroms = PyList_New(0);
+    PyObject *meta_b = NULL, *res = NULL;
+    int64_t *meta = NULL;
+    Py_ssize_t n = 0, cap = n_lines ? n_lines : 1;
+    pv3_strbuf vbuf = {NULL, 0, 0};
+    if (!vlines || !chroms)
+        goto fail;
+    meta = malloc(cap * CSR_VMETA * sizeof(int64_t));
+    if (!meta)
+        goto oom;
+
+    for (Py_ssize_t li = 0; li < n_lines; ++li) {
+        char *lp;
+        Py_ssize_t ll;
+        if (PyBytes_AsStringAndSize(PyList_GET_ITEM(lines, li), &lp, &ll) <
+            0)
+            goto fail;
+        while (ll > 0 && (lp[ll - 1] == '\n' || lp[ll - 1] == '\r'))
+            --ll;
+        long lineno = lineno_start + li;
+        if (ll == 0 || lp[0] == '#')
+            continue;
+        const char *chrom = "";
+        Py_ssize_t chrom_len = 0;
+        vbuf.len = 0;
+        int r = csr_vcf_one(lp, ll, lineno, end_key, end_len, co_key,
+                            co_len, usra_key, usra_len, &vbuf, meta +
+                            n * CSR_VMETA, &chrom, &chrom_len);
+        if (r == -2)
+            goto oom;
+        PyObject *vo, *co;
+        if (r == -1) {
+            /* anomaly: flag for a Python re-parse of this exact line */
+            int64_t *m = meta + n * CSR_VMETA;
+            memset(m, 0, CSR_VMETA * sizeof(int64_t));
+            m[6] = lineno;
+            m[7] = 1;
+            vo = PyBytes_FromStringAndSize(lp, ll);
+            co = PyBytes_FromStringAndSize("", 0);
+        } else {
+            vo = PyBytes_FromStringAndSize(vbuf.buf, (Py_ssize_t)vbuf.len);
+            co = PyBytes_FromStringAndSize(chrom, chrom_len);
+        }
+        if (!vo || !co) {
+            Py_XDECREF(vo);
+            Py_XDECREF(co);
+            goto fail;
+        }
+        if (PyList_Append(vlines, vo) < 0 || PyList_Append(chroms, co) < 0) {
+            Py_DECREF(vo);
+            Py_DECREF(co);
+            goto fail;
+        }
+        Py_DECREF(vo);
+        Py_DECREF(co);
+        ++n;
+    }
+
+    meta_b = PyBytes_FromStringAndSize((const char *)meta,
+                                       n * CSR_VMETA * sizeof(int64_t));
+    if (!meta_b)
+        goto fail;
+    res = Py_BuildValue("(OONn)", vlines, chroms, meta_b, n);
+    Py_DECREF(vlines);
+    Py_DECREF(chroms);
+    free(meta);
+    free(vbuf.buf);
+    return res;
+
+oom:
+    PyErr_NoMemory();
+fail:
+    Py_XDECREF(vlines);
+    Py_XDECREF(chroms);
+    Py_XDECREF(meta_b);
+    free(meta);
+    free(vbuf.buf);
+    return NULL;
+}

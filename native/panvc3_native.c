@@ -1160,6 +1160,9 @@ static PyMethodDef methods[] = {
      "chunks, emitting V/R TSV text."},
     {"csr_sweep_stats", pv3_csr_sweep_stats, METH_VARARGS,
      "Read the sweep's alignment statistics counters."},
+    {"csr_parse_vcf", pv3_csr_parse_vcf, METH_VARARGS,
+     "Parse VCF record lines into V-lines + variant metadata for the "
+     "count_supporting_reads fast driver."},
     {"als_new", pv3_als_new, METH_VARARGS,
      "Create alignment_statistics engine state (capsule)."},
     {"als_chunk", pv3_als_chunk, METH_VARARGS,

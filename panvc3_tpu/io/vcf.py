@@ -89,31 +89,36 @@ class VcfReader:
                 info[part] = True
         return info
 
+    @classmethod
+    def parse_record_line(cls, line: str, lineno: int) -> VcfVariant:
+        """Parse one record line (no trailing newline) into a VcfVariant."""
+        f = line.split("\t")
+        fmt = f[8].split(":") if len(f) > 8 else []
+        samples = []
+        for s in f[9:]:
+            vals = s.split(":")
+            samples.append({k: (vals[i] if i < len(vals) else ".") for i, k in enumerate(fmt)})
+        return VcfVariant(
+            chrom=f[0],
+            pos=int(f[1]) - 1,
+            ids=f[2].split(";") if f[2] != "." else ["."],
+            ref=f[3],
+            alts=f[4].split(",") if f[4] != "." else [],
+            qual=f[5],
+            filter=f[6],
+            info=cls._parse_info(f[7]) if len(f) > 7 else {},
+            format=fmt,
+            samples=samples,
+            lineno=lineno,
+        )
+
     def __iter__(self):
         for line in self._fh:
             self._lineno += 1
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
-            f = line.split("\t")
-            fmt = f[8].split(":") if len(f) > 8 else []
-            samples = []
-            for s in f[9:]:
-                vals = s.split(":")
-                samples.append({k: (vals[i] if i < len(vals) else ".") for i, k in enumerate(fmt)})
-            yield VcfVariant(
-                chrom=f[0],
-                pos=int(f[1]) - 1,
-                ids=f[2].split(";") if f[2] != "." else ["."],
-                ref=f[3],
-                alts=f[4].split(",") if f[4] != "." else [],
-                qual=f[5],
-                filter=f[6],
-                info=self._parse_info(f[7]) if len(f) > 7 else {},
-                format=fmt,
-                samples=samples,
-                lineno=self._lineno,
-            )
+            yield self.parse_record_line(line, self._lineno)
 
     def close(self):
         if self._owns:

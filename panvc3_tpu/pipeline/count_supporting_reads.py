@@ -378,10 +378,159 @@ def _target_mask(
     ]
 
 
+def _reader_variant_tuples(variants, end_field_id, co_field_id, usra_field_id):
+    """(pos, end, alt_len, v_line, lineno, n_alts) from the object-path
+    (var, zyg) stream — the fallback producer for _run_fast."""
+    for var, zyg in variants:
+        v_line = (
+            _format_v_line(var, zyg, co_field_id, usra_field_id) + "\n"
+        ).encode("latin1")
+        alt_len = len(var.alts[0]) if len(var.alts) == 1 else -1
+        yield (
+            var.pos, var.end_pos(end_field_id), alt_len, v_line,
+            var.lineno, len(var.alts),
+        )
+
+
+def _native_variant_tuples(
+    nat,
+    vcf_path: str,
+    var_stats: VariantStatistics,
+    regions,
+    chr_id: str | None,
+    zygosity: int,
+    end_field_id: str,
+    co_field_id: str,
+    usra_field_id: str,
+):
+    """C VCF record parsing (csr_parse_vcf) + the Python-side validation
+    and filters of _iter_passing_variants, yielding the same tuples as
+    _reader_variant_tuples.  Rows the C parser flags as anomalous are
+    re-parsed with the Python reader to reproduce its exact errors."""
+    import gzip
+
+    import numpy as np
+
+    from ..io.vcf import VcfReader
+
+    fh = (
+        gzip.open(vcf_path, "rb")
+        if vcf_path.endswith(".gz")
+        else open(vcf_path, "rb")
+    )
+    try:
+        lineno = 0
+        while True:
+            raw = fh.readline()
+            if not raw:
+                return  # header-only / empty: no records
+            lineno += 1
+            s = raw.rstrip(b"\n")
+            if s.startswith(b"##"):
+                continue
+            if s.startswith(b"#CHROM"):
+                break
+            raise ValueError(
+                f"unexpected VCF line {lineno}: {s.decode('latin1')!r}"
+            )
+
+        end_b = end_field_id.encode()
+        co_b = co_field_id.encode()
+        usra_b = usra_field_id.encode()
+        chr_id_b = chr_id.encode("latin1") if chr_id is not None else None
+        # chromosome names stay bytes on this path; decode only for the
+        # region filter and error messages
+        prev_key: tuple[bytes, int] | None = None
+        seen_chroms: set[bytes] = set()
+        while True:
+            block = fh.readlines(1 << 20)
+            if not block:
+                return
+            vlines, chroms, meta_b, n = nat.csr_parse_vcf(
+                block, lineno + 1, end_b, co_b, usra_b
+            )
+            lineno += len(block)
+            rows = np.frombuffer(meta_b, np.int64).reshape(n, 8).tolist()
+            for i, (pos, end0, alt_len, n_alts, zyg, gt_len, ln,
+                    flags) in enumerate(rows):
+                var = None
+                if flags & 1:
+                    # anomalous row: vlines[i] holds the raw line; Python
+                    # re-parse raises exactly like the object reader would
+                    # (before the processed counter, matching its order)
+                    var = VcfReader.parse_record_line(
+                        vlines[i].decode("latin1"), ln
+                    )
+                    chrom = var.chrom.encode("latin1")
+                    pos = var.pos
+                else:
+                    chrom = chroms[i]
+                var_stats.variants_processed += 1
+
+                if (
+                    prev_key is not None
+                    and chrom == prev_key[0]
+                    and pos < prev_key[1]
+                ):
+                    raise ValueError(
+                        f"line {ln}: variants are not sorted by chromosome ID and position"
+                    )
+                if prev_key is not None and chrom != prev_key[0]:
+                    if chrom in seen_chroms:
+                        raise ValueError(
+                            f"line {ln}: contigs are not in contiguous blocks"
+                        )
+                    seen_chroms.add(chrom)
+                elif prev_key is None:
+                    seen_chroms.add(chrom)
+                prev_key = (chrom, pos)
+
+                if regions is not None:
+                    chrom_s = chrom.decode("latin1")
+                    if not regions.has_chrom(chrom_s):
+                        var_stats.chr_id_mismatches += 1
+                        continue
+                    if not regions.contains(chrom_s, pos):
+                        var_stats.position_mismatches += 1
+                        continue
+                if chr_id_b is not None and chrom != chr_id_b:
+                    var_stats.chr_id_mismatches += 1
+                    continue
+
+                if var is not None:
+                    gt = var.genotype(0)
+                    if len(gt) != 2:
+                        raise ValueError(
+                            f"Variant on line {ln} has non-diploid GT ({len(gt)})"
+                        )
+                    zyg = sum(1 for a in gt if a)
+                elif gt_len != 2:
+                    raise ValueError(
+                        f"Variant on line {ln} has non-diploid GT ({gt_len})"
+                    )
+                if 0 <= zygosity != zyg:
+                    var_stats.zygosity_mismatches += 1
+                    continue
+
+                if var is not None:
+                    v_line = (
+                        _format_v_line(var, zyg, co_field_id, usra_field_id)
+                        + "\n"
+                    ).encode("latin1")
+                    end0 = var.end_pos(end_field_id)
+                    alt_len = len(var.alts[0]) if len(var.alts) == 1 else -1
+                    n_alts = len(var.alts)
+                    yield pos, end0, alt_len, v_line, ln, n_alts
+                else:
+                    yield pos, end0, alt_len, vlines[i], ln, n_alts
+    finally:
+        fh.close()
+
+
 def _run_fast(
     nat,
     reader: SamReader,
-    variants,
+    variant_tuples,
     var_stats: VariantStatistics,
     out,
     *,
@@ -391,9 +540,6 @@ def _run_fast(
     same_ref: bool,
     include_clipping: bool,
     anchor_left: bool,
-    end_field_id: str,
-    co_field_id: str,
-    usra_field_id: str,
 ) -> AlignmentStatistics:
     """Native sweep engine driver: batches passing variants and streams raw
     SAM line chunks through csr_sweep_chunk, whose output is byte-identical
@@ -443,17 +589,14 @@ def _run_fast(
         vp.clear(); ve.clear(); va.clear(); vlines.clear(); vmeta.clear()
 
     try:
-        for var, zyg in variants:
-            vp.append(var.pos)
-            ve.append(var.end_pos(end_field_id))
+        for pos, end0, alt_len, v_line, lineno, n_alts in variant_tuples:
+            vp.append(pos)
+            ve.append(end0)
             # alt_len < 0 signals the multi-ALT error path (raised only when
             # the variant has coverage, after its V line — main.cc order)
-            va.append(len(var.alts[0]) if len(var.alts) == 1 else -1)
-            vlines.append(
-                (_format_v_line(var, zyg, co_field_id, usra_field_id) + "\n")
-                .encode("latin1")
-            )
-            vmeta.append((var.lineno, len(var.alts)))
+            va.append(alt_len)
+            vlines.append(v_line)
+            vmeta.append((lineno, n_alts))
             if len(vp) >= BATCH:
                 flush()
     except Exception:
@@ -509,8 +652,6 @@ def run_count_supporting_reads(
         regions.load_bed(regions_path)
 
     var_stats = VariantStatistics()
-    vcf = VcfReader(vcf_path)
-    variants = _iter_passing_variants(vcf, var_stats, regions, chr_id, zygosity)
 
     nat = get_native()
     raw_ok = not reader.is_bam or (
@@ -522,17 +663,31 @@ def run_count_supporting_reads(
         and raw_ok
         and os.environ.get("PANVC3_CSR_FAST") != "0"
     ):
+        if (
+            hasattr(nat, "csr_parse_vcf")
+            and os.environ.get("PANVC3_CSR_VCF_FAST") != "0"
+        ):
+            tuples = _native_variant_tuples(
+                nat, vcf_path, var_stats, regions, chr_id, zygosity,
+                end_field_id, co_field_id, usra_field_id,
+            )
+        else:
+            vcf = VcfReader(vcf_path)
+            tuples = _reader_variant_tuples(
+                _iter_passing_variants(vcf, var_stats, regions, chr_id, zygosity),
+                end_field_id, co_field_id, usra_field_id,
+            )
         align_stats = _run_fast(
-            nat, reader, variants, var_stats, out,
+            nat, reader, tuples, var_stats, out,
             contig=contig, contig_is_prefix=contig_is_prefix,
             primary_only=primary_only, same_ref=same_ref,
             include_clipping=include_clipping, anchor_left=anchor_left,
-            end_field_id=end_field_id, co_field_id=co_field_id,
-            usra_field_id=usra_field_id,
         )
         _print_stats(out, var_stats, align_stats)
         return var_stats, align_stats
 
+    vcf = VcfReader(vcf_path)
+    variants = _iter_passing_variants(vcf, var_stats, regions, chr_id, zygosity)
     sweep = AlignmentSweep(
         reader,
         reader.header.ref_names,

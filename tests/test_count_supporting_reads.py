@@ -211,16 +211,16 @@ def test_csr_native_engine_differential(monkeypatch, tmp_path):
         vcf_path.write_text(vcf_text)
         for cfg in configs:
             results = {}
-            for fast in ("0", "1"):
+            for fast, vcf_fast in (("0", "0"), ("1", "0"), ("1", "1")):
                 monkeypatch.setenv("PANVC3_CSR_FAST", fast)
+                monkeypatch.setenv("PANVC3_CSR_VCF_FAST", vcf_fast)
                 out = io.StringIO()
                 vs, als = run_count_supporting_reads(
                     str(vcf_path), io.BytesIO(sam_text.encode()), out, **cfg
                 )
-                results[fast] = (out.getvalue(), vs, als)
-            assert results["0"][0] == results["1"][0], (seed, cfg)
-            assert results["0"][1] == results["1"][1], (seed, cfg)
-            assert results["0"][2] == results["1"][2], (seed, cfg)
+                results[fast, vcf_fast] = (out.getvalue(), vs, als)
+            assert results["1", "0"] == results["0", "0"], (seed, cfg)
+            assert results["1", "1"] == results["0", "0"], (seed, cfg)
 
 
 def test_csr_native_multi_alt_error_parity(monkeypatch, tmp_path):
