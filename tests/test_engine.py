@@ -310,3 +310,56 @@ def test_realigned_ranges_tsv_and_observability(msa_files, founder_seqs, tmp_pat
     # host and device engines agree on every variant
     for keep, dbg in ((False, False), (False, True), (True, True), (True, False)):
         assert variants[("host", keep, dbg)] == variants[("device", keep, dbg)]
+
+
+def test_long_read_equality(msa_files, founder_seqs):
+    """Multi-kb reads (beyond the standard fast-lane buckets) must project
+    byte-identically through host and device engines, including realigned
+    I+D runs."""
+    index_path, _, _ = msa_files
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    rng = np.random.default_rng(5)
+    lines = ["@HD\tVN:1.6"]
+    for sid, s in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(s)}")
+    names = [s for s in stripped if s != "REF"]
+    READ = 4000
+    n = 0
+    for i in range(16):
+        sid = names[int(rng.integers(len(names)))]
+        s = stripped[sid]
+        if len(s) < READ + 100:
+            continue
+        pos = int(rng.integers(0, len(s) - READ - 60))
+        k = int(rng.integers(1, 8))
+        j = int(rng.integers(1, 8))
+        half = READ // 2
+        ins = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), k).tobytes()
+        seq = s[pos:pos + half] + ins + s[pos + half + j:pos + half + j + (READ - half - k)]
+        cigar = f"{half}={k}I{j}D{READ - half - k}="
+        q = seq.decode()
+        qual = "".join(chr(33 + int(x)) for x in rng.integers(20, 42, len(q)))
+        lines.append(
+            f"lr{i}\t0\ttest/{sid}\t{pos + 1}\t60\t{cigar}\t*\t0\t0\t{q}\t{qual}"
+        )
+        n += 1
+    assert n >= 8
+    sam = ("\n".join(lines) + "\n").encode()
+
+    outs = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            tags=TagSpec(rec_idx="XI"),
+            engine=engine,
+            device_batch_size=16,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == n
+        assert stats.realigned_range_count > 0
+        outs[engine] = out.getvalue()
+    assert outs["host"] == outs["device"]
