@@ -249,3 +249,105 @@ def test_format_float_c_matches_python():
                1e-45, -1.4e-45, 3.4e38, 1e-4, 0.000123, 65504.0, 1e16,
                9999999.5, -2.5]:
         assert nat.format_float_c(fv) == format_float(fv), fv
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_full_tool_random_msa_differential(seed, tmp_path):
+    """End-to-end project_alignments over a RANDOM founder MSA: the host
+    oracle engine and the device/fast-lane engine must emit identical
+    bytes.  Exercises the event-geometry tables, rewrite, realignment and
+    tag surgery on MSA shapes beyond the bundled toy data."""
+    import io
+
+    from panvc3_tpu.pipeline.index_msa import build_index_from_tsv
+    from panvc3_tpu.pipeline.project_alignments import (
+        ProjectConfig,
+        TagSpec,
+        run_project_alignments,
+    )
+
+    rng = np.random.default_rng(seed)
+    L = 400
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base = alpha[rng.integers(0, 4, L)]
+    names = ["REF", "f1", "f2", "f3"]
+    founder_seqs = {}
+    for sid in names:
+        while True:
+            gaps = rng.random(L) < 0.15
+            mut = rng.random(L) < 0.05
+            chars = np.where(mut, alpha[rng.integers(0, 4, L)], base)
+            row = np.where(gaps, ord("-"), chars).astype(np.uint8).tobytes()
+            if len(row.replace(b"-", b"")) >= 150:
+                break
+        founder_seqs[sid] = row
+
+    d = tmp_path / f"msa{seed}"
+    d.mkdir()
+    with open(d / "input.tsv", "w") as fh:
+        for sid, row in founder_seqs.items():
+            (d / f"{sid}.txt").write_bytes(row)
+            fh.write(f"c\t{sid}\t{d / f'{sid}.txt'}\n")
+    idx = build_index_from_tsv(str(d / "input.tsv"))
+    idx.save(str(d / "msa.npz"))
+    ref_gapless = founder_seqs["REF"].replace(b"-", b"")
+    (d / "ref.fa").write_bytes(b">c\n" + ref_gapless + b"\n")
+
+    # random reads from the founders with mismatch/indel CIGARs
+    stripped = {sid: row.replace(b"-", b"") for sid, row in founder_seqs.items()}
+    lines = ["@HD\tVN:1.6"]
+    for sid in names:
+        lines.append(f"@SQ\tSN:c/{sid}\tLN:{len(stripped[sid])}")
+    read_len = 80
+    n = 0
+    for i in range(60):
+        sid = names[1 + int(rng.integers(3))]
+        s = stripped[sid]
+        if len(s) < read_len + 30:
+            continue
+        pos = int(rng.integers(0, len(s) - read_len - 20))
+        kind = i % 3
+        if kind == 0:
+            cigar = f"{read_len}="
+            seq = s[pos:pos + read_len]
+        elif kind == 1:
+            k = int(rng.integers(1, 5))
+            half = read_len // 2
+            seq = s[pos:pos + half] + s[pos + half + k:pos + half + k + (read_len - half)]
+            cigar = f"{half}={k}D{read_len - half}="
+        else:
+            k = int(rng.integers(1, 5))
+            j = int(rng.integers(1, 5))
+            half = read_len // 2
+            ins = rng.choice(alpha, k).tobytes()
+            seq = (
+                s[pos:pos + half]
+                + ins
+                + s[pos + half + j:pos + half + j + (read_len - half - k)]
+            )
+            cigar = f"{half}={k}I{j}D{read_len - half - k}="
+        qual = "".join(chr(33 + int(x)) for x in rng.integers(15, 42, len(seq)))
+        lines.append(
+            f"q{i}\t0\tc/{sid}\t{pos + 1}\t60\t{cigar}\t*\t0\t0\t"
+            f"{seq.decode()}\t{qual}\tNM:i:0"
+        )
+        n += 1
+    assert n >= 40
+    sam = ("\n".join(lines) + "\n").encode()
+
+    outs = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(d / "msa.npz"),
+            reference_path=str(d / "ref.fa"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            tags=TagSpec(rec_idx="XI"),
+            engine=engine,
+            device_batch_size=16,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == n
+        outs[engine] = out.getvalue()
+    assert outs["host"] == outs["device"]
