@@ -102,8 +102,6 @@ def build_index_from_a2m(
     record names are ``chr<sep>seq``."""
     idx = base_index if base_index is not None else MsaIndex()
     data = _read_input_file(a2m_path, pipe_command)
-    name = None
-    chunks: list[bytes] = []
 
     def handle(name: str, seq: bytes) -> None:
         pos = name.find(separator)
@@ -116,17 +114,15 @@ def build_index_from_a2m(
         if fasta_out is not None:
             write_fasta(fasta_out, name, seq.replace(b"-", b""), fasta_line_width)
 
-    for line in data.split(b"\n"):
-        line = line.rstrip(b"\r")
-        if line.startswith(b">"):
-            if name is not None:
-                handle(name, b"".join(chunks))
-            name = line[1:].split()[0].decode()
-            chunks = []
-        elif line:
-            chunks.append(line)
-    if name is not None:
-        handle(name, b"".join(chunks))
+    # record-wise split: one C-level replace per sequence instead of a
+    # Python object per wrapped line (GB-scale A2M in bowtie2-workflow)
+    start = data.find(b">")
+    if start >= 0:
+        for rec in data[start + 1:].split(b"\n>"):
+            header, _, body = rec.partition(b"\n")
+            name = header.rstrip(b"\r").split()[0].decode()
+            seq = body.replace(b"\n", b"").replace(b"\r", b"")
+            handle(name, seq)
     idx.sort()
     return idx
 
