@@ -396,3 +396,33 @@ def test_als_fast_engine_bam_input(monkeypatch):
     s_bam = calculate_coverage(SamReader(bam), out_bam)
     assert out_sam.getvalue() == out_bam.getvalue()
     assert s_sam == s_bam
+
+
+def test_als_box_plot_fp_contract_regression(monkeypatch):
+    """Regression: this exact MAPQ stream flips a P² marker-adjustment
+    decision if the C estimator is compiled with FMA contraction
+    (-ffp-contract=fast); the build must keep contraction off so the C
+    doubles round exactly like the Python oracle."""
+    from panvc3_tpu.native import get_native
+    from panvc3_tpu.pipeline.alignment_statistics import mapq_box_plot
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "als_chunk"):
+        pytest.skip("native extension not built")
+
+    vals = [3, 3, 42, 254, 0, 254, 42, 0, 3, 42, 42, 42, 254, 3,
+            254, 254, 42, 3, 254, 254, 42, 3, 0, 3, 3, 254, 254, 3]
+    lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:c\tLN:5000"]
+    for i, v in enumerate(vals):
+        lines.append(
+            f"r{i}\t0\tc\t{10 + i}\t{v}\t10M\t*\t0\t0\t{'A' * 10}\t{'I' * 10}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
+    rows = {}
+    for fast in ("0", "1"):
+        monkeypatch.setenv("PANVC3_ALS_FAST", fast)
+        out = io.StringIO()
+        mapq_box_plot(SamReader(io.BytesIO(sam)), out, bin_width=100000)
+        rows[fast] = out.getvalue()
+    assert rows["0"] == rows["1"]
+    assert "171.556" in rows["1"]  # the correctly-rounded q75
