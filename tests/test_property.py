@@ -335,19 +335,21 @@ def test_full_tool_random_msa_differential(seed, tmp_path):
     assert n >= 40
     sam = ("\n".join(lines) + "\n").encode()
 
-    outs = {}
-    for engine in ("host", "device"):
-        cfg = ProjectConfig(
-            msa_index_path=str(d / "msa.npz"),
-            reference_path=str(d / "ref.fa"),
-            reference_msa_id="REF",
-            ref_id_separator="/",
-            tags=TagSpec(rec_idx="XI"),
-            engine=engine,
-            device_batch_size=16,
-        )
-        out = io.BytesIO()
-        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
-        assert stats.matched_reads == n
-        outs[engine] = out.getvalue()
-    assert outs["host"] == outs["device"]
+    for use_quality in (False, True):
+        outs = {}
+        for engine in ("host", "device"):
+            cfg = ProjectConfig(
+                msa_index_path=str(d / "msa.npz"),
+                reference_path=str(d / "ref.fa"),
+                reference_msa_id="REF",
+                ref_id_separator="/",
+                tags=TagSpec(rec_idx="XI"),
+                engine=engine,
+                device_batch_size=16,
+                use_read_base_qualities=use_quality,
+            )
+            out = io.BytesIO()
+            stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+            assert stats.matched_reads == n
+            outs[engine] = out.getvalue()
+        assert outs["host"] == outs["device"], use_quality
