@@ -230,3 +230,58 @@ def test_process_headers_copies_target_sq_extras():
     # founder row extras (a/f1) do not leak; missing-target chromosome is bare
     assert "@SQ\tSN:b\tLN:0" in out.lines
     assert mapping == [0, 0, 1]
+
+
+def test_reference_order_input(two_chr_setup, tmp_path, capsys):
+    """--reference-order-input reorders the output reference set
+    (process_headers, project_alignments.cc:1104-1150): listed identifiers
+    first in file order, unlisted ones appended with a warning; unknown and
+    duplicate identifiers warn and are skipped."""
+    index_path, fasta_path, chrs = two_chr_setup
+
+    lines = ["@HD\tVN:1.6"]
+    stripped = {}
+    for chr_id, rows in chrs.items():
+        for seq_id, aligned in rows.items():
+            name = f"{chr_id}/{seq_id}"
+            stripped[name] = aligned.replace(b"-", b"")
+            lines.append(f"@SQ\tSN:{name}\tLN:{len(stripped[name])}")
+    s = stripped["chrB/1"]
+    lines.append(
+        f"r0\t0\tchrB/1\t11\t60\t40=\t*\t0\t0\t{s[10:50].decode()}\t{'I' * 40}"
+    )
+    s2 = stripped["chrA/1"]
+    lines.append(
+        f"r1\t0\tchrA/1\t11\t60\t40=\t*\t0\t0\t{s2[10:50].decode()}\t{'I' * 40}"
+    )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    order_path = tmp_path / "order.txt"
+    order_path.write_text("chrB\nnosuchchr\nchrB\n")
+
+    outs = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(fasta_path),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+            reference_order_path=str(order_path),
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 2
+        outs[engine] = out.getvalue()
+    assert outs["host"] == outs["device"]
+
+    err = capsys.readouterr().err
+    assert "'nosuchchr' specified in reference name order but does not appear" in err
+    assert "'chrB' specified in reference name order more than once" in err
+    assert "'chrA' not found in the output order, placing in the end" in err
+
+    rd = SamReader(io.BytesIO(outs["host"]))
+    # chrB listed first; chrA appended after the ordered set
+    assert rd.header.ref_names == ["chrB", "chrA"]
+    recs = list(rd)
+    assert [rd.header.ref_names[r.ref_id] for r in recs] == ["chrB", "chrA"]
