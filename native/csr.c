@@ -1200,3 +1200,139 @@ fail:
     free(vbuf.buf);
     return NULL;
 }
+
+/* --- POSITION/COVERAGE TSV codec -----------------------------------------
+ * For the coverage post-processing tools (alignment-statistics scripts):
+ * genome-length coverage TSVs are one line per position, so the Python
+ * line loop dominates.  parse returns two int64 column arrays; format
+ * emits the canonical "pos\tcov\n" rows. */
+
+PyObject *pv3_parse_pos_cov(PyObject *self, PyObject *args)
+{
+    Py_buffer blob;
+    if (!PyArg_ParseTuple(args, "y*", &blob))
+        return NULL;
+    const char *p = blob.buf, *end = p + blob.len;
+
+    /* count rows (newlines, plus an unterminated final line) */
+    Py_ssize_t n = 0;
+    for (const char *c = p; c < end; ++c)
+        if (*c == '\n')
+            ++n;
+    if (blob.len && end[-1] != '\n')
+        ++n;
+
+    PyObject *pos_o = PyBytes_FromStringAndSize(NULL, n * 8);
+    PyObject *cov_o = PyBytes_FromStringAndSize(NULL, n * 8);
+    if (!pos_o || !cov_o) {
+        Py_XDECREF(pos_o);
+        Py_XDECREF(cov_o);
+        PyBuffer_Release(&blob);
+        return NULL;
+    }
+    int64_t *pos = (int64_t *)PyBytes_AS_STRING(pos_o);
+    int64_t *cov = (int64_t *)PyBytes_AS_STRING(cov_o);
+    Py_ssize_t k = 0;
+    int bad = 0;
+
+    PyThreadState *ts = PyEval_SaveThread();
+    while (p < end) {
+        const char *nl = memchr(p, '\n', end - p);
+        const char *le = nl ? nl : end;
+        if (le > p) { /* skip blank lines */
+            int64_t a = 0, b = 0;
+            const char *c = p;
+            int neg = 0;
+            if (c < le && *c == '-') {
+                neg = 1;
+                ++c;
+            }
+            const char *d0 = c;
+            while (c < le && *c >= '0' && *c <= '9')
+                a = a * 10 + (*c++ - '0');
+            if (c == d0 || c >= le || *c != '\t') {
+                bad = 1;
+                break;
+            }
+            if (neg)
+                a = -a;
+            ++c;
+            int neg2 = 0;
+            if (c < le && *c == '-') {
+                neg2 = 1;
+                ++c;
+            }
+            const char *d1 = c;
+            while (c < le && *c >= '0' && *c <= '9')
+                b = b * 10 + (*c++ - '0');
+            if (c == d1 || c != le) {
+                bad = 1;
+                break;
+            }
+            if (neg2)
+                b = -b;
+            pos[k] = a;
+            cov[k] = b;
+            ++k;
+        }
+        if (!nl)
+            break;
+        p = nl + 1;
+    }
+    PyEval_RestoreThread(ts);
+
+    if (bad) {
+        Py_DECREF(pos_o);
+        Py_DECREF(cov_o);
+        PyErr_Format(PyExc_ValueError, "malformed POSITION/COVERAGE row");
+        PyBuffer_Release(&blob);
+        return NULL;
+    }
+    if (k != n) {
+        _PyBytes_Resize(&pos_o, k * 8);
+        _PyBytes_Resize(&cov_o, k * 8);
+        if (!pos_o || !cov_o) {
+            Py_XDECREF(pos_o);
+            Py_XDECREF(cov_o);
+            PyBuffer_Release(&blob);
+            return NULL;
+        }
+    }
+    PyBuffer_Release(&blob);
+    return Py_BuildValue("(NNn)", pos_o, cov_o, k);
+}
+
+PyObject *pv3_format_pos_cov(PyObject *self, PyObject *args)
+{
+    Py_buffer pos_b, cov_b;
+    if (!PyArg_ParseTuple(args, "y*y*", &pos_b, &cov_b))
+        return NULL;
+    Py_ssize_t n = pos_b.len / 8;
+    const int64_t *pos = pos_b.buf;
+    const int64_t *cov = cov_b.buf;
+    pv3_strbuf out = {NULL, 0, 0};
+    int oom = 0;
+
+    PyThreadState *ts = PyEval_SaveThread();
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        if (pv3_sb_put_long(&out, (long)pos[i]) < 0 ||
+            pv3_sb_putc(&out, '\t') < 0 ||
+            pv3_sb_put_long(&out, (long)cov[i]) < 0 ||
+            pv3_sb_putc(&out, '\n') < 0) {
+            oom = 1;
+            break;
+        }
+    }
+    PyEval_RestoreThread(ts);
+
+    PyBuffer_Release(&pos_b);
+    PyBuffer_Release(&cov_b);
+    if (oom) {
+        free(out.buf);
+        return PyErr_NoMemory();
+    }
+    PyObject *res =
+        Py_BuildValue("y#", out.buf ? out.buf : "", (Py_ssize_t)out.len);
+    free(out.buf);
+    return res;
+}

@@ -114,6 +114,8 @@ PyObject *pv3_csr_sweep_new(PyObject *self, PyObject *args);
 PyObject *pv3_csr_sweep_chunk(PyObject *self, PyObject *args);
 PyObject *pv3_csr_sweep_stats(PyObject *self, PyObject *args);
 PyObject *pv3_csr_parse_vcf(PyObject *self, PyObject *args);
+PyObject *pv3_parse_pos_cov(PyObject *self, PyObject *args);
+PyObject *pv3_format_pos_cov(PyObject *self, PyObject *args);
 PyObject *pv3_als_new(PyObject *self, PyObject *args);
 PyObject *pv3_als_chunk(PyObject *self, PyObject *args);
 PyObject *pv3_als_finish(PyObject *self, PyObject *args);

@@ -1163,6 +1163,10 @@ static PyMethodDef methods[] = {
     {"csr_parse_vcf", pv3_csr_parse_vcf, METH_VARARGS,
      "Parse VCF record lines into V-lines + variant metadata for the "
      "count_supporting_reads fast driver."},
+    {"parse_pos_cov", pv3_parse_pos_cov, METH_VARARGS,
+     "Parse a POSITION/COVERAGE TSV body into two int64 column arrays."},
+    {"format_pos_cov", pv3_format_pos_cov, METH_VARARGS,
+     "Format int64 position/coverage columns as TSV rows."},
     {"als_new", pv3_als_new, METH_VARARGS,
      "Create alignment_statistics engine state (capsule)."},
     {"als_chunk", pv3_als_chunk, METH_VARARGS,

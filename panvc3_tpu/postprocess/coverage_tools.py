@@ -7,8 +7,35 @@ Own implementations of the behaviour of the reference's
 from __future__ import annotations
 
 import bisect
+import os
 import sys
 from collections import defaultdict
+
+from ..native import get_native
+
+
+def _read_pos_cov_columns(fp):
+    """Consume a whole POSITION/COVERAGE stream (header already read) via
+    the C TSV codec; returns (pos, cov) int64 arrays or None when the
+    native path is unavailable."""
+    nat = get_native()
+    if (
+        nat is None
+        or not hasattr(nat, "parse_pos_cov")
+        or os.environ.get("PANVC3_COVTOOLS_FAST") == "0"
+        or not hasattr(fp, "read")
+    ):
+        return None
+    import numpy as np
+
+    data = fp.read()
+    if isinstance(data, str):
+        data = data.encode("latin1")
+    pos_b, cov_b, n = nat.parse_pos_cov(data)
+    return (
+        np.frombuffer(pos_b, np.int64)[:n],
+        np.frombuffer(cov_b, np.int64)[:n],
+    )
 
 
 def coverage_histogram(
@@ -21,6 +48,35 @@ def coverage_histogram(
     """Histogram of a POSITION/COVERAGE stream; optionally count positions
     absent from the input as zero coverage."""
     next(fp)  # header
+    cols = _read_pos_cov_columns(fp)
+    if cols is not None and len(cols[0]) and int(cols[1].min()) < 0:
+        # negative coverage: bincount inapplicable; replay the parsed
+        # columns through the streaming loop (fp is already consumed)
+        fp = (
+            f"{p}\t{c}" for p, c in zip(cols[0].tolist(), cols[1].tolist())
+        )
+        cols = None
+    if cols is not None:
+        import numpy as np
+
+        pos, cov = cols
+        n = len(pos)
+        max_cov = int(cov.max()) if n else 0
+        counts = (
+            np.bincount(cov, minlength=max_cov + 1)
+            if n
+            else np.zeros(1, np.int64)
+        )
+        hist = {i: int(counts[i]) for i in range(max_cov + 1)}
+        prev_pos_1 = int(pos[-1]) + 1 if n else 0
+        if count_missing and n:
+            hist[0] += int(pos[0]) + int(np.sum(pos[1:] - pos[:-1] - 1))
+        if count_missing and max_length > 0:
+            hist[0] += 1 + max_length - prev_pos_1
+        out.write("COVERAGE\tCOUNT\n")
+        for i in range(max_cov + 1):
+            out.write(f"{i}\t{hist[i]}\n")
+        return hist
     hist: dict[int, int] = defaultdict(int)
     prev_pos_1 = 0
     max_cov = 0
@@ -46,6 +102,32 @@ def merge_coverages(lhs_fp, rhs_fp, out=sys.stdout) -> None:
     shared positions."""
     next(lhs_fp)
     next(rhs_fp)
+    lcols = _read_pos_cov_columns(lhs_fp)
+    if lcols is not None:
+        rcols = _read_pos_cov_columns(rhs_fp)
+        if rcols is not None:
+            import numpy as np
+
+            p1, c1 = lcols
+            p2, c2 = rcols
+            if (len(p1) < 2 or bool(np.all(p1[1:] > p1[:-1]))) and (
+                len(p2) < 2 or bool(np.all(p2[1:] > p2[:-1]))
+            ):
+                # strictly increasing inputs: the streaming merge equals a
+                # position union with summed coverage
+                all_pos = np.union1d(p1, p2)
+                cov = np.zeros(len(all_pos), np.int64)
+                cov[np.searchsorted(all_pos, p1)] += c1
+                cov[np.searchsorted(all_pos, p2)] += c2
+                out.write("POSITION\tCOVERAGE\n")
+                from ..native import get_native as _gn
+
+                blob = _gn().format_pos_cov(all_pos.tobytes(), cov.tobytes())
+                out.write(blob.decode("latin1"))
+                return
+            # fall through to the streaming merge over the parsed columns
+            lhs_fp = (f"{p}\t{c}" for p, c in zip(p1.tolist(), c1.tolist()))
+            rhs_fp = (f"{p}\t{c}" for p, c in zip(p2.tolist(), c2.tolist()))
 
     def gen(fp):
         for raw in fp:

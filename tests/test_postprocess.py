@@ -98,3 +98,69 @@ def test_filter_reference():
     )
     assert out.getvalue() == ">b\nTTTT\n"
     assert ids.getvalue() == "a\nb\n"
+
+
+def test_coverage_tools_fast_path_differential(monkeypatch):
+    """The C TSV codec + vectorized histogram/merge must match the
+    streaming Python loops, including count_missing gap accounting, the
+    max_length tail, non-strictly-increasing inputs (streaming fallback)
+    and negative coverage values (slow fallback)."""
+    import random
+
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "parse_pos_cov"):
+        import pytest
+
+        pytest.skip("native extension not built")
+
+    rng = random.Random(3)
+
+    def stream(n, start=0, step_max=3, cov_lo=0, shuffle=False):
+        pos = []
+        p = start
+        for _ in range(n):
+            pos.append(p)
+            p += rng.randint(1, step_max)
+        if shuffle:
+            rng.shuffle(pos)
+        rows = [f"{p}\t{rng.randint(cov_lo, 9)}" for p in pos]
+        return "POSITION\tCOVERAGE\n" + "\n".join(rows) + "\n"
+
+    cases = [
+        (stream(200), dict()),
+        (stream(200), dict(count_missing=True)),
+        (stream(200), dict(count_missing=True, max_length=1500)),
+        ("POSITION\tCOVERAGE\n", dict()),
+        ("POSITION\tCOVERAGE\n", dict(count_missing=True, max_length=7)),
+        (stream(100, cov_lo=-2), dict()),  # negative coverage -> fallback
+    ]
+    from panvc3_tpu.postprocess.coverage_tools import (
+        coverage_histogram,
+        merge_coverages,
+    )
+
+    for text, kw in cases:
+        res = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_COVTOOLS_FAST", fast)
+            out = io.StringIO()
+            h = coverage_histogram(io.StringIO(text), out, **kw)
+            res[fast] = (out.getvalue(), h)
+        assert res["0"] == res["1"], kw
+
+    merge_cases = [
+        (stream(150), stream(180, start=37)),
+        (stream(10), "POSITION\tCOVERAGE\n"),
+        ("POSITION\tCOVERAGE\n", "POSITION\tCOVERAGE\n"),
+        (stream(60, shuffle=True), stream(60)),  # unsorted -> streaming
+    ]
+    for a, b in merge_cases:
+        res = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_COVTOOLS_FAST", fast)
+            out = io.StringIO()
+            merge_coverages(io.StringIO(a), io.StringIO(b), out)
+            res[fast] = out.getvalue()
+        assert res["0"] == res["1"]
