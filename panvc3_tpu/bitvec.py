@@ -51,9 +51,8 @@ def pack_bits(bits: np.ndarray) -> np.ndarray:
 
 def unpack_bits(words: np.ndarray, n: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`; returns uint8[n]."""
-    words = np.asarray(words, dtype=np.uint32)
-    shifts = np.arange(32, dtype=np.uint32)
-    bits = ((words[:, None] >> shifts) & 1).astype(np.uint8).reshape(-1)
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
     return bits[:n]
 
 

@@ -75,16 +75,28 @@ class BatchProjector:
         # record actually using one is rejected in the record loop.
         self.src_dev_ids = [dev_id(e) if e is not None else -1 for e in src_entries]
         self.dst_dev_ids = [dev_id(e) if e is not None else -1 for e in dst_entries]
-        self.index = DeviceGapIndex.build(vectors)
-        if mesh is not None:
-            from ..parallel.mesh import replicate
-
-            self.index = replicate(mesh, self.index)
+        # The HBM gap-index tables cost O(columns) build time and memory
+        # (~1 GB / 100 Mcol); the default event-geometry path never touches
+        # them, so they are built on first use (gap-kernel path or
+        # event-slot-overflow fallback only).
+        self._vectors = vectors
+        self._index = None
 
         # Flat reference buffer; rebuilt when new chromosomes get loaded.
         self._ref_flat = None
         self._ref_flat_host = np.zeros(0, dtype=np.uint8)
         self._ref_off: dict[int, int] = {}
+
+    @property
+    def index(self):
+        """Device gap-index tables, built lazily on first use."""
+        if self._index is None:
+            self._index = DeviceGapIndex.build(self._vectors)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate
+
+                self._index = replicate(self.mesh, self._index)
+        return self._index
 
     def _ensure_refs(self, ref_seqs: dict[int, bytes]) -> None:
         if set(ref_seqs) == set(self._ref_off):

@@ -56,17 +56,31 @@ def build_pair_events(src: GapBitVector, dst: GapBitVector) -> PairEvents:
     """Difference events of one (src, dst) pair from the packed words."""
     mw = min(len(src.words), len(dst.words))
     wd = src.words[:mw] ^ dst.words[:mw]
-    nzw = np.flatnonzero(wd)
     empty = np.zeros(0, np.int64)
-    if nzw.size == 0:
-        return _make_pair_events(empty, empty, empty, empty)
-    bits = ((wd[nzw, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1).astype(bool)
-    cols = ((nzw.astype(np.int64) << 5)[:, None] + np.arange(32, dtype=np.int64)[None, :])[bits]
+    # set-bit positions via a C-level unpack: at genome scale the previous
+    # per-word (nzw, 32) expansion built multi-hundred-MB int64
+    # intermediates and dominated engine start-up
+    bits_all = np.unpackbits(
+        np.ascontiguousarray(wd).view(np.uint8), bitorder="little"
+    )
+    cols = np.flatnonzero(bits_all).astype(np.int64)
     cols = cols[cols < min(src.n, dst.n)]
     if cols.size == 0:
         return _make_pair_events(empty, empty, empty, empty)
-    sbit = src.bit_at(cols)
-    srank = src.rank0(cols)
+    # src bit + rank0 at every difference column without a full-length
+    # cumulative array: gaps are sparse, so rank0(c) = c - (# gap
+    # positions < c) via one searchsorted over the gap-position list
+    # (the general gather-based rank0 and a full int64 cumsum both
+    # dominated genome-scale engine start-up)
+    up_to = int(cols[-1]) + 1
+    src_bits = np.unpackbits(
+        np.ascontiguousarray(src.words).view(np.uint8),
+        count=up_to,
+        bitorder="little",
+    )
+    src_gap_pos = np.flatnonzero(src_bits)
+    sbit = src_bits[cols]
+    srank = cols - np.searchsorted(src_gap_pos, cols, side="left")
 
     # src zero + dst gap: the unit itself projects onto a gap column
     g = srank[sbit == 0]
