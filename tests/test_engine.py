@@ -363,3 +363,38 @@ def test_long_read_equality(msa_files, founder_seqs):
         assert stats.realigned_range_count > 0
         outs[engine] = out.getvalue()
     assert outs["host"] == outs["device"]
+
+
+def test_device_gap_tables_lazy(msa_files, founder_seqs):
+    """The default event-geometry run must never build the HBM gap-index
+    tables (O(columns) build time + memory — genome-scale cold-start
+    regression guard); they exist for the gap-kernel path and the
+    event-overflow fallback only."""
+    import panvc3_tpu.ops.engine as eng
+
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs, n_reads=40)
+
+    built = []
+    orig = eng.DeviceGapIndex.build
+
+    def spy(vectors):
+        built.append(len(vectors))
+        return orig(vectors)
+
+    eng.DeviceGapIndex.build = staticmethod(spy)
+    try:
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine="device",
+            device_batch_size=32,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 40
+    finally:
+        eng.DeviceGapIndex.build = orig
+    assert built == [], "gap-index tables were built on the event path"
