@@ -77,14 +77,31 @@ def build_index_from_tsv(
             chr_id, seq_id, path = line.split("\t")[:3]
             rows.append((chr_id, seq_id, path))
 
-    for chr_id, seq_id, path in rows:
+    # Per-sequence build parallelism, like the reference's background
+    # dispatch groups (index-msa/input_processor.cc:141-203): file read,
+    # gap scan and bit packing release the GIL; index/FASTA emission stays
+    # on this thread in input order.
+    def build_one(row):
+        chr_id, seq_id, path = row
         data = _extract_sequence(_read_input_file(path, pipe_command))
         gaps = GapBitVector.from_gap_string(data)
-        chrom = idx.get_or_add_chr(chr_id)
-        chrom.sequence_entries.append(SequenceEntry(seq_id, gaps))
-        if fasta_out is not None:
-            stripped = data.replace(b"-", b"")
-            write_fasta(fasta_out, f"{chr_id}/{seq_id}", stripped, fasta_line_width)
+        stripped = data.replace(b"-", b"") if fasta_out is not None else None
+        return gaps, stripped
+
+    import concurrent.futures as cf
+    import os as _os
+
+    workers = min(4, _os.cpu_count() or 1, max(len(rows), 1))
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        for (chr_id, seq_id, _), (gaps, stripped) in zip(
+            rows, pool.map(build_one, rows)
+        ):
+            chrom = idx.get_or_add_chr(chr_id)
+            chrom.sequence_entries.append(SequenceEntry(seq_id, gaps))
+            if fasta_out is not None:
+                write_fasta(
+                    fasta_out, f"{chr_id}/{seq_id}", stripped, fasta_line_width
+                )
     idx.sort()
     return idx
 
