@@ -293,3 +293,51 @@ def test_csr_fast_engine_bam_input(monkeypatch, tmp_path):
     r_bam = run_count_supporting_reads(str(vcf_path), bam, out_bam)
     assert out_sam.getvalue() == out_bam.getvalue()
     assert r_sam == r_bam
+
+
+def test_csr_multichrom_vcf_chr_filter(monkeypatch, tmp_path):
+    """A VCF spanning two chromosome blocks with --chromosome filtering:
+    the native VCF tuple path must validate sortedness/contiguity and
+    count chr mismatches exactly like the object path; out-of-order
+    chromosome blocks must raise identically."""
+    sam = (
+        "@HD\tVN:1.6\n@SQ\tSN:chrA\tLN:100\n@SQ\tSN:chrB\tLN:100\n"
+        + "".join(
+            f"r{i}\t0\tchrA\t{10 + i}\t60\t20M\t*\t0\t0\t{'A' * 20}\t{'I' * 20}\n"
+            for i in range(5)
+        )
+    ).encode()
+    head = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    )
+    good = head + (
+        "chrA\t15\tv0\tA\tG\t.\tPASS\t.\tGT\t0|1\n"
+        "chrA\t20\tv1\tA\tG\t.\tPASS\t.\tGT\t0|1\n"
+        "chrB\t5\tv2\tA\tG\t.\tPASS\t.\tGT\t0|1\n"
+    )
+    bad = head + (
+        "chrA\t15\tv0\tA\tG\t.\tPASS\t.\tGT\t0|1\n"
+        "chrB\t5\tv2\tA\tG\t.\tPASS\t.\tGT\t0|1\n"
+        "chrA\t20\tv1\tA\tG\t.\tPASS\t.\tGT\t0|1\n"  # chrA block resumes
+    )
+    for name, text, should_raise in (("good", good, False), ("bad", bad, True)):
+        p = tmp_path / f"{name}.vcf"
+        p.write_text(text)
+        res = {}
+        for fast, vfast in (("0", "0"), ("1", "1")):
+            monkeypatch.setenv("PANVC3_CSR_FAST", fast)
+            monkeypatch.setenv("PANVC3_CSR_VCF_FAST", vfast)
+            out = io.StringIO()
+            try:
+                vs, als = run_count_supporting_reads(
+                    str(p), io.BytesIO(sam), out, chr_id="chrA"
+                )
+                res[fast] = ("ok", out.getvalue(), vs, als)
+            except ValueError as e:
+                res[fast] = ("err", out.getvalue(), str(e))
+        assert res["0"] == res["1"], name
+        assert (res["0"][0] == "err") == should_raise, name
+        if name == "good":
+            assert res["0"][2].chr_id_mismatches == 1  # the chrB variant
