@@ -197,6 +197,8 @@ def test_csr_native_engine_differential(monkeypatch, tmp_path):
 
         pytest.skip("native extension not built")
 
+    bed_path = tmp_path / "regions.bed"
+    bed_path.write_text("chr1\t50\t250\nchr1\t400\t520\n")
     configs = [
         {},
         {"zygosity": 1},
@@ -204,6 +206,8 @@ def test_csr_native_engine_differential(monkeypatch, tmp_path):
         {"anchor_left": True},
         {"contig": "chr1", "primary_only": True, "same_ref": True},
         {"contig": "chr", "contig_is_prefix": True},
+        {"regions_path": str(bed_path)},
+        {"chr_id": "chr1"},
     ]
     for seed in range(4):
         sam_text, vcf_text = _random_workload(seed)
