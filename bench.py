@@ -315,6 +315,7 @@ def _kernel_metrics(
 
     iters = 20
     ref_flat_dev = bp.ref_flat_dev
+    dev_index = bp.index  # force the lazy table build outside the trace
 
     @partial(jax.jit, static_argnames=("n_iters",))
     def fused_loop(args, n_iters):
@@ -322,7 +323,7 @@ def _kernel_metrics(
             acc, query = carry
             query = query.at[0, 0].set((acc % 4 + 65).astype(jnp.uint8))
             out = fused_projection_kernel(
-                bp.index, ref_flat_dev, *args[:6], query, go, ge, R, U,
+                dev_index, ref_flat_dev, *args[:6], query, go, ge, R, U,
                 BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD,
                 pool,
             )
