@@ -117,13 +117,17 @@ def _random_workload(seed: int, n_reads: int = 400, n_vars: int = 120):
 
     def rand_cigar():
         ops = []
+        if rng.random() < 0.1:
+            ops.append((rng.randint(1, 3), "H"))
         if rng.random() < 0.25:
             ops.append((rng.randint(1, 5), "S"))
         n_seg = rng.randint(1, 4)
         for k in range(n_seg):
             ops.append((rng.randint(3, 25), rng.choice("M=X")))
             if k + 1 < n_seg:
-                ops.append((rng.randint(1, 4), rng.choice("ID")))
+                ops.append((rng.randint(1, 4), rng.choice("IDND")))
+            if rng.random() < 0.08:
+                ops.append((rng.randint(1, 2), "P"))
         if rng.random() < 0.2:
             ops.append((rng.randint(1, 5), "S"))
         if rng.random() < 0.1:
