@@ -263,6 +263,18 @@ static int csr_put_lower(pv3_strbuf *sb, const char *s, long n)
     return 0;
 }
 
+/* Python slice semantics for the query pieces: seq[seg_pos:seg_pos+n]
+   silently truncates when a (malformed) CIGAR claims more query than SEQ
+   holds — clamp the COPY length the same way (the position arithmetic
+   keeps the unclamped values). */
+static long csr_clamp_len(const csr_cand *c, long seg_pos, long n)
+{
+    if (seg_pos >= c->seq_len)
+        return 0;
+    long avail = c->seq_len - seg_pos;
+    return n < avail ? n : avail;
+}
+
 /* Returns 1 when an allele was appended to sb, 0 when the walk fails
    (Python returns None), -1 on oom, -2 on an unexpected CIGAR op.
    last_tilde replicates `out and out[-1].endswith("~")` over the Python
@@ -313,7 +325,8 @@ static int csr_walk(const csr_cand *c, long var_pos, long var_ref_len,
 
         if (pv3_is_mtype_op(op)) {
             long step = op_count < var_ref_len ? op_count : var_ref_len;
-            if (pv3_sb_put(sb, c->seq + seg_pos, (size_t)step) < 0)
+            if (pv3_sb_put(sb, c->seq + seg_pos,
+                           (size_t)csr_clamp_len(c, seg_pos, step)) < 0)
                 return -1;
             last_tilde = 0;
             seg_pos += step;
@@ -325,7 +338,8 @@ static int csr_walk(const csr_cand *c, long var_pos, long var_ref_len,
                 var_alt_len = 0;
             }
         } else if (op == OP_I) {
-            if (pv3_sb_put(sb, c->seq + seg_pos, (size_t)op_count) < 0)
+            if (pv3_sb_put(sb, c->seq + seg_pos,
+                           (size_t)csr_clamp_len(c, seg_pos, op_count)) < 0)
                 return -1;
             last_tilde = 0;
             seg_pos += op_count;
@@ -341,7 +355,8 @@ static int csr_walk(const csr_cand *c, long var_pos, long var_ref_len,
             op_count = 0;
         } else if (op == OP_S) {
             if (include_clipping) {
-                if (csr_put_lower(sb, c->seq + seg_pos, op_count) < 0)
+                if (csr_put_lower(sb, c->seq + seg_pos,
+                                  csr_clamp_len(c, seg_pos, op_count)) < 0)
                     return -1;
                 last_tilde = 0;
             }
@@ -372,7 +387,8 @@ static int csr_walk(const csr_cand *c, long var_pos, long var_ref_len,
             int8_t op2 = c->ops[i];
             if (op2 == OP_S) {
                 if (include_clipping) {
-                    if (csr_put_lower(sb, c->seq + seg_pos, cnt) < 0)
+                    if (csr_put_lower(sb, c->seq + seg_pos,
+                                      csr_clamp_len(c, seg_pos, cnt)) < 0)
                         return -1;
                     last_tilde = 0;
                 }
@@ -383,7 +399,8 @@ static int csr_walk(const csr_cand *c, long var_pos, long var_ref_len,
             if (!csr_can_continue(prev_op, op2))
                 break;
             if (op2 == OP_I) {
-                if (pv3_sb_put(sb, c->seq + seg_pos, (size_t)cnt) < 0)
+                if (pv3_sb_put(sb, c->seq + seg_pos,
+                               (size_t)csr_clamp_len(c, seg_pos, cnt)) < 0)
                     return -1;
                 last_tilde = 0;
                 seg_pos += cnt;

@@ -3986,6 +3986,12 @@ static long mq_score_cigar(const mq_rec *r, const int8_t *ops,
             prev_gap = 0;
             break;
         case OP_EQ:
+            if (qpos + count > r->seq_len) {
+                err->kind = 1;
+                snprintf(err->msg, sizeof err->msg,
+                         "CIGAR overruns the sequence");
+                return 0;
+            }
             for (long i = 0; i < count; ++i) {
                 unsigned char c = q[qpos + i];
                 if (c == 'N' || c == 'n')
@@ -3996,15 +4002,27 @@ static long mq_score_cigar(const mq_rec *r, const int8_t *ops,
             prev_gap = 0;
             break;
         case OP_X:
+            if (qpos + count > r->seq_len) {
+                err->kind = 1;
+                snprintf(err->msg, sizeof err->msg,
+                         "CIGAR overruns the sequence");
+                return 0;
+            }
             for (long i = 0; i < count; ++i) {
                 long qp = qpos + i, rp = rpos + i;
-                if (qp >= r->seq_len || (has_qual && qp >= r->qual_len)) {
+                if (has_qual && qp >= r->qual_len) {
                     err->kind = 1;
                     snprintf(err->msg, sizeof err->msg,
-                             "CIGAR overruns SEQ/QUAL");
+                             "CIGAR overruns the sequence");
                     return 0;
                 }
                 long qual = has_qual ? (long)qu[qp] - 33 : 0;
+                /* clamp like score_cigar (panvc3_native.c): quality chars
+                   below '!' floor at 0 rather than wrapping mod 256 */
+                if (qual < 0)
+                    qual = 0;
+                else if (qual > 255)
+                    qual = 255;
                 int ref_is_n = 0;
                 if (refn_len) {
                     if (rp / 8 >= refn_len) {
@@ -4019,7 +4037,7 @@ static long mq_score_cigar(const mq_rec *r, const int8_t *ops,
                 if (c == 'N' || c == 'n' || ref_is_n)
                     score -= n_pen;
                 else
-                    score -= mm_pen[((qual % 256) + 256) % 256];
+                    score -= mm_pen[qual];
             }
             qpos += count;
             rpos += count;

@@ -349,3 +349,40 @@ def test_csr_multichrom_vcf_chr_filter(monkeypatch, tmp_path):
         assert (res["0"][0] == "err") == should_raise, name
         if name == "good":
             assert res["0"][2].chr_id_mismatches == 1  # the chrB variant
+
+
+def test_csr_cigar_longer_than_seq(monkeypatch, tmp_path):
+    """A record whose CIGAR claims more query than SEQ holds (malformed but
+    parseable): the Python walk silently truncates its slices; the C walk
+    must clamp identically instead of overreading the candidate buffer."""
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "csr_sweep_chunk"):
+        import pytest
+
+        pytest.skip("native extension not built")
+
+    sam = (
+        "@HD\tVN:1.6\n@SQ\tSN:c\tLN:200\n"
+        # claims 100M/20I but SEQ has only 30 bases
+        "bad1\t0\tc\t1\t60\t100M\t*\t0\t0\t" + "A" * 30 + "\t" + "I" * 30 + "\n"
+        "bad2\t0\tc\t2\t60\t50M20I50M\t*\t0\t0\t" + "C" * 30 + "\t" + "I" * 30 + "\n"
+        "ok\t0\tc\t3\t60\t120M\t*\t0\t0\t" + "G" * 120 + "\t" + "I" * 120 + "\n"
+    ).encode()
+    vcf = (
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "c\t40\tv0\tA\tG\t.\tPASS\t.\tGT\t0|1\n"
+        "c\t60\tv1\tAAA\tA\t.\tPASS\t.\tGT\t0|1\n"
+    )
+    p = tmp_path / "clamp.vcf"
+    p.write_text(vcf)
+    res = {}
+    for fast in ("0", "1"):
+        monkeypatch.setenv("PANVC3_CSR_FAST", fast)
+        out = io.StringIO()
+        vs, als = run_count_supporting_reads(str(p), io.BytesIO(sam), out)
+        res[fast] = (out.getvalue(), vs, als)
+    assert res["0"] == res["1"]

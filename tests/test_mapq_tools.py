@@ -484,3 +484,35 @@ def test_rewrite_cigar_native_engine_differential(monkeypatch, tmp_path):
             )
             outs[fast] = (out.getvalue(), n)
         assert outs["1"] == outs["0"], f"mismatch in {mode}"
+
+
+def test_mapq_rescore_overrun_and_lowqual_parity(monkeypatch):
+    """The C group engine must bound-check =/X query slices (the object
+    path raises 'CIGAR overruns the sequence') and floor quality chars
+    below '!' at zero instead of wrapping — parity on both."""
+    import io
+
+    from panvc3_tpu.pipeline.recalculate_mapq import run_recalculate_mapq
+
+    overrun = (
+        "@HD\tVN:1.6\n@SQ\tSN:c\tLN:1000\n"
+        "a\t0\tc\t5\t40\t100=\t*\t0\t0\t" + "A" * 30 + "\t" + "I" * 30 +
+        "\tAS:i:-3\tXR:i:0\tXP:i:5\n"
+    ).encode()
+    lowq = (
+        "@HD\tVN:1.6\n@SQ\tSN:c\tLN:1000\n"
+        "b\t0\tc\t5\t40\t30X\t*\t0\t0\t" + "A" * 30 + "\t" + chr(30) * 30 +
+        "\tAS:i:-3\tXR:i:0\tXP:i:5\n"
+    ).encode()
+    for sam, should_raise in ((overrun, True), (lowq, False)):
+        res = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_MAPQ_FAST", fast)
+            try:
+                out = io.BytesIO()
+                run_recalculate_mapq(io.BytesIO(sam), out, rescore=True)
+                res[fast] = ("ok", out.getvalue())
+            except ValueError as e:
+                res[fast] = ("err", str(e))
+        assert res["0"] == res["1"]
+        assert (res["0"][0] == "err") == should_raise
