@@ -42,6 +42,8 @@ def _fill_ref_n_positions(
     need = (ref_pos + count + 7) // 8
     if len(out) < need:
         out.extend(b"\x00" * (need - len(out)))
+    if ref_base_pos + ref_pos + count > len(ref):
+        raise ValueError("CIGAR overruns the reference")
     for i in range(count):
         if ref[ref_base_pos + ref_pos + i] == ord("N"):
             out[(ref_pos + i) // 8] |= 1 << ((ref_pos + i) % 8)
@@ -72,6 +74,8 @@ def rewrite_sequence_match(
             ref_pos += count
         elif op == "M":
             _fill_ref_n_positions(ref, n_positions, ref_base_pos, ref_pos, count)
+            if query_pos + count > len(query):
+                raise ValueError("CIGAR overruns SEQ")
             # per-character comparison, runs merged within this op only
             prev_count = 1
             prev_op = (

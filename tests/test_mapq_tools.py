@@ -516,3 +516,34 @@ def test_mapq_rescore_overrun_and_lowqual_parity(monkeypatch):
                 res[fast] = ("err", str(e))
         assert res["0"] == res["1"]
         assert (res["0"][0] == "err") == should_raise
+
+
+def test_rewrite_tool_overrun_parity(monkeypatch, tmp_path):
+    """-S mode on records whose CIGAR overruns SEQ or the reference: both
+    paths raise the same typed ValueError (no IndexError leaks)."""
+    import io
+
+    from panvc3_tpu.pipeline.rewrite_cigar_tool import run_rewrite_cigar
+
+    ref = tmp_path / "r.fa"
+    ref.write_bytes(b">c\n" + b"A" * 1000 + b"\n")
+    cases = [
+        ("a\t0\tc\t5\t40\t100M\t*\t0\t0\t" + "A" * 30 + "\t" + "I" * 30,
+         "CIGAR overruns SEQ"),
+        ("b\t0\tc\t995\t40\t30M\t*\t0\t0\t" + "A" * 30 + "\t" + "I" * 30,
+         "CIGAR overruns the reference"),
+    ]
+    for rec, msg in cases:
+        sam = ("@HD\tVN:1.6\n@SQ\tSN:c\tLN:1000\n" + rec + "\n").encode()
+        res = {}
+        for fast in ("0", "1"):
+            monkeypatch.setenv("PANVC3_REWRITE_TOOL_FAST", fast)
+            try:
+                run_rewrite_cigar(
+                    io.BytesIO(sam), io.BytesIO(), mode="sequence-match",
+                    reference_path=str(ref),
+                )
+                res[fast] = ("ok",)
+            except ValueError as e:
+                res[fast] = ("err", str(e))
+        assert res["0"] == res["1"] == ("err", msg)
