@@ -370,6 +370,7 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
         int32_t rec_ops = 0;
         long rec_ref_units = 0;
         long rec_units = 0;
+        long rec_qlen = 0;
         {
             const char *c = fields[5], *cend = c + flens[5];
             if (!(flens[5] == 1 && *c == '*')) {
@@ -402,6 +403,8 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                     f_counts[n_ops_total] = (int32_t)count;
                     ++n_ops_total;
                     ++rec_ops;
+                    if (pv3_is_query_op(code))
+                        rec_qlen += count;
                     if (pv3_is_ref_op(code)) {
                         rec_ref_units += count;
                         rec_units += count;
@@ -410,6 +413,16 @@ PyObject *pv3_parse_stage_batch(PyObject *self, PyObject *args)
                     }
                 }
             }
+        }
+        if (rec_ops && rec_qlen != flens[9]) {
+            /* matches run_project_alignments' object-path validation */
+            err.kind = 1;
+            snprintf(err.msg, sizeof err.msg,
+                     "record '%.*s': CIGAR consumes %ld query bases but "
+                     "SEQ has %ld",
+                     (int)(flens[0] > 60 ? 60 : flens[0]), fields[0],
+                     rec_qlen, (long)flens[9]);
+            goto loop_err;
         }
 
         /* ---- record bookkeeping ---- */

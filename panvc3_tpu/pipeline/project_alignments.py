@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 
 
 from ..alphabet import decode_phred42
+from ..cigar import cigar_query_length
 from ..io.fasta import FastaReader
 from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
 from ..msa_index import MsaIndex, SequenceEntry
@@ -686,6 +687,12 @@ def run_project_alignments(
             if not rec.seq or rec.seq == "*":
                 stats.seq_missing += 1
                 continue
+            qlen = cigar_query_length(rec.cigar)
+            if rec.cigar and qlen != len(rec.seq):
+                raise ValueError(
+                    f"record {rec.qname!r}: CIGAR consumes {qlen} query "
+                    f"bases but SEQ has {len(rec.seq)}"
+                )
             if src_entries[rec.ref_id] is None:
                 raise ValueError(
                     f"record {rec.qname!r} references "

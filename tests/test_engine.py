@@ -159,7 +159,7 @@ def test_fused_overflow_fallback(msa_files, founder_seqs):
     for k in range(12):
         parts.append(s[p:p + 5])
         cig.append("5=")
-        ins = bytes(rng.choice(list(b"ACGT"), 2))
+        ins = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 2).tobytes()
         parts.append(ins)
         cig.append("2I2D")
         p += 7
@@ -169,7 +169,7 @@ def test_fused_overflow_fallback(msa_files, founder_seqs):
 
     # read with one very long run (> FUSED_RUN_PAD)
     pos2 = 2000
-    ins2 = bytes(rng.choice(list(b"ACGT"), 40))
+    ins2 = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 40).tobytes()
     seq2 = (s[pos2:pos2 + 20] + ins2 + s[pos2 + 60:pos2 + 80]).decode()
     cigar2 = "20=40I40D20="
     lines.append(f"long\t0\ttest/1\t{pos2 + 1}\t60\t{cigar2}\t*\t0\t0\t{seq2}\t{'I' * len(seq2)}")

@@ -58,7 +58,7 @@ def _rich_sam(founder_seqs, n_reads=160, read_len=100, seed=11) -> bytes:
             # deliberately weird: bytes() of an int64 array embeds NUL
             # padding, so seq is longer than the CIGAR consumes and holds
             # non-ACGT bytes — lanes must agree even on garbage input
-            ins = bytes(rng.choice(list(b"ACGT"), k))
+            ins = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), k).tobytes()
             seq = (
                 s[pos:pos + half]
                 + ins
@@ -483,3 +483,34 @@ def test_fastlane_parse_in_pool_byte_identical(
     assert pip_stats.flags_not_matched == base_stats.flags_not_matched
     assert pip_stats.seq_missing == base_stats.seq_missing
     assert pip_stats.removed_tag_counts == base_stats.removed_tag_counts
+
+
+def test_cigar_seq_mismatch_rejected(msa_files, founder_seqs):
+    """A record whose CIGAR consumes a different number of query bases
+    than SEQ holds is rejected with the same typed error on the host and
+    fast-lane paths (previously: host IndexError, fast lane silent
+    garbage)."""
+    index_path, _, _ = msa_files
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    s = stripped["1"]
+    lines = ["@HD\tVN:1.6"]
+    for sid, fs in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(fs)}")
+    lines.append(
+        f"bad\t0\ttest/1\t100\t60\t100=\t*\t0\t0\t{s[99:129].decode()}\t{'I' * 30}"
+    )
+    sam = ("\n".join(lines) + "\n").encode()
+    msgs = {}
+    for engine in ("host", "device"):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+        )
+        with pytest.raises(ValueError) as ei:
+            run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
+        msgs[engine] = str(ei.value)
+    assert msgs["host"] == msgs["device"]
+    assert "CIGAR consumes 100 query bases but SEQ has 30" in msgs["host"]

@@ -85,7 +85,7 @@ def test_multichr_device_matches_host(two_chr_setup):
             seq = s[pos:pos + read_len]
             cigar = f"{read_len}="
         else:
-            ins = bytes(rng.choice(list(b"ACGT"), 3))
+            ins = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 3).tobytes()
             seq = s[pos:pos + 30] + ins + s[pos + 32:pos + 32 + (read_len - 33)]
             cigar = f"30=3I2D{read_len - 33}="
         lines.append(
