@@ -3150,6 +3150,10 @@ PyObject *pv3_bam_to_sam_lines(PyObject *self, PyObject *args)
         memcpy(&next_pos, r + 24, 4);
         memcpy(&tlen, r + 28, 4);
 
+        if (l_read_name == 0 || l_seq < 0) {
+            PyErr_SetString(PyExc_ValueError, "corrupt BAM record header");
+            goto fail;
+        }
         size_t p = 32;
         size_t nb = ((size_t)l_seq + 1) / 2;
         size_t need = p + l_read_name + 4u * n_cigar + nb + (size_t)l_seq;

@@ -178,3 +178,26 @@ def test_collapse_cigar_parity_random():
         assert collapse_cigar(ops) == _collapse_cigar_py(ops)
     assert collapse_cigar([]) == []
     assert collapse_cigar([(0, "M"), (0, "I")]) == []
+
+
+def test_bam_decoder_rejects_corrupt_header():
+    """Corrupt BAM record headers (zero read-name length, negative l_seq)
+    raise a typed error instead of underflowing field arithmetic."""
+    import struct
+
+    import pytest
+
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "bam_to_sam_lines"):
+        pytest.skip("native extension not built")
+
+    # l_read_name == 0
+    rec = struct.pack("<iiBBHHHiiii", 0, 10, 0, 60, 0, 0, 0, 4, -1, -1, 0)
+    with pytest.raises(ValueError, match="corrupt BAM record header"):
+        nat.bam_to_sam_lines(struct.pack("<I", len(rec)) + rec, ["c"])
+    # negative l_seq
+    rec2 = struct.pack("<iiBBHHHiiii", 0, 10, 2, 60, 0, 0, 0, -5, -1, -1, 0)
+    with pytest.raises(ValueError, match="corrupt BAM record header"):
+        nat.bam_to_sam_lines(struct.pack("<I", len(rec2)) + rec2, ["c"])
