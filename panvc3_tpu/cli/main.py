@@ -17,6 +17,17 @@ import sys
 from .. import __version__
 
 
+def _parser(**kw) -> argparse.ArgumentParser:
+    """ArgumentParser with the gengetopt-style --version flag every
+    reference tool exposes."""
+    p = argparse.ArgumentParser(**kw)
+    p.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {__version__}",
+    )
+    return p
+
+
 def _debug_flags(args) -> None:
     if getattr(args, "print_invocation", False):
         print("Invocation: " + " ".join(sys.argv), file=sys.stderr)
@@ -41,7 +52,7 @@ def _out_stream(path: str | None):
 # -- index_msa --------------------------------------------------------------
 
 def cmd_index_msa(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_index_msa",
         description="Build a co-ordinate transformation index from a set of "
         "aligned sequences and optionally output indexable FASTA.",
@@ -124,7 +135,7 @@ def _parse_shard(spec: str | None) -> tuple[int, int] | None:
 
 
 def cmd_project_alignments(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_project_alignments",
         description="Project alignments to founder sequences to a given "
         "reference sequence",
@@ -237,7 +248,7 @@ def cmd_project_alignments(argv=None) -> int:
 # -- recalculate_mapq -------------------------------------------------------
 
 def cmd_recalculate_mapq(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_recalculate_mapq",
         description="Recalculate the mapping quality from the given alignments",
     )
@@ -322,7 +333,7 @@ def cmd_recalculate_mapq(argv=None) -> int:
 # -- subset_alignments ------------------------------------------------------
 
 def cmd_subset_alignments(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_subset_alignments",
         description="Make a subset of the given alignments.",
     )
@@ -359,7 +370,7 @@ def cmd_subset_alignments(argv=None) -> int:
 # -- count_supporting_reads -------------------------------------------------
 
 def cmd_count_supporting_reads(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_count_supporting_reads",
         description="Count the reads that support the reference or the "
         "alternative alleles",
@@ -405,7 +416,7 @@ def cmd_count_supporting_reads(argv=None) -> int:
 # -- rewrite_cigar ----------------------------------------------------------
 
 def cmd_rewrite_cigar(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_rewrite_cigar",
         description="Rewrite the CIGAR strings in the given alignments",
     )
@@ -449,7 +460,7 @@ def cmd_rewrite_cigar(argv=None) -> int:
 # -- split_alignments_by_reference ------------------------------------------
 
 def cmd_split_alignments(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_split_alignments_by_reference",
         description="Split the alignments by reference (prefix)",
     )
@@ -497,7 +508,7 @@ def cmd_split_alignments(argv=None) -> int:
 # -- alignment_statistics ---------------------------------------------------
 
 def cmd_alignment_statistics(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_alignment_statistics",
         description="Calculate statistics from the given alignments",
     )
@@ -545,7 +556,7 @@ def cmd_alignment_statistics(argv=None) -> int:
 # -- convert_bed_positions --------------------------------------------------
 
 def cmd_convert_bed_positions(argv=None) -> int:
-    p = argparse.ArgumentParser(
+    p = _parser(
         prog="panvc3_convert_bed_positions",
         description="Convert the co-ordinate in the given BED file",
     )

@@ -162,3 +162,13 @@ def test_cli_pipe_input_failure(built_index):
     err = r.stderr.decode()
     assert "ERROR:" in err and "decompression" in err
     assert "Traceback" not in err
+
+
+def test_cli_version_flag():
+    """Every tool accepts --version like the reference's gengetopt CLIs."""
+    from panvc3_tpu.cli.main import TOOLS
+
+    for tool in TOOLS:
+        r = run([tool, "--version"])
+        assert r.returncode == 0, tool
+        assert r.stdout.decode().startswith(f"panvc3_{tool}"), tool
