@@ -148,8 +148,10 @@ def _fill_batch(sub, m, n, go, ge, R, Q):
         return (best, vert), packed
 
     rows = jnp.arange(1, Q + 1)
+    # unroll: the scan body is small, so per-step launch overhead is a
+    # large fraction of each row; identical math, fewer serialized steps
     (_, _), traces = jax.lax.scan(
-        row_step, (best0, vert0), (rows, jnp.swapaxes(sub, 0, 1))
+        row_step, (best0, vert0), (rows, jnp.swapaxes(sub, 0, 1)), unroll=4
     )
     # traces: (Q, B, R+1) -> (B, Q+1, R+1)
     return jnp.concatenate([tr0[:, None, :], jnp.swapaxes(traces, 0, 1)], axis=1)
@@ -233,7 +235,7 @@ def _traceback_batch(trace, ref, query, m, n, R, Q):
 
     zeros = jnp.zeros(B, jnp.int32)
     (fi, fj, _, count), emits = jax.lax.scan(
-        step, (m, n, zeros, zeros), None, length=max_steps
+        step, (m, n, zeros, zeros), None, length=max_steps, unroll=4
     )
     return jnp.swapaxes(emits, 0, 1), count
 
