@@ -74,7 +74,10 @@ class GapBitVector:
     correspond to actual sequence characters ("unaligned" positions).
     """
 
-    __slots__ = ("n", "n_zeros", "words", "sb_rank0", "rel_rank0")
+    __slots__ = (
+        "n", "n_zeros", "words", "sb_rank0", "rel_rank0",
+        "_s0_cache", "_r0_cache",
+    )
 
     def __init__(
         self,
@@ -102,6 +105,12 @@ class GapBitVector:
         self.sb_rank0 = np.ascontiguousarray(sb_rank0, dtype=np.int64)
         self.rel_rank0 = np.ascontiguousarray(rel_rank0, dtype=np.uint16)
         self.n_zeros = int(self.sb_rank0[-1])
+        # consecutive-query caches for the scalar paths (the host oracle
+        # walks select0(k), select0(k+1), ... per CIGAR base).  Stored as
+        # single tuples so a concurrent reader always sees a consistent
+        # (key, value) pair; the structure itself is immutable.
+        self._s0_cache = (-2, -1)  # (k, select0(k))
+        self._r0_cache = (-1, 0)   # (pos, rank0(pos))
 
     def _word_rank0(self) -> np.ndarray:
         """int64[nw+1] zeros strictly before each word boundary (transient;
@@ -151,13 +160,139 @@ class GapBitVector:
 
     # -- rank/select -------------------------------------------------------
 
+    def _rank0_scalar(self, pos: int) -> int:
+        """Pure-Python rank0 for single positions (same directory walk as
+        the vector path below, ~100x faster per call than the numpy
+        machinery for the host oracle's per-base queries).  Nearby
+        monotone queries (the oracle's per-base walk) are answered by
+        counting zeros forward from the previous answer."""
+        words = self.words
+        last_pos, last_rank = self._r0_cache
+        if 0 <= last_pos <= pos <= self.n and pos - last_pos <= 2048:
+            r = last_rank
+            a = last_pos
+            # whole/partial words in [a, pos)
+            while a < pos:
+                w = int(words[a >> 5])
+                lo = a & 31
+                hi = min(32, lo + (pos - a))
+                seg = (w >> lo) & ((1 << (hi - lo)) - 1)
+                r += (hi - lo) - seg.bit_count()
+                a += hi - lo
+            self._r0_cache = (pos, r)
+            return r
+        nw = len(words)
+        n_blocks = len(self.rel_rank0)
+        blk = pos >> 8
+        cap = n_blocks - 1
+        if blk > cap:
+            blk = cap if cap > 0 else 0
+        base = int(self.sb_rank0[blk >> 5]) + int(self.rel_rank0[blk])
+        inword = 0
+        w0 = blk << 3
+        for j in range(BLOCK_WORDS):
+            lane = w0 + j
+            lim = pos - (lane << 5)
+            if lim <= 0:
+                break
+            if lim > 32:
+                lim = 32
+            wv = int(words[lane if lane < nw else nw - 1])
+            inword += ((wv ^ 0xFFFFFFFF) & ((1 << lim) - 1)).bit_count()
+        r = base + inword
+        if pos <= self.n:
+            self._r0_cache = (pos, r)
+        return r
+
+    def _select0_scalar(self, k: int) -> int:
+        """Pure-Python select0 for single ranks (mirrors the vector path).
+
+        Consecutive ranks (the oracle asks select0(k), select0(k+1), ...
+        one CIGAR base at a time) short-circuit to a next-clear-bit scan
+        from the previous answer."""
+        words = self.words
+        last_k, last_pos = self._s0_cache
+        if last_pos >= 0 and 1 <= k <= self.n_zeros:
+            if k == last_k:
+                return last_pos
+            if k == last_k + 1:
+                p = last_pos + 1
+                i = p >> 5
+                inv = (int(words[i]) ^ 0xFFFFFFFF) >> (p & 31)
+                while inv == 0:
+                    i += 1
+                    p = i << 5
+                    inv = int(words[i]) ^ 0xFFFFFFFF
+                pos = p + (inv & -inv).bit_length() - 1
+                self._s0_cache = (k, pos)
+                return pos
+        sb = self.sb_rank0
+        rel = self.rel_rank0
+        nw = len(words)
+        n_blocks = len(rel)
+        s = int(np.searchsorted(sb, k, side="left")) - 1
+        cap = len(sb) - 2
+        if s < 0:
+            s = 0
+        elif s > cap:
+            s = cap if cap > 0 else 0
+        rem_s = k - int(sb[s])
+        lo = s << 5
+        hi = lo + SB_BLOCKS
+        if hi > n_blocks:
+            hi = n_blocks
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if int(rel[mid]) < rem_s:
+                lo = mid + 1
+            else:
+                hi = mid
+        b = lo - 1 if lo > 0 else 0
+        rem_b = rem_s - int(rel[b])
+        w0 = b << 3
+        # lane = last j in the block whose exclusive zero-cumsum < rem_b
+        lane = 0
+        rem = rem_b
+        c = 0
+        for j in range(BLOCK_WORDS):
+            if c < rem_b:
+                lane = j
+                rem = rem_b - c
+            else:
+                break
+            idx = w0 + j
+            w = int(words[idx if idx < nw else nw - 1])
+            c += (w ^ 0xFFFFFFFF).bit_count()
+        word_idx = w0 + lane
+        inv = int(words[word_idx]) ^ 0xFFFFFFFF
+        pos = 0
+        cur = 0
+        width = 16
+        shifted = inv
+        while width:
+            lower = shifted & ((1 << width) - 1)
+            cnt = lower.bit_count()
+            if cnt < rem - cur:
+                cur += cnt
+                pos += width
+                shifted >>= width
+            else:
+                shifted = lower
+            width >>= 1
+        out = (word_idx << 5) + pos
+        if 1 <= k <= self.n_zeros:
+            self._s0_cache = (k, out)
+        return out
+
     def rank0(self, pos) -> np.ndarray:
         """Number of zeros strictly before aligned position ``pos``.
 
         Matches sdsl rank0 semantics used by project_aligned_position
-        (/root/reference/include/panvc3/msa_index.hh:246-250).  Vectorised:
-        directory lookup + masked popcounts over the block's 8 words.
+        (/root/reference/include/panvc3/msa_index.hh:246-250).  Vectorised;
+        single positions take the pure-Python scalar walk.
         """
+        if isinstance(pos, (int, np.integer)):
+            return self._rank0_scalar(int(pos))
         pos = np.asarray(pos, dtype=np.int64)
         nw = len(self.words)
         n_blocks = len(self.rel_rank0)
@@ -177,8 +312,11 @@ class GapBitVector:
 
         ``select0(1 + unaligned_pos)`` converts an unaligned position to its
         aligned position, as in sequence_entry::aligned_position
-        (/root/reference/include/panvc3/msa_index.hh:239-243).  Vectorised.
+        (/root/reference/include/panvc3/msa_index.hh:239-243).  Vectorised;
+        single ranks take the pure-Python scalar walk.
         """
+        if isinstance(k, (int, np.integer)):
+            return self._select0_scalar(int(k))
         k = np.asarray(k, dtype=np.int64)
         nw = len(self.words)
         n_blocks = len(self.rel_rank0)

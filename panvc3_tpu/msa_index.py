@@ -35,6 +35,8 @@ class SequenceEntry:
     gaps: GapBitVector
 
     def aligned_position(self, pos):
+        if isinstance(pos, (int, np.integer)):
+            return self.gaps.select0(int(pos) + 1)  # scalar fast path
         return self.gaps.select0(np.asarray(pos, dtype=np.int64) + 1)
 
     def project_aligned_position(self, pos):

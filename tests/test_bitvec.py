@@ -139,3 +139,57 @@ def test_rank_directory_memory_overhead():
     directory_bits = 8 * (gv.sb_rank0.nbytes + gv.rel_rank0.nbytes)
     assert directory_bits / n < 0.08
     assert 8 * gv.nbytes / n < 1.1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scalar_paths_match_vector(seed):
+    """The pure-Python scalar rank0/select0 walks (the host oracle's
+    per-base fast path, incl. the consecutive-query caches) must answer
+    identically to the vectorised numpy paths in every access pattern:
+    sequential, repeated, random, and interleaved across both queries."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 20_000))
+    bits = (rng.random(n) < rng.uniform(0.02, 0.98)).astype(np.uint8)
+    gv = GapBitVector.from_bits(bits)
+    nz = gv.n_zeros
+    vec_r = gv.rank0(np.arange(n + 1, dtype=np.int64))
+    vec_s = gv.select0(np.arange(1, nz + 1, dtype=np.int64)) if nz else None
+    # sequential select0 walk exercises the next-clear-bit cache
+    for k in range(1, nz + 1):
+        assert gv.select0(k) == vec_s[k - 1]
+    # monotone rank0 walk exercises the incremental-count cache
+    q = 0
+    while q <= n:
+        assert gv.rank0(q) == vec_r[q]
+        q += int(rng.integers(1, 50))
+    # random interleave with repeats (cache misses + k==last_k hits)
+    for _ in range(400):
+        if nz:
+            k = int(rng.integers(1, nz + 1))
+            assert gv.select0(k) == vec_s[k - 1]
+            assert gv.select0(k) == vec_s[k - 1]
+            if k < nz:
+                assert gv.select0(k + 1) == vec_s[k]
+        q = int(rng.integers(0, n + 1))
+        assert gv.rank0(q) == vec_r[q]
+
+
+def test_scalar_paths_degenerate_vectors():
+    """All-zero / all-one / tiny vectors through the scalar walks."""
+    for bits in (
+        np.zeros(1000, np.uint8),
+        np.ones(1000, np.uint8),
+        np.zeros(3, np.uint8),
+        np.array([1, 0, 1], np.uint8),
+        np.array([0], np.uint8),
+        np.array([1], np.uint8),
+    ):
+        gv = GapBitVector.from_bits(bits)
+        n = len(bits)
+        vec_r = gv.rank0(np.arange(n + 1, dtype=np.int64))
+        for q in range(n + 1):
+            assert gv.rank0(q) == vec_r[q]
+        if gv.n_zeros:
+            vec_s = gv.select0(np.arange(1, gv.n_zeros + 1, dtype=np.int64))
+            for k in range(1, gv.n_zeros + 1):
+                assert gv.select0(k) == vec_s[k - 1]
