@@ -1035,11 +1035,13 @@ static int sb_put_canon_int(pv3_strbuf *sb, const char *s, const char *end,
     return 0;
 }
 
-/* Format a float32 value the way io/sam.format_float does (shortest
-   representation that round-trips float32, std::to_chars-compatible):
-   integral values < 1e16 print as plain integers; otherwise the shorter
-   of the shortest-round-trip positional and scientific forms (ties →
-   positional).  Returns the length written into out (cap >= 64). */
+/* Format a float32 value the way io/sam.format_float does, which is
+   exactly std::to_chars(float): the shortest digit string that
+   round-trips float32, printed fixed unless scientific is strictly
+   shorter, with the exact-integer tiebreak for zero-padded integral
+   values (closest-to-value rule; golden-tested against real to_chars
+   output in tests/test_property.py).  Returns the length written into
+   out (cap >= 64). */
 int pv3_format_f32(double dv, char *out)
 {
     float f = (float)dv;
@@ -1056,33 +1058,68 @@ int pv3_format_f32(double dv, char *out)
         return 3;
     }
     double fd = (double)f;
-    if (fd == floor(fd) && fabs(fd) < 1e16)
-        return sprintf(out, "%lld", (long long)fd);
+    if (fd == 0.0) {
+        if (signbit(f)) {
+            memcpy(out, "-0", 3);
+            return 2;
+        }
+        memcpy(out, "0", 2);
+        return 1;
+    }
 
     /* shortest digit string that round-trips under strtof: glibc %.*e is
-       correctly rounded, so the first p whose reparse matches is the
-       unique shortest (differentially tested vs numpy's dragon4 in
+       correctly rounded, so at each precision q try the q-digit rounding
+       of the value and (for the asymmetric rounding intervals at binade
+       boundaries, where the closest q-digit decimal lies just outside
+       the interval) its last-digit neighbours; the first match is the
+       unique shortest (golden-tested vs std::to_chars in
        tests/test_property.py) */
-    char ebuf[40];
-    int p = 9;
+    static const long long pow10q[10] = {
+        1LL, 10LL, 100LL, 1000LL, 10000LL, 100000LL,
+        1000000LL, 10000000LL, 100000000LL, 1000000000LL,
+    };
+    char ebuf[48], digits[16];
+    int neg = fd < 0.0, nd = 0, exp10 = 0;
     for (int q = 1; q <= 9; ++q) {
         snprintf(ebuf, sizeof ebuf, "%.*e", q - 1, fd);
+        const char *c = ebuf;
+        long long m = 0;
+        if (*c == '-')
+            ++c;
+        for (; *c && *c != 'e' && *c != 'E'; ++c)
+            if (*c != '.')
+                m = m * 10 + (*c - '0');
+        int xe = (int)strtol(c + 1, NULL, 10);
         if (strtof(ebuf, NULL) == f) {
-            p = q;
+            nd = q;
+            exp10 = xe;
+            for (int i = q - 1; i >= 0; --i, m /= 10)
+                digits[i] = (char)('0' + (m % 10));
             break;
         }
-    }
-    snprintf(ebuf, sizeof ebuf, "%.*e", p - 1, fd);
-
-    /* parse [-]d[.ddd]e±XX into digits + exp10 */
-    char digits[16];
-    int neg = 0, nd = 0, exp10 = 0;
-    {
-        const char *c = ebuf;
-        if (*c == '-') {
-            neg = 1;
-            ++c;
+        for (int delta = -1; delta <= 1; delta += 2) {
+            long long m2 = m + delta;
+            if (m2 < pow10q[q - 1] || m2 >= pow10q[q])
+                continue; /* digit-count change: covered at another q */
+            char nbuf[48];
+            snprintf(nbuf, sizeof nbuf, "%s%lldE%d", neg ? "-" : "", m2,
+                     xe - q + 1);
+            if (strtof(nbuf, NULL) == f) {
+                nd = q;
+                exp10 = xe;
+                for (int i = q - 1; i >= 0; --i, m2 /= 10)
+                    digits[i] = (char)('0' + (m2 % 10));
+                break;
+            }
         }
+        if (nd)
+            break;
+    }
+    if (!nd) { /* unreachable: 9 digits always round-trip float32 */
+        snprintf(ebuf, sizeof ebuf, "%.8e", fd);
+        const char *c = ebuf;
+        if (*c == '-')
+            ++c;
         for (; *c && *c != 'e' && *c != 'E'; ++c)
             if (*c != '.')
                 digits[nd++] = *c;
@@ -1093,11 +1130,22 @@ int pv3_format_f32(double dv, char *out)
     int pos_n = 0, sci_n = 0;
     /* positional */
     if (exp10 >= 0) {
-        if (nd <= exp10 + 1) {
+        if (nd < exp10 + 1) {
+            /* zero-padding the shortest digits costs the same characters
+               as the exact integer, which is closer to the value — print
+               the exact integer like to_chars does */
+            double af = fabs(fd);
+            if (af == floor(af)) {
+                pos_n = sprintf(pos_b, "%.0f", af);
+            } else {
+                memcpy(pos_b, digits, nd);
+                pos_n = nd;
+                for (int i = nd; i <= exp10; ++i)
+                    pos_b[pos_n++] = '0';
+            }
+        } else if (nd == exp10 + 1) {
             memcpy(pos_b, digits, nd);
             pos_n = nd;
-            for (int i = nd; i <= exp10; ++i)
-                pos_b[pos_n++] = '0';
         } else {
             memcpy(pos_b, digits, exp10 + 1);
             pos_n = exp10 + 1;

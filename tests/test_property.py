@@ -217,10 +217,38 @@ def test_format_float_roundtrips_float32():
     for v in vals:
         s = format_float(v)
         assert np.float32(s) == np.float32(v), (v, s)
-        # integral floats print without a decimal point (to_chars style)
+        # small integral floats print as plain integers (fixed form wins
+        # until scientific is strictly shorter, e.g. 100000 -> "1e+05")
         f = np.float32(v)
-        if f == int(f) and abs(f) < 1e16:
+        if f == int(f) and abs(f) < 1e4:
             assert "." not in s and "e" not in s, (v, s)
+
+
+def test_format_float_matches_std_to_chars_golden():
+    """format_float (and the C formatter) must equal real std::to_chars
+    output byte for byte.  tests/data/to_chars_f32_golden.tsv holds
+    12,811 (float32 bit pattern, to_chars string) pairs generated with
+    libstdc++'s std::to_chars: random patterns, every exponent at mantissa
+    corners (binade-boundary asymmetric rounding intervals), dense small
+    values, and the special values."""
+    import numpy as np
+
+    from panvc3_tpu.io.sam import format_float
+    from panvc3_tpu.native import get_native
+
+    nat = get_native()
+    n = 0
+    with open("tests/data/to_chars_f32_golden.tsv") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            u, expect = line.rstrip("\n").split("\t")
+            f = float(np.uint32(int(u)).view(np.float32))
+            assert format_float(f) == expect, (u, expect)
+            if nat is not None and hasattr(nat, "format_float_c"):
+                assert nat.format_float_c(f) == expect, (u, expect)
+            n += 1
+    assert n > 12_000
 
 
 def test_format_float_c_matches_python():
