@@ -43,6 +43,12 @@ _TR_VERT = 1
 _TR_HORIZ = 2
 
 
+# fill/traceback scan unroll factor: identical math, fewer serialized scan
+# steps; 4 measured best vs 1/2 on the v5e, 8 re-measured no better (see
+# ROADMAP kernel notes)
+_SCAN_UNROLL = int(__import__('os').environ.get('PANVC3_DP_UNROLL', '4'))
+
+
 def _substitution_scores(ref, query, ref_qual, query_qual, use_quality):
     """s[i, j] for query i vs ref j. ref/query are uint8 (B, R)/(B, Q).
 
@@ -151,7 +157,8 @@ def _fill_batch(sub, m, n, go, ge, R, Q):
     # unroll: the scan body is small, so per-step launch overhead is a
     # large fraction of each row; identical math, fewer serialized steps
     (_, _), traces = jax.lax.scan(
-        row_step, (best0, vert0), (rows, jnp.swapaxes(sub, 0, 1)), unroll=4
+        row_step, (best0, vert0), (rows, jnp.swapaxes(sub, 0, 1)),
+        unroll=_SCAN_UNROLL,
     )
     # traces: (Q, B, R+1) -> (B, Q+1, R+1)
     return jnp.concatenate([tr0[:, None, :], jnp.swapaxes(traces, 0, 1)], axis=1)
@@ -235,7 +242,8 @@ def _traceback_batch(trace, ref, query, m, n, R, Q):
 
     zeros = jnp.zeros(B, jnp.int32)
     (fi, fj, _, count), emits = jax.lax.scan(
-        step, (m, n, zeros, zeros), None, length=max_steps, unroll=4
+        step, (m, n, zeros, zeros), None, length=max_steps,
+        unroll=_SCAN_UNROLL,
     )
     return jnp.swapaxes(emits, 0, 1), count
 
