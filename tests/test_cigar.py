@@ -70,3 +70,57 @@ def test_array_codec_roundtrip():
     counts, codes = cigar_to_arrays(cig, pad_to=8)
     assert counts.shape == (8,)
     assert arrays_to_cigar(counts, codes) == cig
+
+
+def test_cigar_eq_arbitrary_run_permutation():
+    """Property test mirroring the reference's rapidcheck suite
+    (/root/reference/tests/cigar_eq.cc:460-559): randomly permuting and
+    re-splitting the I/D ops *within* an indel run preserves cigar_eq,
+    while changing any run's {#I, #D} totals breaks it."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        # build a CIGAR of alternating anchor / indel-run segments
+        cigar = []
+        runs = []
+        for _seg in range(int(rng.integers(1, 5))):
+            cigar.append((int(rng.integers(1, 6)), "=MX"[int(rng.integers(3))]))
+            ni, nd = int(rng.integers(0, 5)), int(rng.integers(0, 5))
+            if ni or nd:
+                runs.append((len(cigar), ni, nd))
+                if ni:
+                    cigar.append((ni, "I"))
+                if nd:
+                    cigar.append((nd, "D"))
+        cigar.append((1, "="))
+
+        # permute each run: random interleaving of its I's and D's
+        permuted = []
+        idx = 0
+        run_starts = {start: (ni, nd) for start, ni, nd in runs}
+        while idx < len(cigar):
+            if idx in run_starts:
+                ni, nd = run_starts[idx]
+                letters = ["I"] * ni + ["D"] * nd
+                rng.shuffle(letters)
+                for ch in letters:
+                    if permuted and permuted[-1][1] == ch:
+                        permuted[-1] = (permuted[-1][0] + 1, ch)
+                    else:
+                        permuted.append((1, ch))
+                idx += (1 if ni else 0) + (1 if nd else 0)
+            else:
+                permuted.append(cigar[idx])
+                idx += 1
+        assert cigar_eq(cigar, permuted), (cigar, permuted)
+
+        # mutating one run's totals must break equality
+        if runs:
+            start, ni, nd = runs[int(rng.integers(len(runs)))]
+            mutated = list(cigar)
+            if ni:
+                mutated[start] = (ni + 1, "I")
+            else:
+                mutated[start] = (nd + 1, "D")
+            assert not cigar_eq(cigar, mutated), (cigar, mutated)

@@ -64,3 +64,76 @@ def test_run_broken_by_softclip_and_skip():
     assert first.checker_query_pos == 2 + 4
     assert (second.ref_start, second.ref_length) == (13, 1)
     assert (second.query_start, second.query_length) == (6, 1)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_indel_runs_arbitrary(seed):
+    """Property test mirroring the reference's rapidcheck suite
+    (/root/reference/tests/indel_run_checker_arbitrary.cc:487-536):
+    for arbitrary op-run sequences the checker must report exactly the
+    maximal I/D stretches that contain both an insertion and a deletion,
+    with the brute-force coordinate model computed independently here."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ops_pool = list("IDIDM=XSNHP")  # I/D-heavy so runs are common
+    for _ in range(300):
+        n_ops = int(rng.integers(1, 14))
+        cigar = [
+            (int(rng.integers(1, 6)), ops_pool[int(rng.integers(len(ops_pool)))])
+            for _ in range(n_ops)
+        ]
+        ref_pos0 = int(rng.integers(0, 100))
+
+        # independent brute-force model
+        ref_adv = {"M": 1, "=": 1, "X": 1, "D": 1, "N": 1}
+        query_adv = {"M": 1, "=": 1, "X": 1, "I": 1, "S": 1}
+        ref_at = [ref_pos0]
+        query_at = [0]
+        for cnt, op in cigar:
+            ref_at.append(ref_at[-1] + cnt * ref_adv.get(op, 0))
+            query_at.append(query_at[-1] + cnt * query_adv.get(op, 0))
+        expected = []
+        i = 0
+        while i < len(cigar):
+            if cigar[i][1] in "ID":
+                j = i
+                kinds = set()
+                while j < len(cigar) and cigar[j][1] in "ID":
+                    kinds.add(cigar[j][1])
+                    j += 1
+                if kinds == {"I", "D"}:
+                    # checker positions: after the breaking op advanced
+                    # them, or the CIGAR end for a final run
+                    after = min(j + 1, len(cigar))
+                    expected.append(
+                        (
+                            i,
+                            j,
+                            ref_at[i],
+                            ref_at[j] - ref_at[i],
+                            query_at[i],
+                            query_at[j] - query_at[i],
+                            ref_at[after],
+                            query_at[after],
+                        )
+                    )
+                i = j
+            else:
+                i += 1
+
+        runs = find_indel_runs(cigar, ref_pos0)
+        got = [
+            (
+                r.cigar_start,
+                r.cigar_end,
+                r.ref_start,
+                r.ref_length,
+                r.query_start,
+                r.query_length,
+                r.checker_ref_pos,
+                r.checker_query_pos,
+            )
+            for r in runs
+        ]
+        assert got == expected, (cigar, ref_pos0)
