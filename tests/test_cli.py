@@ -8,7 +8,8 @@ import sys
 
 import pytest
 
-WORKFLOW = pathlib.Path("/root/reference/test-workflow")
+REFERENCE = pathlib.Path("/root/reference")
+WORKFLOW = REFERENCE / "test-workflow"
 pytestmark = pytest.mark.skipif(not WORKFLOW.exists(), reason="toy data absent")
 
 
@@ -172,3 +173,40 @@ def test_cli_version_flag():
         r = run([tool, "--version"])
         assert r.returncode == 0, tool
         assert r.stdout.decode().startswith(f"panvc3_{tool}"), tool
+
+
+GGO_TOOLS = {
+    "alignment-statistics": "alignment_statistics",
+    "convert-bed-positions": "convert_bed_positions",
+    "count-supporting-reads": "count_supporting_reads",
+    "index-msa": "index_msa",
+    "project-alignments": "project_alignments",
+    "recalculate-mapq": "recalculate_mapq",
+    "rewrite-cigar": "rewrite_cigar",
+    "split-alignments-by-reference": "split_alignments_by_reference",
+    "subset-alignments": "subset_alignments",
+}
+
+
+@pytest.mark.parametrize("ref_tool", sorted(GGO_TOOLS), ids=sorted(GGO_TOOLS))
+def test_cli_flag_parity_with_reference_ggo(ref_tool):
+    """Drop-in contract: every option declared in the reference tool's
+    gengetopt spec (<tool>/cmdline.ggo) must be accepted by our CLI under
+    the same --long-name (Snakefiles and user scripts pass these)."""
+    import os
+    import re
+
+    ggo_path = REFERENCE / ref_tool / "cmdline.ggo"
+    if not ggo_path.exists():
+        pytest.skip("reference .ggo absent")
+    opts = re.findall(
+        r'^(?:option|modeoption)\s+"([^"]+)"', ggo_path.read_text(), re.M
+    )
+    helptext = subprocess.run(
+        [sys.executable, "-m", "panvc3_tpu", GGO_TOOLS[ref_tool], "--help"],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"},
+    ).stdout
+    missing = [o for o in sorted(set(opts)) if f"--{o}" not in helptext]
+    assert not missing, missing
