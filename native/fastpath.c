@@ -1046,6 +1046,10 @@ int pv3_format_f32(double dv, char *out)
 {
     float f = (float)dv;
     if (isnan(f)) {
+        if (signbit(f)) {
+            memcpy(out, "-nan", 5);
+            return 4;
+        }
         memcpy(out, "nan", 4);
         return 3;
     }
@@ -1086,8 +1090,10 @@ int pv3_format_f32(double dv, char *out)
         long long m = 0;
         if (*c == '-')
             ++c;
+        /* accumulate digits only: the decimal separator is skipped
+           whatever LC_NUMERIC made snprintf emit */
         for (; *c && *c != 'e' && *c != 'E'; ++c)
-            if (*c != '.')
+            if ('0' <= *c && *c <= '9')
                 m = m * 10 + (*c - '0');
         int xe = (int)strtol(c + 1, NULL, 10);
         if (strtof(ebuf, NULL) == f) {
@@ -1121,7 +1127,7 @@ int pv3_format_f32(double dv, char *out)
         if (*c == '-')
             ++c;
         for (; *c && *c != 'e' && *c != 'E'; ++c)
-            if (*c != '.')
+            if ('0' <= *c && *c <= '9')
                 digits[nd++] = *c;
         exp10 = (int)strtol(c + 1, NULL, 10);
     }

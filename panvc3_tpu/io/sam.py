@@ -199,14 +199,14 @@ def format_float(v: float) -> str:
     (the reference's seqan3 SAM writer): the shortest digit string that
     round-trips float32, printed fixed unless scientific is strictly
     shorter, with the exact-integer tiebreak for zero-padded integral
-    values (closest-to-value rule).  Differential-tested against real
-    std::to_chars output over 500k+ bit patterns
-    (tests/data/to_chars_f32_golden.tsv)."""
+    values (closest-to-value rule).  Golden-tested against real libstdc++
+    std::to_chars output (tests/data/to_chars_f32_golden.tsv, 12.8k
+    vendored pairs; development sweeps covered 930k+ bit patterns)."""
     import numpy as np
 
     f = np.float32(v)
     if np.isnan(f):
-        return "nan"
+        return "-nan" if np.signbit(f) else "nan"
     if np.isinf(f):
         return "-inf" if f < 0 else "inf"
     if f == 0:

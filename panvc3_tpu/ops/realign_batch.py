@@ -28,6 +28,7 @@ align.malde_tables.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -46,7 +47,7 @@ _TR_HORIZ = 2
 # fill/traceback scan unroll factor: identical math, fewer serialized scan
 # steps; 4 measured best vs 1/2 on the v5e, 8 re-measured no better (see
 # ROADMAP kernel notes)
-_SCAN_UNROLL = int(__import__('os').environ.get('PANVC3_DP_UNROLL', '4'))
+_SCAN_UNROLL = int(os.environ.get("PANVC3_DP_UNROLL", "4"))
 
 
 def _substitution_scores(ref, query, ref_qual, query_qual, use_quality):

@@ -193,7 +193,6 @@ def test_cli_flag_parity_with_reference_ggo(ref_tool):
     """Drop-in contract: every option declared in the reference tool's
     gengetopt spec (<tool>/cmdline.ggo) must be accepted by our CLI under
     the same --long-name (Snakefiles and user scripts pass these)."""
-    import os
     import re
 
     ggo_path = REFERENCE / ref_tool / "cmdline.ggo"
@@ -202,11 +201,14 @@ def test_cli_flag_parity_with_reference_ggo(ref_tool):
     opts = re.findall(
         r'^(?:option|modeoption)\s+"([^"]+)"', ggo_path.read_text(), re.M
     )
-    helptext = subprocess.run(
-        [sys.executable, "-m", "panvc3_tpu", GGO_TOOLS[ref_tool], "--help"],
-        capture_output=True,
-        text=True,
-        env={**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"},
-    ).stdout
-    missing = [o for o in sorted(set(opts)) if f"--{o}" not in helptext]
+    proc = run([GGO_TOOLS[ref_tool], "--help"])
+    assert proc.returncode == 0, proc.stderr.decode()
+    helptext = proc.stdout.decode()
+    # word-boundary match: "--output" must not be satisfied by
+    # "--output-path"
+    missing = [
+        o
+        for o in sorted(set(opts))
+        if not re.search(rf"--{re.escape(o)}(?![\w-])", helptext)
+    ]
     assert not missing, missing

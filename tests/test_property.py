@@ -236,9 +236,11 @@ def test_format_float_matches_std_to_chars_golden():
     from panvc3_tpu.io.sam import format_float
     from panvc3_tpu.native import get_native
 
+    from .conftest import DATA_DIR
+
     nat = get_native()
     n = 0
-    with open("tests/data/to_chars_f32_golden.tsv") as fh:
+    with open(DATA_DIR / "to_chars_f32_golden.tsv") as fh:
         for line in fh:
             if line.startswith("#"):
                 continue
