@@ -212,3 +212,41 @@ def test_cli_flag_parity_with_reference_ggo(ref_tool):
         if not re.search(rf"--{re.escape(o)}(?![\w-])", helptext)
     ]
     assert not missing, missing
+
+
+def test_index_msa_incremental_build(tmp_path):
+    """--build-index with --msa-index-input extends an existing archive
+    with new chromosomes (input_processor.cc:112 loads the base index
+    before adding entries); the original chromosome's entries survive."""
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("AC-GT\n")
+    b.write_text("TT-AA-\n")
+    tsv1 = tmp_path / "in1.tsv"
+    tsv1.write_text(f"chrA\tREF\t{a}\n")
+    tsv2 = tmp_path / "in2.tsv"
+    tsv2.write_text(f"chrB\tREF\t{b}\n")
+    idx1 = tmp_path / "i1.npz"
+    idx2 = tmp_path / "i2.npz"
+
+    r = run(["index_msa", "--build-index", f"--sequence-inputs={tsv1}",
+             f"--msa-index-output={idx1}"])
+    assert r.returncode == 0, r.stderr.decode()
+    r = run(["index_msa", "--build-index", f"--sequence-inputs={tsv2}",
+             f"--msa-index-input={idx1}", f"--msa-index-output={idx2}"])
+    assert r.returncode == 0, r.stderr.decode()
+
+    r = run(["index_msa", "--list-contents", f"--msa-index-input={idx2}"])
+    assert r.returncode == 0, r.stderr.decode()
+    listing = r.stdout.decode()
+    assert "chrA" in listing and "chrB" in listing
+
+    # positions still project through the merged archive
+    from panvc3_tpu.msa_index import MsaIndex
+
+    idx = MsaIndex.load(str(idx2))
+    ea = idx.find("chrA", "REF")
+    eb = idx.find("chrB", "REF")
+    assert ea is not None and eb is not None
+    assert ea.aligned_position(2) == 3  # AC-GT: unaligned 2 ('G') at col 3
+    assert eb.aligned_position(2) == 3  # TT-AA-: unaligned 2 ('A') at col 3
