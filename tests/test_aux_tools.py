@@ -56,6 +56,57 @@ def test_split_alignments(tmp_path):
     assert "c1\t2" in out.getvalue()
 
 
+def test_split_alignments_rewrite_and_unmatched(tmp_path, capsys):
+    """--rewrite-reference-names routes by ORIGINAL name while the output
+    headers/RNAMEs carry the new names (main.cc:203-215); unmatched
+    records count into "No matching reference ID" and warn only under
+    --report-unmatched."""
+    body = [
+        "q1\t0\tc1\t1\t60\t3M\t*\t0\t0\tACG\tIII",
+        "q2\t0\tc2\t1\t60\t3M\t*\t0\t0\tACG\tIII",
+    ]
+    hdr = ["@HD\tVN:1.6", "@SQ\tSN:c1\tLN:100", "@SQ\tSN:c2\tLN:100"]
+    sam = io.BytesIO(("\n".join(hdr + body) + "\n").encode())
+    out = io.StringIO()
+    counts = run_split_alignments(
+        sam,
+        io.StringIO("c1\tnew1\nc2\tnew2\n"),
+        basename=str(tmp_path) + "/",
+        rewrite=True,
+        out=out,
+    )
+    assert counts == {"c1": 1, "c2": 1}
+    recs = list(SamReader(str(tmp_path / "c1.bam")))
+    assert [r.qname for r in recs] == ["q1"]
+    rdr = SamReader(str(tmp_path / "c1.bam"))
+    assert rdr.header.ref_names == ["new1", "new2"]
+
+    # rewrite with a header name missing from the map fails loudly
+    sam2 = io.BytesIO(("\n".join(hdr + body) + "\n").encode())
+    with pytest.raises(ValueError):
+        run_split_alignments(
+            sam2,
+            io.StringIO("c1\tnew1\n"),
+            basename=str(tmp_path) + "/x_",
+            rewrite=True,
+            out=io.StringIO(),
+        )
+
+    # unmatched records: counted, and warned only with report_unmatched
+    sam3 = io.BytesIO(("\n".join(hdr + body) + "\n").encode())
+    out3 = io.StringIO()
+    counts = run_split_alignments(
+        sam3,
+        io.StringIO("c1\n"),
+        basename=str(tmp_path) + "/y_",
+        report_unmatched=True,
+        out=out3,
+    )
+    assert counts == {"c1": 1}
+    assert "No matching reference ID\t1" in out3.getvalue()
+    assert "match 'c2'" in capsys.readouterr().err
+
+
 def test_list_reference_names():
     sam = _sam(["q1\t0\tc2\t1\t60\t3M\t*\t0\t0\tACG\tIII"])
     out = io.StringIO()
