@@ -267,6 +267,19 @@ def fill_dispatch(sub, m, n, go, ge, R, Q):
     return _fill_batch(sub, m, n, go, ge, R, Q)
 
 
+def _use_fused_pallas() -> bool:
+    """PANVC3_PALLAS_FUSED: 1 forces the fused Pallas fill+traceback
+    kernel (interpret mode off-TPU), 0 forces the XLA scans; unset picks
+    the fused kernel on real TPUs (measured 1.34x at (16384,16,16),
+    bit-identical; see ROADMAP kernel notes)."""
+    v = os.environ.get("PANVC3_PALLAS_FUSED")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("use_quality", "R", "Q"))
 def realign_device_kernel(
     ref: jnp.ndarray,        # uint8[B, R]
@@ -281,6 +294,17 @@ def realign_device_kernel(
     R: int,
     Q: int,
 ):
+    if _use_fused_pallas():
+        from .realign_pallas_fused import realign_fused_pallas
+
+        sub = (
+            _substitution_scores(ref, query, ref_qual, query_qual, True)
+            if use_quality
+            else None  # integer compare runs in-kernel
+        )
+        return realign_fused_pallas(
+            sub, ref, query, query_len, ref_len, go, ge, R, Q
+        )
     sub = _substitution_scores(ref, query, ref_qual, query_qual, use_quality)
     trace = fill_dispatch(sub, query_len, ref_len, go, ge, R, Q)
     return _traceback_batch(trace, ref, query, query_len, ref_len, R, Q)
@@ -315,9 +339,16 @@ def _realign_wire(packed_in, go, ge, R, Q):
     tail = p[:, R + Q:].astype(jnp.int32)
     rl = tail[:, 0] | (tail[:, 1] << 8)
     ql = tail[:, 2] | (tail[:, 3] << 8)
-    sub = _substitution_scores(ref, query, None, None, False)
-    trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
-    ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
+    if _use_fused_pallas():
+        from .realign_pallas_fused import realign_fused_pallas
+
+        ops, count = realign_fused_pallas(
+            None, ref, query, ql, rl, go, ge, R, Q
+        )
+    else:
+        sub = _substitution_scores(ref, query, None, None, False)
+        trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
+        ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
     nib = (ops.astype(jnp.uint8)) & 0xF
     packed_ops = nib[:, 0::2] | (nib[:, 1::2] << 4)
     return jnp.concatenate(

@@ -680,3 +680,92 @@ def test_realign_runs_host_matches_device_kernel():
             np.testing.assert_array_equal(
                 hops[s, : hcnt[s]], dops[s, : dcnt[s]]
             )
+
+
+def test_fused_pallas_realign_matches_xla():
+    """The fused Pallas fill+traceback kernel (interpret mode on CPU)
+    must return bit-identical ops/counts to the XLA realign kernel on
+    both scoring paths, including zero-length and full-length runs and
+    non-TILE_B-multiple batch sizes."""
+    from panvc3_tpu.align import MALDE_SCALE
+    from panvc3_tpu.ops.realign_batch import (
+        _substitution_scores,
+        realign_device_kernel,
+    )
+    from panvc3_tpu.ops.realign_pallas_fused import realign_fused_pallas
+
+    rng = np.random.default_rng(11)
+    for B, Q, R, use_quality in (
+        (300, 16, 16, False),
+        (64, 8, 16, False),
+        (128, 16, 16, True),
+    ):
+        ref = jnp.asarray(rng.integers(65, 69, (B, R)).astype(np.uint8))
+        qry = jnp.asarray(rng.integers(65, 69, (B, Q)).astype(np.uint8))
+        n = rng.integers(0, R + 1, B).astype(np.int32)
+        m = rng.integers(0, Q + 1, B).astype(np.int32)
+        n[:2] = [0, R]
+        m[:2] = [Q, 0]
+        n, m = jnp.asarray(n), jnp.asarray(m)
+        if use_quality:
+            rq = jnp.asarray(rng.integers(0, 41, (B, R)).astype(np.int32))
+            qq = jnp.asarray(rng.integers(0, 41, (B, Q)).astype(np.int32))
+            go = jnp.float32(-6.0 * MALDE_SCALE)
+            ge = jnp.float32(-1.0 * MALDE_SCALE)
+        else:
+            rq = jnp.zeros((B, R), jnp.int32)
+            qq = jnp.zeros((B, Q), jnp.int32)
+            go, ge = jnp.float32(-6.0), jnp.float32(-1.0)
+
+        ops_x, cnt_x = realign_device_kernel(
+            ref, qry, n, m, go, ge, rq, qq, use_quality, R, Q
+        )
+        if use_quality:
+            sub = _substitution_scores(ref, qry, rq, qq, use_quality)
+        else:
+            sub = None  # integer scoring computed in-kernel
+        ops_p, cnt_p = realign_fused_pallas(
+            sub, ref, qry, m, n, go, ge, R, Q, interpret=True
+        )
+        assert np.array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
+        assert np.array_equal(np.asarray(ops_x), np.asarray(ops_p)), (
+            B, Q, R, use_quality,
+        )
+        if not use_quality:
+            # the explicit-sub path must agree too
+            sub = _substitution_scores(ref, qry, rq, qq, use_quality)
+            ops_p2, cnt_p2 = realign_fused_pallas(
+                sub, ref, qry, m, n, go, ge, R, Q, interpret=True
+            )
+            assert np.array_equal(np.asarray(ops_x), np.asarray(ops_p2))
+            assert np.array_equal(np.asarray(cnt_x), np.asarray(cnt_p2))
+
+
+def test_fused_pallas_wire_path_matches(monkeypatch):
+    """PANVC3_PALLAS_FUSED=1 must leave the realign wire bytes unchanged
+    (the fast lane's single-buffer format) — interpret mode on CPU."""
+    import jax
+
+    from panvc3_tpu.ops.realign_batch import (
+        pack_realign_wire_input,
+        realign_device_kernel_wire,
+    )
+
+    rng = np.random.default_rng(3)
+    B, R, Q = 96, 16, 16
+    ref = rng.integers(65, 69, (B, R)).astype(np.uint8)
+    qry = rng.integers(65, 69, (B, Q)).astype(np.uint8)
+    rl = rng.integers(1, R + 1, B).astype(np.int32)
+    ql = rng.integers(1, Q + 1, B).astype(np.int32)
+    wire_in = pack_realign_wire_input(ref, qry, rl, ql)
+    go, ge = np.float32(-6), np.float32(-1)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("PANVC3_PALLAS_FUSED", flag)
+        jax.clear_caches()
+        outs[flag] = np.asarray(
+            realign_device_kernel_wire(wire_in, go, ge, R, Q)
+        )
+    jax.clear_caches()
+    assert np.array_equal(outs["0"], outs["1"])
