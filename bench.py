@@ -447,7 +447,34 @@ def _kernel_metrics(
         f"(single dispatch)",
         file=sys.stderr,
     )
+
+    # big-batch DP: the fused kernel pays a fixed ~1.4 ms launch per
+    # dispatch, so the sustained (marginal) rate needs a batch that
+    # amortises it — report it alongside the production-shape number
+    S2 = 131072
+    rl2 = rng.integers(2, 13, S2).astype(np.int32)
+    ql2 = rng.integers(2, 13, S2).astype(np.int32)
+    ref2 = rng.choice(bases, (S2, Rr)).astype(np.uint8)
+    q2 = rng.choice(bases, (S2, Qq)).astype(np.uint8)
+    ref2[np.arange(Rr)[None, :] >= rl2[:, None]] = 0
+    q2[np.arange(Qq)[None, :] >= ql2[:, None]] = 0
+    dref2, dq2, drl2, dql2 = (
+        jax.device_put(ref2), jax.device_put(q2),
+        jax.device_put(rl2), jax.device_put(ql2),
+    )
+    zb = jax.device_put(np.zeros((S2, Rr), np.int32))
+    zb2 = jax.device_put(np.zeros((S2, Qq), np.int32))
+    jax.block_until_ready(dp_loop(dref2, dq2, drl2, dql2, zb, zb2, iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(dp_loop(dref2, dq2, drl2, dql2, zb, zb2, iters))
+    dt2 = time.perf_counter() - t0
+    cells2 = int(np.sum(rl2.astype(np.int64) * ql2))
+    print(
+        f"[bench] realign DP big-batch: {iters}x{S2} runs in {dt2:.2f}s",
+        file=sys.stderr,
+    )
     return {
+        "kernel_dp_cell_updates_per_s_131k": round(cells2 * iters / dt2, 1),
         "kernel_reads_per_s": round(kernel_reads_per_s, 1),
         "kernel_rewrite_reads_per_s": round(kernel_rewrite_reads_per_s, 1),
         "kernel_event_rewrite_reads_per_s": round(
