@@ -25,6 +25,12 @@ because the checker's transitions depend only on op types.
 
 Quality-aware (-q) scoring is not fused (the default pipeline path is the
 integer scheme; -q falls back to the two-dispatch path).
+
+v3 formulation: all monotone-index lookups (per-op -> per-unit expansion,
+ref-unit -> unit-position expansion, cumsum-at-previous-break) are
+gather-free — scatter-delta + prefix sum, or break-masked prefix max —
+because this backend serializes take_along_axis element by element
+(measured ~155 ms of a 185 ms dispatch in v2).
 """
 
 from __future__ import annotations
@@ -53,18 +59,6 @@ for _c in (0, EQ, X, I, S):
     _CONS_QUERY[_c] = 1
 
 
-def _prefix_sum(x, axis_len):
-    """Inclusive prefix sum along the last axis via log-step doubling
-    (jnp.cumsum lowers through reduce_window fine, but keep the same
-    doubling shape as _prefix_max for predictable lowering)."""
-    k = 1
-    while k < axis_len:
-        shifted = jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
-        x = x + shifted
-        k <<= 1
-    return x
-
-
 def _prefix_max_i(x, axis_len, fill):
     k = 1
     while k < axis_len:
@@ -74,6 +68,31 @@ def _prefix_max_i(x, axis_len, fill):
         x = jnp.maximum(x, shifted)
         k <<= 1
     return x
+
+
+def _expand_by_delta(values, starts, out_len):
+    """Gather-free monotone run-length expansion.
+
+    ``out[b, u, k] = values[b, j, k]`` for the largest ``j`` with
+    ``starts[b, j] <= u`` (zero where no such ``j``).  Equivalent to
+    ``take_along_axis(values, searchsorted-style map)`` but formulated as a
+    scatter of first differences + one prefix sum: the serialized
+    element-by-element gathers were the fused kernel's dominant cost on
+    this backend (~8 take_along_axis over (B, U)/(B, T)); a scatter with
+    unique non-decreasing indices plus a cumsum lowers to fast code.
+
+    ``starts`` must be non-decreasing per row; duplicate start positions
+    telescope correctly (the later segment's value wins, matching the
+    "largest j" semantics).  Out-of-range starts are dropped, which matches
+    the comparison-count formulation because such segments can never
+    satisfy ``starts <= u`` for ``u < out_len``.
+    """
+    B = values.shape[0]
+    deltas = jnp.diff(values, axis=1, prepend=0)
+    z = jnp.zeros((B, out_len) + values.shape[2:], values.dtype)
+    return jnp.cumsum(
+        z.at[jnp.arange(B)[:, None], starts].add(deltas, mode="drop"), axis=1
+    )
 
 
 @partial(jax.jit, static_argnames=("R", "U", "run_r", "run_q", "slot_pool"))
@@ -96,7 +115,6 @@ def fused_projection_kernel(
     slot_pool: int = 0,        # run-slot pool size (0 -> B)
 ):
     B = src_seq.shape[0]
-    O = ops.shape[1]
 
     dst_pos, d_run, main_code = rewrite_math(
         index, ref_flat, src_seq, dst_seq, rec_src_pos, ref_off, ops, counts,
@@ -113,22 +131,30 @@ def fused_projection_kernel(
     ref_pref = jnp.cumsum(ref_counts, axis=1) - ref_counts
 
     u = jnp.arange(U, dtype=jnp.int32)[None, :]
-    op_idx = jnp.sum(unit_pref[:, None, :] <= u[:, :, None], axis=2) - 1  # (B, U)
-    op_idx = jnp.clip(op_idx, 0, O - 1)
     u_valid = u < total_units[:, None]
 
-    take = lambda a: jnp.take_along_axis(a, op_idx, axis=1)
-    u_is_ref = take(is_ref_op) & u_valid
-    u_count = take(counts)
-    u_ref_idx = take(ref_pref) + (u - take(unit_pref))
-
-    gather_r = jnp.clip(u_ref_idx, 0, R - 1)
-    u_d = jnp.where(u_is_ref, jnp.take_along_axis(d_run, gather_r, axis=1), 0)
-    u_main = jnp.where(
-        u_is_ref,
-        jnp.take_along_axis(main_code, gather_r, axis=1).astype(jnp.int32),
-        take(ops).astype(jnp.int32),
+    # expand the per-op arrays over the unit stream (gather-free: the map
+    # u -> op is monotone, so scatter first differences at each op's first
+    # unit and integrate; see _expand_by_delta)
+    per_op = jnp.stack(
+        [is_ref_op.astype(jnp.int32), counts, ops.astype(jnp.int32)], axis=2
     )
+    e = _expand_by_delta(per_op, unit_pref, U)
+    u_is_ref = (e[:, :, 0] == 1) & u_valid
+    u_count = e[:, :, 1]
+
+    # d_run/main_code live on the (B, R) ref-unit axis; ref unit r sits at
+    # unit position r + (#non-ref units before its op).  That offset is
+    # itself a monotone expansion of (unit_pref - ref_pref) over ref units,
+    # so both lookups reduce to two more delta-scatters + prefix sums.
+    offs = _expand_by_delta(
+        (unit_pref - ref_pref)[:, :, None], ref_pref, R
+    )[:, :, 0]
+    u_of_ref = jnp.arange(R, dtype=jnp.int32)[None, :] + offs
+    per_ref = jnp.stack([d_run, main_code.astype(jnp.int32)], axis=2)
+    w = _expand_by_delta(per_ref, u_of_ref, U)
+    u_d = jnp.where(u_is_ref, w[:, :, 0], 0)
+    u_main = jnp.where(u_is_ref, w[:, :, 1], e[:, :, 2])
     u_main_len = jnp.where(
         u_is_ref, jnp.where(u_main == CODE_NONE, 0, 1), u_count
     )
@@ -169,25 +195,25 @@ def fused_projection_kernel(
     incl_i = jnp.cumsum(is_i.astype(jnp.int32), axis=1)
     incl_d_cnt = jnp.cumsum(is_d.astype(jnp.int32), axis=1)
 
-    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    # index of the previous break strictly before each token
-    brk_iota = jnp.where(is_break, t_idx, -1)
-    pb = _prefix_max_i(
-        jnp.pad(brk_iota[:, :-1], ((0, 0), (1, 0)), constant_values=-1), T, -1
+    # value of each inclusive cumsum at the previous break strictly before
+    # each token.  The arrays are non-negative and non-decreasing, so
+    # "gather at the previous break index" is a right-shifted prefix max of
+    # the break-masked values — no take_along_axis needed.
+    stacked = jnp.stack([incl_i, incl_d_cnt, incl_ref, incl_query], axis=1)
+    at_break = jnp.where(is_break[:, None, :], stacked, 0)
+    prev = _prefix_max_i(
+        jnp.pad(at_break[:, :, :-1], ((0, 0), (0, 0), (1, 0))), T, 0
     )
+    g_i, g_d, g_ref, g_q = prev[:, 0], prev[:, 1], prev[:, 2], prev[:, 3]
 
-    def g(arr, idx):
-        safe = jnp.clip(idx, 0, T - 1)
-        return jnp.where(idx >= 0, jnp.take_along_axis(arr, safe, axis=1), 0)
-
-    seg_i = incl_i - g(incl_i, pb)
-    seg_d = incl_d_cnt - g(incl_d_cnt, pb)
+    seg_i = incl_i - g_i
+    seg_d = incl_d_cnt - g_d
     report = is_break & (seg_i > 0) & (seg_d > 0)
 
-    run_start_ref = dst_pos[:, None] + g(incl_ref, pb)
-    run_ref_len = (incl_ref - cons_ref) - g(incl_ref, pb)
-    run_start_query = g(incl_query, pb)
-    run_query_len = (incl_query - cons_query) - g(incl_query, pb)
+    run_start_ref = dst_pos[:, None] + g_ref
+    run_ref_len = (incl_ref - cons_ref) - g_ref
+    run_start_query = g_q
+    run_query_len = (incl_query - cons_query) - g_q
 
     # ---- compact runs into a global slot pool ----------------------------
     if not slot_pool:
