@@ -44,8 +44,8 @@ import numpy as np
 from ..alphabet import DNA5_NORMALISE
 from ..cigar import D, EQ, H, I, N, P, S, X
 from .rank_select import DeviceGapIndex
-from .realign_batch import _traceback_batch, fill_dispatch
-from .rewrite_batch import CODE_NONE, _IS_REF_OP, rewrite_math
+from .realign_batch import _traceback_batch, _use_fused_pallas, fill_dispatch
+from .rewrite_batch import CODE_NONE, _IS_REF_OP, expand_by_delta, rewrite_math
 
 _DNA5_LUT = jnp.asarray(DNA5_NORMALISE)
 
@@ -70,32 +70,9 @@ def _prefix_max_i(x, axis_len, fill):
     return x
 
 
-def _expand_by_delta(values, starts, out_len):
-    """Gather-free monotone run-length expansion.
-
-    ``out[b, u, k] = values[b, j, k]`` for the largest ``j`` with
-    ``starts[b, j] <= u`` (zero where no such ``j``).  Equivalent to
-    ``take_along_axis(values, searchsorted-style map)`` but formulated as a
-    scatter of first differences + one prefix sum: the serialized
-    element-by-element gathers were the fused kernel's dominant cost on
-    this backend (~8 take_along_axis over (B, U)/(B, T)); a scatter with
-    unique non-decreasing indices plus a cumsum lowers to fast code.
-
-    ``starts`` must be non-decreasing per row; duplicate start positions
-    telescope correctly (the later segment's value wins, matching the
-    "largest j" semantics).  Out-of-range starts are dropped, which matches
-    the comparison-count formulation because such segments can never
-    satisfy ``starts <= u`` for ``u < out_len``.
-    """
-    B = values.shape[0]
-    deltas = jnp.diff(values, axis=1, prepend=0)
-    z = jnp.zeros((B, out_len) + values.shape[2:], values.dtype)
-    return jnp.cumsum(
-        z.at[jnp.arange(B)[:, None], starts].add(deltas, mode="drop"), axis=1
-    )
-
-
-@partial(jax.jit, static_argnames=("R", "U", "run_r", "run_q", "slot_pool"))
+@partial(
+    jax.jit, static_argnames=("R", "U", "run_r", "run_q", "slot_pool", "_stage")
+)
 def fused_projection_kernel(
     index: DeviceGapIndex,
     ref_flat: jnp.ndarray,     # uint8[Nref]
@@ -113,13 +90,25 @@ def fused_projection_kernel(
     run_r: int,                # max run ref length (pad)
     run_q: int,                # max run query length (pad)
     slot_pool: int = 0,        # run-slot pool size (0 -> B)
+    _stage: int = 5,           # profiling aid: truncate after stage N
 ):
     B = src_seq.shape[0]
+
+    def _cut(*parts):
+        """Stage-truncated return for tools/profile_fused.py: sums keep a
+        data dependency on everything computed so far (no DCE)."""
+        acc = jnp.int32(0)
+        for p in parts:
+            acc = acc + jnp.sum(p.astype(jnp.int32) if p.ndim else p)
+        z1 = jnp.zeros((1, 1), jnp.int32)
+        return (acc, z1, z1, z1, z1, jnp.stack([acc, acc, acc]), z1)
 
     dst_pos, d_run, main_code = rewrite_math(
         index, ref_flat, src_seq, dst_seq, rec_src_pos, ref_off, ops, counts,
         query, R,
     )
+    if _stage <= 0:
+        return _cut(dst_pos, d_run, main_code)
 
     # ---- device-side unit stream over ALL units (ref + pass-through) ----
     is_ref_op = jnp.asarray(_IS_REF_OP)[ops]
@@ -135,32 +124,42 @@ def fused_projection_kernel(
 
     # expand the per-op arrays over the unit stream (gather-free: the map
     # u -> op is monotone, so scatter first differences at each op's first
-    # unit and integrate; see _expand_by_delta)
+    # unit and integrate; see rewrite_batch.expand_by_delta).  ops (4 bits)
+    # and is_ref (1 bit) share a lane — scatter volume is the cost here.
     per_op = jnp.stack(
-        [is_ref_op.astype(jnp.int32), counts, ops.astype(jnp.int32)], axis=2
+        [counts, (ops.astype(jnp.int32) << 1) | is_ref_op.astype(jnp.int32)],
+        axis=2,
     )
-    e = _expand_by_delta(per_op, unit_pref, U)
-    u_is_ref = (e[:, :, 0] == 1) & u_valid
-    u_count = e[:, :, 1]
+    e = expand_by_delta(per_op, unit_pref, U)
+    u_is_ref = ((e[:, :, 1] & 1) == 1) & u_valid
+    u_count = e[:, :, 0]
+    e_ops = e[:, :, 1] >> 1
 
     # d_run/main_code live on the (B, R) ref-unit axis; ref unit r sits at
     # unit position r + (#non-ref units before its op).  That offset is
     # itself a monotone expansion of (unit_pref - ref_pref) over ref units,
     # so both lookups reduce to two more delta-scatters + prefix sums.
-    offs = _expand_by_delta(
+    # d_run (<2^27, guarded via the fallback flag) and main_code (4 bits)
+    # pack into one int32 lane to halve the (B, R) -> (B, U) scatter.
+    offs = expand_by_delta(
         (unit_pref - ref_pref)[:, :, None], ref_pref, R
     )[:, :, 0]
     u_of_ref = jnp.arange(R, dtype=jnp.int32)[None, :] + offs
-    per_ref = jnp.stack([d_run, main_code.astype(jnp.int32)], axis=2)
-    w = _expand_by_delta(per_ref, u_of_ref, U)
-    u_d = jnp.where(u_is_ref, w[:, :, 0], 0)
-    u_main = jnp.where(u_is_ref, w[:, :, 1], e[:, :, 2])
+    pack_overflow = jnp.sum(
+        jnp.where(d_run >= (1 << 27), 1, 0)
+    ).astype(jnp.int32)
+    per_ref = (d_run << 4) | main_code.astype(jnp.int32)
+    w = expand_by_delta(per_ref[:, :, None], u_of_ref, U)[:, :, 0]
+    u_d = jnp.where(u_is_ref, w >> 4, 0)
+    u_main = jnp.where(u_is_ref, w & 15, e_ops)
     u_main_len = jnp.where(
         u_is_ref, jnp.where(u_main == CODE_NONE, 0, 1), u_count
     )
     u_main = jnp.where(u_valid, u_main, CODE_NONE)
     u_d = jnp.where(u_valid, u_d, 0)
     u_main_len = jnp.where(u_valid, u_main_len, 0)
+    if _stage <= 1:
+        return _cut(u_main, u_d, u_main_len, u_count)
 
     # ---- token stream: [D-run, main] per unit + synthetic final break ----
     T = 2 * U + 1
@@ -214,6 +213,9 @@ def fused_projection_kernel(
     run_ref_len = (incl_ref - cons_ref) - g_ref
     run_start_query = g_q
     run_query_len = (incl_query - cons_query) - g_q
+    if _stage <= 2:
+        return _cut(report, run_start_ref, run_ref_len, run_start_query,
+                    run_query_len)
 
     # ---- compact runs into a global slot pool ----------------------------
     if not slot_pool:
@@ -234,6 +236,8 @@ def fused_projection_kernel(
     c_sq = compact(run_start_query)
     c_ql = compact(run_query_len)
     c_rec = compact(jnp.broadcast_to(jnp.arange(B)[:, None], (B, T)))
+    if _stage <= 3:
+        return _cut(c_sr, c_rl, c_sq, c_ql, c_rec, total_runs)
 
     # ---- gather run slices ----------------------------------------------
     rr = jnp.arange(run_r, dtype=jnp.int32)[None, :]
@@ -251,16 +255,30 @@ def fused_projection_kernel(
     q_idx = jnp.clip(c_sq[:, None] + rq, 0, query.shape[1] - 1)
     q_slice = query[c_rec[:, None], q_idx]
     q_slice = jnp.where(rq < query_len[:, None], q_slice, 0)
+    if _stage <= 4:
+        return _cut(ref_slice, q_slice, query_len, ref_len)
 
     # ---- batched DP ------------------------------------------------------
-    eq_m = q_slice[:, :, None] == ref_slice[:, None, :]
-    sub = jnp.where(eq_m, 0.0, -1.0).astype(jnp.float32)
-    trace = fill_dispatch(sub, query_len, ref_len, go, ge, run_r, run_q)
-    realign_ops, realign_counts = _traceback_batch(
-        trace, ref_slice, q_slice, query_len, ref_len, run_r, run_q
-    )
+    # same dispatch as the split path (realign_batch.realign_device_kernel):
+    # fused Pallas fill+traceback on real TPUs, XLA scans elsewhere —
+    # bit-identical implementations (tests/test_device_ops.py)
+    if _use_fused_pallas():
+        from .realign_pallas_fused import realign_fused_pallas
+
+        realign_ops, realign_counts = realign_fused_pallas(
+            None, ref_slice, q_slice, query_len, ref_len, go, ge, run_r, run_q
+        )
+    else:
+        eq_m = q_slice[:, :, None] == ref_slice[:, None, :]
+        sub = jnp.where(eq_m, 0.0, -1.0).astype(jnp.float32)
+        trace = fill_dispatch(sub, query_len, ref_len, go, ge, run_r, run_q)
+        realign_ops, realign_counts = _traceback_batch(
+            trace, ref_slice, q_slice, query_len, ref_len, run_r, run_q
+        )
 
     d8 = jnp.minimum(d_run, 255).astype(jnp.uint8)
     d_overflow = jnp.sum(jnp.where(d_run >= 255, 1, 0)).astype(jnp.int32)
-    flags = jnp.stack([pool_overflow + len_overflow, d_overflow, total_runs])
+    flags = jnp.stack(
+        [pool_overflow + len_overflow + pack_overflow, d_overflow, total_runs]
+    )
     return dst_pos, d8, main_code, realign_ops, realign_counts, flags, d_run

@@ -49,6 +49,30 @@ for _c in (I, S):
     _IS_QUERY_OP[_c] = True
 
 
+def expand_by_delta(values, starts, out_len):
+    """Gather-free monotone run-length expansion.
+
+    ``out[b, u, ...] = values[b, j, ...]`` for the largest ``j`` with
+    ``starts[b, j] <= u`` (zero where no such ``j``).  Equivalent to
+    ``take_along_axis`` with the monotone segment map, but formulated as a
+    scatter of first differences + one prefix sum: this backend serializes
+    ``take_along_axis`` element by element, and the serialized gathers were
+    the fused projection kernel's dominant cost (~155 of 185 ms/dispatch).
+
+    ``starts`` must be non-decreasing per row; duplicate start positions
+    telescope correctly (the later segment's value wins, matching the
+    "largest j" semantics).  Out-of-range starts are dropped, which matches
+    the comparison-count formulation because such segments can never
+    satisfy ``starts <= u`` for ``u < out_len``.
+    """
+    B = values.shape[0]
+    deltas = jnp.diff(values, axis=1, prepend=0)
+    z = jnp.zeros((B, out_len) + values.shape[2:], values.dtype)
+    return jnp.cumsum(
+        z.at[jnp.arange(B)[:, None], starts].add(deltas, mode="drop"), axis=1
+    )
+
+
 @dataclass
 class RewriteBatch:
     """Host-side staging of one batch of records for the rewrite kernel."""
@@ -168,37 +192,60 @@ def rewrite_math(
     qpref = jnp.cumsum(q_counts, axis=1) - q_counts
 
     r = jnp.arange(R, dtype=jnp.int32)[None, :]              # (1, R)
-    # op containing unit r: last op with exclusive ref prefix <= r
-    op_idx = jnp.sum(pref[:, None, :] <= r[:, :, None], axis=2) - 1  # (B, R)
     valid = r < total_ref[:, None]
-    op_idx = jnp.clip(op_idx, 0, ops.shape[1] - 1)
 
-    take = lambda a: jnp.take_along_axis(a, op_idx, axis=1)
-    is_mtype = take(is_mtype_op) & valid
-    unit_pref = take(pref)
-    unit_qpref = take(qpref)
+    # expand the per-op values over ref units gather-free (expand_by_delta;
+    # the op_idx comparison-sum + three take_along_axis here were ~half the
+    # fused kernel's cost).  The three lanes pack into one int32 scatter
+    # when the prefix fields fit 15 bits each (they do for read-scale
+    # shapes; the unpacked path keeps correctness for giant buckets).
+    if R < (1 << 15) and query.shape[1] < (1 << 15):
+        packed = (qpref << 16) | (pref << 1) | is_mtype_op.astype(jnp.int32)
+        e = expand_by_delta(packed[:, :, None], pref, R)[:, :, 0]
+        is_mtype = (e & 1) == 1
+        unit_pref = (e >> 1) & 0x7FFF
+        unit_qpref = e >> 16
+    else:
+        e = expand_by_delta(
+            jnp.stack([is_mtype_op.astype(jnp.int32), pref, qpref], axis=2),
+            pref, R,
+        )
+        is_mtype = e[:, :, 0] == 1
+        unit_pref = e[:, :, 1]
+        unit_qpref = e[:, :, 2]
+    is_mtype = is_mtype & valid
 
-    pos = jnp.where(valid, rec_src_pos[:, None] + r, 0)
     qpos = jnp.where(is_mtype, unit_qpref + (r - unit_pref), 0)
 
-    s = src_seq[:, None]
     d = dst_seq[:, None]
-    aligned = index.select0(s, pos + 1)
+    # consecutive ranks -> one contiguous zsel row DMA per record instead of
+    # B*R element gathers (same pattern as the packed gap kernel); entries
+    # beyond total_ref are tail-pad garbage, masked by every consumer.
+    aligned = index.select0_consecutive(src_seq, rec_src_pos + 1, R)
     excess, isgap = index.rank0_and_bit(d, aligned)
     initial = index.rank0(dst_seq, index.select0(src_seq, rec_src_pos + 1))
 
     nongap = 1 - isgap
     prev_excess = jnp.concatenate([initial[:, None], (excess + nongap)[:, :-1]], axis=1)
-    d_run = jnp.maximum(excess - prev_excess, 0).astype(jnp.int32)
+    # beyond total_ref the consecutive select reads tail pad: pin those
+    # entries (d_run=0, main=CODE_NONE) so overflow counters and wire
+    # outputs stay deterministic
+    d_run = jnp.where(valid, jnp.maximum(excess - prev_excess, 0), 0).astype(
+        jnp.int32
+    )
 
     dst_char = ref_flat[ref_off[:, None] + excess]
     qchar = jnp.take_along_axis(query, jnp.clip(qpos, 0, query.shape[1] - 1), axis=1)
     eq = qchar == dst_char
 
     main_code = jnp.where(
-        is_mtype,
-        jnp.where(isgap == 1, I, jnp.where(eq, EQ, X)),
-        jnp.where(isgap == 1, CODE_NONE, D),
+        valid,
+        jnp.where(
+            is_mtype,
+            jnp.where(isgap == 1, I, jnp.where(eq, EQ, X)),
+            jnp.where(isgap == 1, CODE_NONE, D),
+        ),
+        CODE_NONE,
     ).astype(jnp.int8)
     return initial, d_run, main_code
 

@@ -77,36 +77,40 @@ def main() -> None:
         h.update(np.ascontiguousarray(arr).tobytes())
     print(f"[fused-bench] output sha256 {h.hexdigest()[:16]}", file=sys.stderr)
 
-    @partial(jax.jit, static_argnames=("n_iters",))
-    def fused_loop(args, n_iters):
+    @partial(jax.jit, static_argnames=("n_iters", "stage"))
+    def fused_loop(args, n_iters, stage):
         def body(i, carry):
             acc, query = carry
             query = query.at[0, 0].set((acc % 4 + 65).astype(jnp.uint8))
             o = fused_projection_kernel(
                 dev_index, ref_flat_dev, *args[:6], query, go, ge, R, U,
                 BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD,
-                pool,
+                pool, stage,
             )
             return acc + o[5][2], query
         return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[6]))[0]
 
-    jax.block_until_ready(fused_loop(dev, iters))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fused_loop(dev, iters))
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        print(
-            f"[fused-bench] {iters}x{batch_size} in {dt:.3f}s "
-            f"= {dt / iters * 1e3:.2f} ms/iter, "
-            f"{batch_size * iters / dt:,.0f} reads/s",
-            file=sys.stderr,
-        )
-    print(
-        f"[fused-bench] BEST {best / iters * 1e3:.2f} ms/iter "
-        f"{batch_size * iters / best:,.0f} reads/s"
+    stages = (
+        (0, 1, 2, 3, 4, 5) if len(sys.argv) > 3 and sys.argv[3] == "stages"
+        else (5,)
     )
+    names = {
+        0: "rewrite_math", 1: "+unit expand", 2: "+token stream",
+        3: "+compaction", 4: "+slice gather", 5: "full",
+    }
+    for stage in stages:
+        jax.block_until_ready(fused_loop(dev, iters, stage))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fused_loop(dev, iters, stage))
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+        print(
+            f"[fused-bench] stage {stage} ({names[stage]}): "
+            f"{best / iters * 1e3:.2f} ms/iter "
+            f"{batch_size * iters / best:,.0f} reads/s"
+        )
 
 
 if __name__ == "__main__":
