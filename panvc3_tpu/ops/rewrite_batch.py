@@ -196,26 +196,30 @@ def rewrite_math(
 
     # expand the per-op values over ref units gather-free (expand_by_delta;
     # the op_idx comparison-sum + three take_along_axis here were ~half the
-    # fused kernel's cost).  The three lanes pack into one int32 scatter
-    # when the prefix fields fit 15 bits each (they do for read-scale
-    # shapes; the unpacked path keeps correctness for giant buckets).
-    if R < (1 << 15) and query.shape[1] < (1 << 15):
-        packed = (qpref << 16) | (pref << 1) | is_mtype_op.astype(jnp.int32)
-        e = expand_by_delta(packed[:, :, None], pref, R)[:, :, 0]
-        is_mtype = (e & 1) == 1
-        unit_pref = (e >> 1) & 0x7FFF
-        unit_qpref = e >> 16
-    else:
-        e = expand_by_delta(
-            jnp.stack([is_mtype_op.astype(jnp.int32), pref, qpref], axis=2),
-            pref, R,
-        )
-        is_mtype = e[:, :, 0] == 1
-        unit_pref = e[:, :, 1]
-        unit_qpref = e[:, :, 2]
-    is_mtype = is_mtype & valid
+    # fused kernel's cost)
+    is_mtype = (
+        expand_by_delta(
+            is_mtype_op.astype(jnp.int32)[:, :, None], pref, R
+        )[:, :, 0]
+        == 1
+    ) & valid
 
-    qpos = jnp.where(is_mtype, unit_qpref + (r - unit_pref), 0)
+    # query chars placed onto the ref units that consume them — the inverse
+    # of the qpos gather, also gather-free: expand each op's (ref prefix -
+    # query prefix) offset over query space, then one unique-index scatter
+    # of the query bytes to r = q + offset.  q positions owned by I/S ops
+    # (or padding) drop out; ref units that receive no byte are non-mtype,
+    # where the comparison result is unused.
+    Lq = query.shape[1]
+    q_ax = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    qlane = ((pref - qpref) << 1) | is_mtype_op.astype(jnp.int32)
+    eq_q = expand_by_delta(qlane[:, :, None], qpref, Lq)[:, :, 0]
+    r_of_q = jnp.where((eq_q & 1) == 1, q_ax + (eq_q >> 1), R)
+    qchar = (
+        jnp.zeros((query.shape[0], R), query.dtype)
+        .at[jnp.arange(query.shape[0])[:, None], r_of_q]
+        .add(query, mode="drop")
+    )
 
     d = dst_seq[:, None]
     # consecutive ranks -> one contiguous zsel row DMA per record instead of
@@ -235,7 +239,6 @@ def rewrite_math(
     )
 
     dst_char = ref_flat[ref_off[:, None] + excess]
-    qchar = jnp.take_along_axis(query, jnp.clip(qpos, 0, query.shape[1] - 1), axis=1)
     eq = qchar == dst_char
 
     main_code = jnp.where(
