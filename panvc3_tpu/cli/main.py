@@ -224,6 +224,7 @@ def cmd_project_alignments(argv=None) -> int:
         pipeline_depth=args.pipeline_depth,
         chr_shard=_parse_shard(args.msa_index_chr_shard),
         data_parallel=args.data_parallel,
+        status_output_interval=args.status_output_interval,
     )
     stats = run_project_alignments(
         _in_stream(args.alignments), _out_stream(args.output_path), cfg,
@@ -314,6 +315,7 @@ def cmd_recalculate_mapq(argv=None) -> int:
         command_line=" ".join(sys.argv),
         version=__version__,
         jobs=args.jobs,
+        status_output_interval=args.status_output_interval,
     )
     print("Done.", file=sys.stderr)
     print(f"\tTotal alignments: {stats.total_alignments}", file=sys.stderr)
@@ -453,6 +455,7 @@ def cmd_rewrite_cigar(argv=None) -> int:
         output_bam=args.output_bam,
         command_line=" ".join(sys.argv),
         version=__version__,
+        status_output_interval=args.status_output_interval,
     )
     return 0
 

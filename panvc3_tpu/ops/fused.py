@@ -95,7 +95,7 @@ def fused_projection_kernel(
     B = src_seq.shape[0]
 
     def _cut(*parts):
-        """Stage-truncated return for tools/profile_fused.py: sums keep a
+        """Stage-truncated return for tools/bench_fused.py: sums keep a
         data dependency on everything computed so far (no DCE)."""
         acc = jnp.int32(0)
         for p in parts:

@@ -227,7 +227,9 @@ def rewrite_math(
     # beyond total_ref are tail-pad garbage, masked by every consumer.
     aligned = index.select0_consecutive(src_seq, rec_src_pos + 1, R)
     excess, isgap = index.rank0_and_bit(d, aligned)
-    initial = index.rank0(dst_seq, index.select0(src_seq, rec_src_pos + 1))
+    # aligned[:, 0] == select0(src, pos + 1): reuse the consecutive row DMA
+    # instead of a second per-record select0 gather (same as _gap_math)
+    initial = index.rank0(dst_seq, aligned[:, 0])
 
     nongap = 1 - isgap
     prev_excess = jnp.concatenate([initial[:, None], (excess + nongap)[:, :-1]], axis=1)
@@ -596,7 +598,13 @@ def reconstruct_main_code(
     of rewrite_cigar.hh:80-152): given the device's gap geometry, compare
     query vs reference bytes locally and emit =/X/I/D/CODE_NONE per ref
     unit.  Matches rewrite_math's main_code on the valid region exactly
-    (the device clamps the query index the same way)."""
+    for well-formed records.  Note: on a MALFORMED record whose
+    query-consuming CIGAR length exceeds |query|, this host path clamps the
+    query index to the last byte while rewrite_math's scatter formulation
+    yields qchar=0 (emits X) — such records are rejected upstream with a
+    typed error before either path runs (SamRecord CIGAR/SEQ validation;
+    see the robustness-audit parity tests), so the divergence is
+    unreachable in the pipeline."""
     unit_op = np.asarray(unit_op)
     unit_count = np.asarray(unit_count, dtype=np.int64)
     unit_rec = np.asarray(unit_rec)

@@ -111,7 +111,13 @@ def run_rewrite_cigar(
     output_bam: bool = False,
     command_line: str = "panvc3_tpu rewrite_cigar",
     version: str = "0.1",
+    status_output_interval: int = 5,
 ) -> int:
+    # periodic µs/record status like the reference's timer thread
+    # (/root/reference/rewrite-cigar/main.cc:287-328)
+    from ..utils import StatusReporter
+
+    reporter = StatusReporter(status_output_interval)
     reader = SamReader(input_path_or_fh)
     header = reader.header
     out_header = SamHeader()
@@ -179,6 +185,7 @@ def run_rewrite_cigar(
                 blob, n_recs = res
                 n += n_recs
                 writer.write_raw(blob)
+                reporter.tick(n)
                 return
 
         for block in reader.raw_record_line_blocks():
@@ -197,6 +204,7 @@ def run_rewrite_cigar(
             n += 1
             rec.cigar = rewrite_alignment_match(rec.cigar)
             writer.write(rec)
+            reporter.tick(n)
     elif mode == "sequence-match":
         if reference_path is None:
             raise ValueError("sequence-match mode requires a reference FASTA")
@@ -219,6 +227,7 @@ def run_rewrite_cigar(
             if xn:
                 rec.tags[ref_n_positions_tag] = ("B", ("C", list(xn)))
             writer.write(rec)
+            reporter.tick(n)
     else:
         raise ValueError(f"unknown mode {mode!r}")
     writer.close()
