@@ -246,6 +246,9 @@ def _run() -> None:
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        # the reference cannot be built in this image (BASELINE.md): the
+        # vs_baseline denominator is a documented estimate, not a measurement
+        "baseline": {"reads_per_s": BASELINE_READS_PER_S, "kind": "estimate"},
         "tool_dp_cell_updates_per_s": round(tool_cells_per_s, 1),
     }
     result.update(kernel)

@@ -30,6 +30,7 @@ must match this oracle exactly.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -98,6 +99,28 @@ def malde_tables() -> tuple[np.ndarray, np.ndarray]:
 _MALDE_TABLES: tuple[np.ndarray, np.ndarray] | None = None
 
 
+def malde_exact() -> bool:
+    """PANVC3_MALDE_EXACT=1: validation-only host mode that scores the
+    quality (-q) DP in unquantised float64 — the reference's exact
+    arithmetic (/root/reference/include/panvc3/align.hh:21-56) — instead of
+    the 1/MALDE_SCALE fixed-point tables.  Only the host oracle honours it
+    (device/C engines stay fixed-point); away from exact score ties the
+    chosen alignment is identical, which the differential test asserts
+    (tests/test_projector.py)."""
+    return os.environ.get("PANVC3_MALDE_EXACT") == "1"
+
+
+def _malde_exact_matrix(eq: np.ndarray, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Float64 Malde substitution scores s[i, j] for seq2[i] vs seq1[j],
+    computed with the reference's formula (no quantisation)."""
+    e1 = 10.0 ** (-np.asarray(q1, np.float64) / 10.0)
+    e2 = 10.0 ** (-np.asarray(q2, np.float64) / 10.0)
+    ce = e1[None, :] + e2[:, None] - e1[None, :] / 3.0 * e2[:, None] * 4.0
+    match = 2.0 + np.log2(1.0 - ce)
+    mismatch = 2.0 - np.log2(3.0) + np.log2(ce)
+    return np.where(eq, match, mismatch)
+
+
 def _score_matrix(
     seq1: bytes,
     seq2: bytes,
@@ -110,6 +133,8 @@ def _score_matrix(
     eq = a2[:, None] == a1[None, :]
     if quals1 is None:
         return np.where(eq, 0.0, -1.0)
+    if malde_exact():
+        return _malde_exact_matrix(eq, quals1, quals2)
     # quantised Malde scheme (see malde_tables): s[i, j] in 1/MALDE_SCALE
     # units; the caller scales the gap costs to match
     mt, xt = malde_tables()
@@ -149,8 +174,12 @@ def align_global(
     dst.clear()
 
     # quality mode works in quantised 1/MALDE_SCALE units throughout the DP
-    # (integral values, exact in float64); the returned score is unscaled
-    scale = MALDE_SCALE if quals1 is not None else 1.0
+    # (integral values, exact in float64); the returned score is unscaled.
+    # PANVC3_MALDE_EXACT=1 instead runs the DP directly in float64 Malde
+    # units (validation mode — gap costs then stay unscaled).
+    scale = (
+        MALDE_SCALE if quals1 is not None and not malde_exact() else 1.0
+    )
     go = float(gap_opening) * scale
     ge = float(gap_extension) * scale
 

@@ -687,9 +687,15 @@ def run_fast(
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
+        # Autoscale to the box: one core stays for the parsing main thread
+        # (the writer thread is I/O-light).  The measured 4-core optimum
+        # (3 workers; 4 lost to GIL convoying, ROADMAP knob re-sweep) is the
+        # floor and falls out of the same formula; wider hosts get
+        # proportionally more workers since the batch jobs are GIL-free C
+        # slab loops.  PANVC3_BATCH_WORKERS overrides.
         n_pool = int(
             os.environ.get("PANVC3_BATCH_WORKERS", "0")
-        ) or max(2, min(4, (os.cpu_count() or 4) - 1))
+        ) or max(2, (os.cpu_count() or 4) - 1)
         # per-call slab fan-out inside splice/finalize would just
         # oversubscribe the cores the pool already fills
         if hasattr(nat, "set_slab_threads"):

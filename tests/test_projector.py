@@ -74,3 +74,93 @@ def test_projector_dead_fixture_row():
     res = run_projection(case, q)
     assert res.dst_pos == q.expected_dst_pos
     assert format_cigar(res.cigar) == "1=1D1=1D2I1="
+
+
+# -- PANVC3_MALDE_EXACT: float64 validation mode ------------------------------
+
+def _exact_path_score(seq1, seq2, q1, q2, cigar, go, ge):
+    """Exact float64 Malde score of a concrete alignment path."""
+    from panvc3_tpu.align import malde_score
+
+    i = j = 0  # i over seq2 ('I'), j over seq1 ('D')
+    score = 0.0
+    for count, op in cigar:
+        if op in "=X":
+            for _ in range(count):
+                score += malde_score(
+                    seq2[i] == seq1[j], int(q1[j]), int(q2[i])
+                )
+                i += 1
+                j += 1
+        elif op == "I":
+            score += go + count * ge
+            i += count
+        elif op == "D":
+            score += go + count * ge
+            j += count
+        else:  # pragma: no cover - align_global emits only I/D/=/X
+            raise AssertionError(op)
+    return score
+
+
+def test_malde_exact_mode_differential(monkeypatch):
+    """PANVC3_MALDE_EXACT=1 runs the -q host DP in unquantised float64 (the
+    reference's arithmetic, align.hh:21-56).  Away from score ties the
+    fixed-point path must pick the same alignment, and in every case the
+    fixed-point path's exact score must sit within the documented
+    (R+Q)/2**(MALDE_SHIFT+1) bound of the float64 optimum (VERDICT r2 #8)."""
+    from panvc3_tpu.align import MALDE_SHIFT, align_global
+
+    rng = np.random.default_rng(42)
+    go, ge = -6, -1
+    n_diff = 0
+    for _ in range(60):
+        n = int(rng.integers(1, 14))
+        m = int(rng.integers(1, 14))
+        seq1 = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+        seq2 = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), m))
+        q1 = np.full(n, PHRED42_MAX, np.int32)  # ref quals pinned to max
+        q2 = rng.integers(2, 42, m).astype(np.int32)
+
+        monkeypatch.delenv("PANVC3_MALDE_EXACT", raising=False)
+        s_fix, c_fix = align_global(seq1, seq2, go, ge, q1, q2)
+        monkeypatch.setenv("PANVC3_MALDE_EXACT", "1")
+        s_exact, c_exact = align_global(seq1, seq2, go, ge, q1, q2)
+        monkeypatch.delenv("PANVC3_MALDE_EXACT", raising=False)
+
+        # the exact DP's reported score is the exact score of its own path
+        p_exact = _exact_path_score(seq1, seq2, q1, q2, c_exact, go, ge)
+        assert abs(p_exact - s_exact) < 1e-9
+
+        # fixed-point optimum within the quantisation bound of the exact one
+        p_fix = _exact_path_score(seq1, seq2, q1, q2, c_fix, go, ge)
+        bound = (n + m) / float(1 << (MALDE_SHIFT + 1))
+        assert s_exact >= p_fix - 1e-9
+        assert p_fix >= s_exact - bound - 1e-9
+
+        if c_fix != c_exact:
+            # only near-tie cases may pick a different co-optimal path
+            n_diff += 1
+            assert s_exact - p_fix <= bound + 1e-9
+    # ties are rare: the mode must agree with the fixed-point path in the
+    # overwhelming majority of random cases
+    assert n_diff <= 3, n_diff
+
+
+def test_malde_exact_mode_unquantised_score(monkeypatch):
+    """Exact mode reports the true float64 Malde score (not a multiple of
+    1/MALDE_SCALE) on a case whose optimum score is irrational."""
+    from panvc3_tpu.align import MALDE_SCALE, align_global, malde_score
+
+    seq = b"ACGT"
+    q1 = np.full(4, PHRED42_MAX, np.int32)
+    q2 = np.asarray([10, 20, 30, 40], np.int32)
+    monkeypatch.setenv("PANVC3_MALDE_EXACT", "1")
+    s, cig = align_global(seq, seq, -6, -1, q1, q2)
+    expected = sum(
+        malde_score(True, PHRED42_MAX, int(q)) for q in q2
+    )
+    assert abs(s - expected) < 1e-12
+    assert cig == [(4, "=")]
+    # and it is genuinely unquantised
+    assert abs(s * MALDE_SCALE - round(s * MALDE_SCALE)) > 1e-6
