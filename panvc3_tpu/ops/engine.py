@@ -38,6 +38,25 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _decode_realigned(realign_ops, realign_counts, total_runs: int) -> list[Cigar]:
+    """Device traceback outputs (reversed per-char op codes + counts) ->
+    RLE-collapsed CIGARs, one per run."""
+    realigned: list[Cigar] = []
+    counts_l = realign_counts[:total_runs].tolist()
+    for i in range(total_runs):
+        k = counts_l[i]
+        rev = realign_ops[i, :k][::-1]
+        cig: Cigar = []
+        for code in rev.tolist():
+            ch = CODE_TO_OP[int(code)]
+            if cig and cig[-1][1] == ch:
+                cig[-1] = (cig[-1][0] + 1, ch)
+            else:
+                cig.append((1, ch))
+        realigned.append(cig)
+    return realigned
+
+
 class BatchProjector:
     def __init__(
         self,
@@ -81,6 +100,11 @@ class BatchProjector:
         # event-slot-overflow fallback only).
         self._vectors = vectors
         self._index = None
+        # entries kept for the lazy fused-v4 event geometry (built on the
+        # first fused batch; the fast lane builds its own instance)
+        self._entries = (src_entries, dst_entries)
+        self._event_geo = None
+        self._fused_event_kernel = None
 
         # Flat reference buffer; rebuilt when new chromosomes get loaded.
         self._ref_flat = None
@@ -97,6 +121,22 @@ class BatchProjector:
 
                 self._index = replicate(self.mesh, self._index)
         return self._index
+
+    @property
+    def fused_event_kernel(self):
+        """Fused-v4 kernel (event-geometry rewrite + segment-space run
+        detection + DP, ops/fused_event.py), built lazily on first use."""
+        if self._fused_event_kernel is None:
+            from .event_geometry import DeviceEventGeometry, EventGeometry
+            from .fused_event import make_fused_event_kernel
+
+            src_entries, dst_entries = self._entries
+            host_geo = EventGeometry(
+                src_entries, dst_entries, self.ref_id_mapping
+            )
+            self._event_geo = DeviceEventGeometry(host_geo)
+            self._fused_event_kernel = make_fused_event_kernel(self._event_geo)
+        return self._fused_event_kernel
 
     def _ensure_refs(self, ref_seqs: dict[int, bytes]) -> None:
         if set(ref_seqs) == set(self._ref_off):
@@ -219,26 +259,42 @@ class BatchProjector:
                 kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
 
         if use_fused:
-            from .fused import fused_projection_kernel
+            import os
 
-            out = fused_projection_kernel(
-                self.index,
-                self.ref_flat_dev,
-                batch.src_seq,
-                batch.dst_seq,
-                batch.rec_src_pos,
-                batch.ref_off,
-                batch.ops,
-                batch.counts,
-                batch.query,
-                np.float32(self.gap_opening_cost),
-                np.float32(self.gap_extension_cost),
-                batch.pad_ref_units,
-                batch.pad_ref_units + batch.ops.shape[1],
-                self.FUSED_RUN_PAD,
-                self.FUSED_RUN_PAD,
-                max(256, len(records) // 2),
+            # the v4 event-geometry variant is the default: no per-unit
+            # rank/select gathers, run detection in segment space
+            # (ops/fused_event.py); the gap-math v3 kernel remains the
+            # event-slot-overflow fallback and the PANVC3_FUSED_EVENT=0 path.
+            # The u8 wire needs R <= 255; the boundary-rank matrix is
+            # O(ops^2) per record, so pathological op counts use v3 too.
+            use_event = (
+                batch.pad_ref_units <= 255
+                and batch.ops.shape[1] <= 32
+                and os.environ.get("PANVC3_FUSED_EVENT") != "0"
             )
+            if use_event:
+                ref_ids = np.asarray(
+                    [rec.ref_id for rec in records], dtype=np.int32
+                )
+                out = self.fused_event_kernel(
+                    self.ref_flat_dev,
+                    ref_ids,
+                    batch.rec_src_pos,
+                    batch.n_ref_units,
+                    batch.ref_off,
+                    batch.ops,
+                    batch.counts,
+                    batch.query,
+                    np.float32(self.gap_opening_cost),
+                    np.float32(self.gap_extension_cost),
+                    R=batch.pad_ref_units,
+                    run_r=self.FUSED_RUN_PAD,
+                    run_q=self.FUSED_RUN_PAD,
+                    slot_pool=max(256, len(records) // 2),
+                )
+                return ("fusedev", records, queries, dst_ref_ids, batch, out,
+                        ref_seqs, cfg, self._ref_flat_host)
+            out = self._dispatch_fused_gap(batch, len(records))
             return ("fused", records, queries, dst_ref_ids, batch, out, ref_seqs, cfg)
 
         out = rewrite_gap_kernel_packed(
@@ -271,6 +327,8 @@ class BatchProjector:
             return None
         if handle[0] == "fused":
             return ("fused_done", self._finish_fused(handle))
+        if handle[0] == "fusedev":
+            return ("fused_done", self._finish_fused_event(handle))
         (_, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg, n_pad,
          ref_flat_host) = handle
         b = len(records)
@@ -384,6 +442,29 @@ class BatchProjector:
             pad_query=_next_pow2(max(1, max(len(q) for q in run_queries))),
         )
 
+    def _dispatch_fused_gap(self, batch, n_records: int):
+        """Dispatch the gap-math (v3) fused kernel on a staged batch."""
+        from .fused import fused_projection_kernel
+
+        return fused_projection_kernel(
+            self.index,
+            self.ref_flat_dev,
+            batch.src_seq,
+            batch.dst_seq,
+            batch.rec_src_pos,
+            batch.ref_off,
+            batch.ops,
+            batch.counts,
+            batch.query,
+            np.float32(self.gap_opening_cost),
+            np.float32(self.gap_extension_cost),
+            batch.pad_ref_units,
+            batch.pad_ref_units + batch.ops.shape[1],
+            self.FUSED_RUN_PAD,
+            self.FUSED_RUN_PAD,
+            max(256, n_records // 2),
+        )
+
     def _finish_fused(self, handle) -> list[ProjectionResult]:
         _, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg = handle
         b = len(records)
@@ -396,7 +477,7 @@ class BatchProjector:
             d_run = (
                 jax.device_get(out[6]) if int(flags[1]) else d8.astype(np.int32)
             )
-            dst_pos, rewritten, record_runs = self._finalize_native(
+            dst_pos, rewritten, record_runs = self._finalize_any(
                 batch, dst_pos_a, d_run, main_code, b
             )
             return self._realign_and_splice(
@@ -405,7 +486,7 @@ class BatchProjector:
             )
 
         d_run = jax.device_get(out[6]) if int(flags[1]) else d8.astype(np.int32)
-        dst_pos, rewritten, record_runs = self._finalize_native(
+        dst_pos, rewritten, record_runs = self._finalize_any(
             batch, dst_pos_a, d_run, main_code, b
         )
         total_runs = int(flags[2])
@@ -417,20 +498,71 @@ class BatchProjector:
                 record_runs,
             )
 
-        realigned: list[Cigar] = []
-        counts_l = realign_counts[:total_runs].tolist()
-        for i in range(total_runs):
-            k = counts_l[i]
-            rev = realign_ops[i, :k][::-1]
-            cig: Cigar = []
-            for code in rev.tolist():
-                ch = CODE_TO_OP[int(code)]
-                if cig and cig[-1][1] == ch:
-                    cig[-1] = (cig[-1][0] + 1, ch)
-                else:
-                    cig.append((1, ch))
-            realigned.append(cig)
+        realigned = _decode_realigned(realign_ops, realign_counts, total_runs)
         return self._splice(records, dst_pos, rewritten, record_runs, realigned)
+
+    def _finish_fused_event(self, handle) -> list[ProjectionResult]:
+        """Finish a fused-v4 (event-geometry) batch: host =/X
+        reconstruction from the event wire + 1:1 matching of the
+        device-realigned runs."""
+        (_, records, queries, dst_ref_ids, batch, out, ref_seqs, cfg,
+         ref_flat_host) = handle
+        b = len(records)
+        (dst_pos_a, gapbits, d_vals, d_pos, d_n, realign_ops, realign_counts,
+         flags) = jax.device_get(out)
+        if int(flags[1]):
+            # event slots/widths overflowed: the rewrite outputs themselves
+            # are invalid, so this batch RE-DISPATCHES through the gap-math
+            # variant (unlike flags[0], which can keep the wire outputs)
+            out2 = self._dispatch_fused_gap(batch, b)
+            return self._finish_fused(
+                ("fused", records, queries, dst_ref_ids, batch, out2,
+                 ref_seqs, cfg)
+            )
+
+        R = batch.pad_ref_units
+        isgap = np.unpackbits(gapbits, axis=1, bitorder="little", count=R)
+        d_run = np.zeros((b, R), np.int32)
+        k = np.arange(d_vals.shape[1])[None, :]
+        valid = k < d_n[:, None]
+        if valid.any():
+            rows = np.broadcast_to(np.arange(b)[:, None], valid.shape)[valid]
+            d_run[rows, d_pos[valid].astype(np.int64)] = d_vals[valid]
+        ref_lens = np.fromiter(
+            (len(ref_seqs[r]) for r in dst_ref_ids), dtype=np.int64, count=b
+        )
+        main_code = reconstruct_main_code(
+            batch.unit_op, batch.unit_count, batch.unit_rec, b, R,
+            dst_pos_a.astype(np.int32), d_run, isgap,
+            np.asarray(batch.query), ref_flat_host, batch.ref_off, ref_lens,
+        )
+        dst_pos, rewritten, record_runs = self._finalize_any(
+            batch, dst_pos_a, d_run, main_code, b
+        )
+
+        total_runs = int(flags[2])
+        n_host_runs = sum(len(r) for r in record_runs)
+        if int(flags[0]) or total_runs != n_host_runs:
+            # run-pool/length overflow (or defensive mismatch): keep the
+            # wire outputs, realign on the split path
+            return self._realign_and_splice(
+                records, queries, dst_ref_ids, ref_seqs, cfg, dst_pos,
+                rewritten, record_runs,
+            )
+        realigned = _decode_realigned(realign_ops, realign_counts, total_runs)
+        return self._splice(records, dst_pos, rewritten, record_runs, realigned)
+
+    def _finalize_any(self, batch, dst_pos_a, d_run, main_code, b):
+        """Native finalize when available, python fallback otherwise."""
+        if get_native() is not None:
+            return self._finalize_native(batch, dst_pos_a, d_run, main_code, b)
+        from .rewrite_batch import finalize_rewrite
+
+        dst_pos, rewritten = finalize_rewrite(batch, dst_pos_a, d_run, main_code)
+        record_runs = [
+            find_indel_runs(rewritten[i], dst_pos[i]) for i in range(b)
+        ]
+        return dst_pos, rewritten, record_runs
 
     def _finalize_native(self, batch, dst_pos_a, d_run, main_code, b):
         """Native merge + indel-run detection (shared by both paths)."""

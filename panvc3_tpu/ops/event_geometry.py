@@ -231,11 +231,18 @@ class DeviceEventGeometry:
         self.base_gap_start = ge_n
         self.base_del_b = ge_n + gs_n
 
-    def kernel(self, ref_ids, pos, n_units, R: int):
-        """Jittable: (initial, gapbits, d_vals, d_pos, d_n8, overflow).
+    def slots(self, ref_ids, pos, n_units, R: int):
+        """Jittable: decode the record-relative event slots.
 
-        Same wire layout as ``_gap_math_packed`` minus the full fallback
-        (callers fall back to the gap kernel on overflow)."""
+        Returns ``(initial, a, b, gcnt, d_rel, d_len, dcnt, overflow)``:
+        ``a``/``b`` int32[B, GAP_SLOTS] record-relative ref-rank bounds of
+        the overlapping dst-gap runs (clipped to [0, n-1]; invalid slots
+        a=R, b=-1), ``d_rel``/``d_len`` int32[B, DEL_SLOTS] record-relative
+        deletion boundaries in [1, n-1] and their dst-base counts (invalid
+        slots zero).  ``overflow`` counts records whose events exceed the
+        slot bounds — their slot decodes are truncated and the caller must
+        fall back (the wire packers additionally count u8 width overruns).
+        """
         import jax.numpy as jnp
 
         from .rewrite_batch import D_SPARSE_SLOTS
@@ -313,13 +320,6 @@ class DeviceEventGeometry:
         b = jnp.where(ev_valid, self.gap_end[ev] - p[:, None], -1)
         a = jnp.maximum(a, 0)
         b = jnp.minimum(b, n[:, None] - 1)
-        r = jnp.arange(R, dtype=jnp.int32)[None, None, :]
-        isgap = jnp.any(
-            (r >= a[:, :, None]) & (r <= b[:, :, None]), axis=1
-        )
-        bits = isgap.astype(jnp.uint8).reshape(B, R // 8, 8)
-        weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
-        gapbits = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
 
         dcnt = jnp.maximum(dhi - dlo, 0)
 
@@ -329,13 +329,44 @@ class DeviceEventGeometry:
         dvalid = dk < dcnt[:, None]
         d_pos_i = jnp.where(dvalid, self.del_b[dev] - p[:, None], 0)
         d_len_i = jnp.where(dvalid, self.del_len[dev], 0)
+
+        overflow = (
+            jnp.sum(jnp.where(gcnt > KG, 1, 0))
+            + jnp.sum(jnp.where(dcnt > K, 1, 0))
+        ).astype(jnp.int32)
+        return initial, a, b, gcnt, d_pos_i, d_len_i, dcnt, overflow
+
+    def pack_isgap(self, a, b, R: int):
+        """Little-endian per-record gap bitmask u8[B, R/8] from the clipped
+        gap-run slot bounds (the wire format of ``_gap_math_packed``)."""
+        import jax.numpy as jnp
+
+        B = a.shape[0]
+        r = jnp.arange(R, dtype=jnp.int32)[None, None, :]
+        isgap = jnp.any(
+            (r >= a[:, :, None]) & (r <= b[:, :, None]), axis=1
+        )
+        bits = isgap.astype(jnp.uint8).reshape(B, R // 8, 8)
+        weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
+        return jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
+
+    def kernel(self, ref_ids, pos, n_units, R: int):
+        """Jittable: (initial, gapbits, d_vals, d_pos, d_n8, overflow).
+
+        Same wire layout as ``_gap_math_packed`` minus the full fallback
+        (callers fall back to the gap kernel on overflow)."""
+        import jax.numpy as jnp
+
+        initial, a, b, gcnt, d_pos_i, d_len_i, dcnt, ov_slots = self.slots(
+            ref_ids, pos, n_units, R
+        )
+        gapbits = self.pack_isgap(a, b, R)
         d_vals = jnp.minimum(d_len_i, 255).astype(jnp.uint8)
         d_pos = jnp.minimum(d_pos_i, 255).astype(jnp.uint8)
         d_n8 = jnp.minimum(dcnt, 255).astype(jnp.uint8)
 
         overflow = (
-            jnp.sum(jnp.where(gcnt > KG, 1, 0))
-            + jnp.sum(jnp.where(dcnt > K, 1, 0))
+            ov_slots
             + jnp.sum(jnp.where(d_len_i >= 255, 1, 0))
             + jnp.where(R > 255, 1, 0)
         ).astype(jnp.int32)

@@ -163,7 +163,32 @@ def run_fast(
         and os.environ.get("PANVC3_HOST_DP") != "0"
         and hasattr(nat, "realign_runs_host")
     )
-    host_dp_cells = int(os.environ.get("PANVC3_HOST_DP_CELLS", "4000000"))
+    # Host-DP/device crossover: PANVC3_HOST_DP_CELLS sets a hard cell-count
+    # threshold; unset, the lane choice is ADAPTIVE — measured EMAs of the
+    # host C DP's ns/cell and the device lane's observed per-batch realign
+    # cost (stage+fetch) decide per batch (host wins iff
+    # cells * host_ns_per_cell <= device_batch_ns).  Priors reproduce the
+    # old 4e6-cell default (≈4 ns/cell C DP vs ≈16 ms device batch) until
+    # real measurements arrive.
+    _hdc_env = os.environ.get("PANVC3_HOST_DP_CELLS")
+    host_dp_cells = int(_hdc_env) if _hdc_env else None
+    adapt = {"host_ns_cell": 4.0, "dev_ns_batch": 16e6}
+    adapt_lock = __import__("threading").Lock()
+
+    # Cross-batch DP aggregation (threaded drain only): batches whose runs
+    # go to the DEVICE kernel defer the dispatch; the writer thread pools
+    # the staged runs of the in-flight window into ONE large dispatch
+    # (results are sliced back per batch), amortising the kernel's fixed
+    # ~1.4 ms launch — 473M real cells/s at 16k-run dispatches vs 2.1G at
+    # 131k (ROADMAP kernel notes).  Output order is unchanged (the FIFO
+    # already restores it).  PANVC3_DP_AGGREGATE=0 disables;
+    # PANVC3_DP_AGG_RUNS sets the target runs per aggregate dispatch.
+    defer_dp = (
+        cfg.threaded_pipeline
+        and os.environ.get("PANVC3_DP_AGGREGATE", "1") != "0"
+    )
+    agg_target_runs = int(os.environ.get("PANVC3_DP_AGG_RUNS", "131072"))
+    agg_max_batches = int(os.environ.get("PANVC3_DP_AGG_BATCHES", "16"))
 
     # shard-aware check data: dev id -1 == entry outside this index shard
     shard_check = cfg.chr_shard is not None
@@ -472,7 +497,15 @@ def run_fast(
                 real_cells = int(
                     rl_a.astype(np.int64) @ ql_a.astype(np.int64)
                 )
-                if real_cells <= host_dp_cells:
+                if host_dp_cells is not None:
+                    use_host = real_cells <= host_dp_cells
+                else:
+                    use_host = (
+                        real_cells * adapt["host_ns_cell"]
+                        <= adapt["dev_ns_batch"]
+                    )
+                if use_host:
+                    t_dp = _time.perf_counter_ns()
                     if use_quality:
                         from ..align import MALDE_SCALE, malde_tables
 
@@ -492,9 +525,42 @@ def run_fast(
                         np.frombuffer(ops_b, np.int8),
                         np.frombuffer(cnt_b, np.int32),
                     )
+                    dt_dp = _time.perf_counter_ns() - t_dp
+                    if real_cells > 1000:  # skip noise-dominated samples
+                        with adapt_lock:
+                            adapt["host_ns_cell"] = (
+                                0.7 * adapt["host_ns_cell"]
+                                + 0.3 * dt_dp / real_cells
+                            )
             rh_wire = not use_quality and (Rp + Qp) % 2 == 0 and Rp + Qp < 256
             if host_dp is not None:
                 pass
+            elif defer_dp:
+                # device lane: defer — the writer thread aggregates this
+                # batch's runs with the rest of the in-flight window into
+                # one large dispatch (see _dispatch_aggregate)
+                ctx.update(
+                    agg=(ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b),
+                    deferred=True,
+                )
+                ctx["stage_ns"] = _time.perf_counter_ns() - t0
+                if _PROF:
+                    with _prof_lock:
+                        prof["realign_stage"] = prof.get(
+                            "realign_stage", 0.0
+                        ) + (_time.perf_counter_ns() - t0p) / 1e9
+                ctx.update(
+                    dst_pos=dst_pos_a,
+                    run_ops=run_ops_b,
+                    run_lens=run_lens_b,
+                    runs_per_rec=runs_per_rec_b,
+                    indel=indel_b,
+                    rh=None,
+                    rh_wire=False,
+                    host_dp=None,
+                    steps=Rp + Qp,
+                )
+                return ctx
             elif rh_wire:
                 rh = realign_device_kernel_wire(
                     pack_realign_wire_input(
@@ -585,7 +651,17 @@ def run_fast(
         import time as _time
 
         fetch_ns = 0
-        if ctx["rh"] is not None:
+        if ctx.get("realn_override") is not None:
+            # aggregated cross-batch dispatch: this batch's row slice of the
+            # pooled kernel results (fetch wait measured in _finish_deferred)
+            realn_ops, realn_counts, steps = ctx["realn_override"]
+            fetch_ns = ctx.get("agg_fetch_ns", 0)
+            if _PROF and fetch_ns:
+                with _prof_lock:
+                    prof["realign_fetch"] = (
+                        prof.get("realign_fetch", 0.0) + fetch_ns / 1e9
+                    )
+        elif ctx["rh"] is not None:
             t0 = _time.perf_counter_ns()
             if ctx.get("rfut") is not None:
                 fetched = ctx["rfut"].result()
@@ -640,6 +716,9 @@ def run_fast(
             "stage_ns": ctx.get("stage_ns", 0),
             "kept": ctx["kept"],
             "parse_stats": ctx["parse_stats"],
+            "dev_realign": (
+                ctx.get("realn_override") is not None or ctx["rh"] is not None
+            ),
         }
 
     def emit(payload):
@@ -662,6 +741,14 @@ def run_fast(
             realigned_ranges.extend(rows)
         state["realign_fetch_ns"] += payload["fetch_ns"]
         state["realign_stage_ns"] += payload["stage_ns"]
+        if payload.get("dev_realign"):
+            total_ns = payload["stage_ns"] + payload["fetch_ns"]
+            if total_ns:
+                # observed device realign cost feeds the adaptive lane choice
+                with adapt_lock:
+                    adapt["dev_ns_batch"] = (
+                        0.7 * adapt["dev_ns_batch"] + 0.3 * total_ns
+                    )
         tw = _time.perf_counter() if _PROF else 0.0
         writer.write_raw(payload["blob"])
         if _PROF:
@@ -705,22 +792,194 @@ def run_fast(
         job_q = _queue.Queue(maxsize=MAX_IN_FLIGHT)
 
         def _job(ctx):
-            return finish_realign(finish_rewrite(ctx))
+            ctx = finish_rewrite(ctx)
+            if ctx is not None and ctx.get("deferred"):
+                return ("defer", ctx)
+            return finish_realign(ctx)
 
         def _job_full(lines, rec_base, task_base, nrec):
             # parse included: record/task numbering was precomputed on main
             # from the scan mask, so the whole batch is order-free
             ctx = start_batch(lines, rec_base, nrec)
             ctx["task_base"] = task_base
-            return finish_realign(finish_rewrite(ctx))
+            return _job(ctx)
+
+        def _dispatch_aggregate(ctxs):
+            """ONE realign dispatch for the pooled runs of several batches.
+
+            Per-batch pads differ, so blocks re-pad into a common
+            (S_bucket, Rmax/Qmax) layout (bucketed so XLA compiles a
+            bounded set of variants); results come back as row slices.
+            Returns (parts [(lo, hi)], fetch_future, steps)."""
+            from ..ops.realign_batch import (
+                pack_realign_wire_input as _pack_wire,
+                realign_device_kernel as _kern,
+                realign_device_kernel_wire as _kern_wire,
+                unpack_realign_wire as _unpack_wire,
+            )
+
+            t0 = _time.perf_counter_ns()
+            Rmax = _next_pow2(max(c["agg"][4] for c in ctxs))
+            Qmax = _next_pow2(max(c["agg"][5] for c in ctxs))
+            S_tot = sum(c["agg"][6] for c in ctxs)
+            S_b = _next_pow2(max(S_tot, 256))
+            ref = np.zeros((S_b, Rmax), np.uint8)
+            qb = np.zeros((S_b, Qmax), np.uint8)
+            rl = np.zeros(S_b, np.int32)
+            ql = np.zeros(S_b, np.int32)
+            rq = qq = None
+            if use_quality:
+                if Rmax + Qmax > 5461:
+                    raise ValueError(
+                        "quality-scored realignment run too long for the "
+                        f"exact quantised path (R+Q={Rmax + Qmax})"
+                    )
+                rq = np.zeros((S_b, Rmax), np.int32)
+                qq = np.zeros((S_b, Qmax), np.int32)
+            parts = []
+            off = 0
+            for c in ctxs:
+                ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b = c["agg"]
+                ref[off:off + S, :Rp] = np.frombuffer(ref_b, np.uint8).reshape(S, Rp)
+                qb[off:off + S, :Qp] = np.frombuffer(q_b, np.uint8).reshape(S, Qp)
+                rl[off:off + S] = np.frombuffer(rl_b, np.int32)
+                ql[off:off + S] = np.frombuffer(ql_b, np.int32)
+                if use_quality:
+                    rq[off:off + S, :Rp] = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
+                    qq[off:off + S, :Qp] = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
+                parts.append((off, off + S))
+                off += S
+            steps = Rmax + Qmax
+            wire_ok = not use_quality and steps % 2 == 0 and steps < 256
+            if wire_ok:
+                rh = _kern_wire(
+                    _pack_wire(ref, qb, rl, ql), go, ge, Rmax, Qmax
+                )
+
+                def _fetch():
+                    w = jax.device_get(rh)
+                    o, c2 = _unpack_wire(np.asarray(w)[:S_tot], steps)
+                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+            else:
+                if use_quality:
+                    from ..align import MALDE_SCALE
+
+                    kgo, kge = go * MALDE_SCALE, ge * MALDE_SCALE
+                    rqa, qqa = rq, qq
+                else:
+                    kgo, kge = go, ge
+                    rqa = np.zeros((1, 1), np.int32)
+                    qqa = np.zeros((1, 1), np.int32)
+                rh = _kern(
+                    ref, qb, rl, ql, kgo, kge, rqa, qqa, use_quality,
+                    Rmax, Qmax,
+                )
+
+                def _fetch():
+                    o, c2 = jax.device_get(rh)
+                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+
+            ctxs[0]["stage_ns"] = (
+                ctxs[0].get("stage_ns", 0) + _time.perf_counter_ns() - t0
+            )
+            return parts, fetch_pool.submit(_fetch), steps
+
+        def _finish_deferred(ctx, agg_fut, lo, hi, steps):
+            t0 = _time.perf_counter_ns()
+            ops_all, cnt_all = agg_fut.result()
+            ctx["agg_fetch_ns"] = _time.perf_counter_ns() - t0
+            ctx["realn_override"] = (ops_all[lo:hi], cnt_all[lo:hi], steps)
+            return finish_realign(ctx)
 
         def _writer():
+            # Ordered drain with a DP-aggregation window: job results are
+            # payloads (emit-ready) or deferred ctxs (runs staged, realign
+            # pending).  Deferred ctxs accumulate until the window holds
+            # agg_target_runs (or agg_max_batches), then ONE aggregate
+            # kernel dispatch covers them and per-batch phase-2 jobs
+            # (slice + splice) go back to the pool.  out_q preserves
+            # submission order end to end; all shared mutation stays here.
+            import collections as _collections
+
+            out_q: _collections.deque = _collections.deque()
+            window: list = []  # (entry, ctx) pairs awaiting dispatch
+            window_runs = 0
+
+            def flush():
+                nonlocal window, window_runs
+                if not window:
+                    return
+                parts, agg_fut, steps = _dispatch_aggregate(
+                    [c for _, c in window]
+                )
+                for (entry, ctx), (lo, hi) in zip(window, parts):
+                    entry[1] = pool.submit(
+                        _finish_deferred, ctx, agg_fut, lo, hi, steps
+                    )
+                    entry[0] = "fut"
+                window = []
+                window_runs = 0
+
+            def drain(block: bool):
+                while out_q:
+                    kind, val = out_q[0]
+                    if kind == "done":
+                        emit(val)
+                        out_q.popleft()
+                    elif kind == "fut":
+                        if block or val.done():
+                            emit(val.result())
+                            out_q.popleft()
+                        else:
+                            return
+                    else:  # pending: needs a window flush first
+                        if not block:
+                            return
+                        flush()
+
             while True:
                 fut = job_q.get()
                 if fut is None:
+                    try:
+                        flush()
+                        drain(block=True)
+                    except BaseException as exc:  # noqa: BLE001
+                        worker_error.append(exc)
                     return
                 try:
-                    emit(fut.result())
+                    res = fut.result()
+                    if isinstance(res, tuple) and res and res[0] == "defer":
+                        ctx = res[1]
+                        entry = ["pending", ctx]
+                        out_q.append(entry)
+                        window.append((entry, ctx))
+                        window_runs += ctx["agg"][6]
+                        if (
+                            window_runs >= agg_target_runs
+                            or len(window) >= agg_max_batches
+                        ):
+                            flush()
+
+                    else:
+                        out_q.append(["done", res])
+                    drain(block=False)
+                    # a deferred head must not dam up completed payloads
+                    # behind it indefinitely (memory): force the window out
+                    # once a queue's worth of batches is waiting on it
+                    if (
+                        out_q
+                        and out_q[0][0] == "pending"
+                        and len(out_q) >= agg_max_batches
+                    ):
+                        flush()
+                        drain(block=False)
+                    if len(out_q) > 4 * agg_max_batches:
+                        flush()
+                        # hard cap: block on the head until the queue
+                        # shrinks (everything is dispatched at this point)
+                        while len(out_q) > 2 * agg_max_batches:
+                            kind, val = out_q.popleft()
+                            emit(val.result() if kind == "fut" else val)
                 except BaseException as exc:
                     worker_error.append(exc)
                     while True:

@@ -428,3 +428,118 @@ def test_fused_kernel_pallas_dp_branch_matches(msa_files, founder_seqs, monkeypa
         outs[flag] = out.getvalue()
     jax.clear_caches()
     assert outs["0"] == outs["1"]
+
+
+def test_fused_event_matches_gap_variant(msa_files, founder_seqs, monkeypatch):
+    """The fused v4 kernel (event-geometry rewrite + segment-space run
+    detection, ops/fused_event.py) must be byte-identical to the v3
+    gap-math variant, with the no-fallback device path actually engaged."""
+    import panvc3_tpu.ops.engine as eng
+
+    index_path, _, _ = msa_files
+    sam = _synthesise_indel_sam(founder_seqs, n_reads=120)
+    # the toy data's MSA-expanded runs exceed the production run pad of 16;
+    # raise it so the device DP path (not the host fallback) is compared
+    monkeypatch.setattr(eng.BatchProjector, "FUSED_RUN_PAD", 64)
+
+    calls = {"host_realign": 0}
+    orig_rs = eng.BatchProjector._realign_and_splice
+
+    def spy_rs(self, *a, **kw):
+        calls["host_realign"] += 1
+        return orig_rs(self, *a, **kw)
+
+    monkeypatch.setattr(eng.BatchProjector, "_realign_and_splice", spy_rs)
+
+    outs = {}
+    for ev in ("1", "0"):
+        monkeypatch.setenv("PANVC3_FUSED_EVENT", ev)
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine="device",
+            device_batch_size=64,
+            fused_kernel=True,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.realigned_range_count > 0
+        outs[ev] = out.getvalue()
+    assert calls["host_realign"] == 0  # device DP results were used
+    assert outs["1"] == outs["0"]
+
+
+def test_fused_event_overflow_redispatches_gap_variant(tmp_path, monkeypatch):
+    """A record overlapping more gap events than the event kernel's slots
+    must re-dispatch through the gap-math fused variant (the rewrite
+    outputs themselves are invalid on event overflow) and still match the
+    host engine byte for byte."""
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import ChrEntry, MsaIndex, SequenceEntry
+    import panvc3_tpu.ops.engine as eng
+
+    rng = np.random.default_rng(9)
+    n_cols = 1024
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n_cols)
+    ref_aligned = base.copy()
+    ref_aligned[7::8] = ord("-")  # a dst gap run every 8 columns
+    founder_aligned = base.copy()
+
+    index = MsaIndex()
+    ce = ChrEntry("test")
+    ce.sequence_entries = sorted(
+        [
+            SequenceEntry("REF", GapBitVector.from_gap_string(ref_aligned.tobytes())),
+            SequenceEntry("1", GapBitVector.from_gap_string(founder_aligned.tobytes())),
+        ],
+        key=lambda e: e.seq_id,
+    )
+    index.chr_entries.append(ce)
+    index.sort()
+    index_path = tmp_path / "msa.npz"
+    index.save(str(index_path))
+    ref_seq = ref_aligned.tobytes().replace(b"-", b"")
+    ref_path = tmp_path / "ref.fa"
+    ref_path.write_bytes(b">test\n" + ref_seq + b"\n")
+
+    founder = founder_aligned.tobytes()
+    lines = ["@HD\tVN:1.6", f"@SQ\tSN:test/1\tLN:{len(founder)}"]
+    # 100bp reads overlap ~12 gap events > GAP_SLOTS=8 -> event overflow;
+    # add an indel so realignment runs exist on the re-dispatched path
+    for i, pos in enumerate((10, 200, 400)):
+        seq = (founder[pos:pos + 50] + b"AC" + founder[pos + 53:pos + 103]).decode()
+        cig = "50=2I3D50="
+        lines.append(
+            f"r{i}\t0\ttest/1\t{pos + 1}\t60\t{cig}\t*\t0\t0\t{seq}\t{'I' * len(seq)}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    calls = {"gap": 0}
+    orig_fg = eng.BatchProjector._dispatch_fused_gap
+
+    def spy_fg(self, batch, n):
+        calls["gap"] += 1
+        return orig_fg(self, batch, n)
+
+    monkeypatch.setattr(eng.BatchProjector, "_dispatch_fused_gap", spy_fg)
+    monkeypatch.setattr(eng.BatchProjector, "FUSED_RUN_PAD", 64)
+
+    outs = {}
+    for engine, fused in (("host", False), ("device", True)):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(ref_path),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+            device_batch_size=64,
+            fused_kernel=fused,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 3
+        outs[engine] = out.getvalue()
+    assert calls["gap"] >= 1  # the event overflow re-dispatch fired
+    assert outs["host"] == outs["device"]

@@ -514,3 +514,54 @@ def test_cigar_seq_mismatch_rejected(msa_files, founder_seqs):
         msgs[engine] = str(ei.value)
     assert msgs["host"] == msgs["device"]
     assert "CIGAR consumes 100 query bases but SEQ has 30" in msgs["host"]
+
+
+@pytest.mark.parametrize("use_quality", [False, True])
+def test_fastlane_dp_aggregation_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch, use_quality
+):
+    """Cross-batch DP aggregation (the writer thread pools the deferred
+    realign runs of the in-flight window into one large dispatch) must not
+    change a single output byte vs per-batch dispatch.  PANVC3_HOST_DP=0
+    forces every batch onto the device lane so the deferral actually
+    engages; a tiny window cap exercises mid-stream flushes."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+    monkeypatch.setenv("PANVC3_HOST_DP", "0")
+    kw = dict(use_read_base_qualities=use_quality)
+
+    outs = {}
+    for agg, batches in (("0", "16"), ("1", "16"), ("1", "2")):
+        monkeypatch.setenv("PANVC3_DP_AGGREGATE", agg)
+        monkeypatch.setenv("PANVC3_DP_AGG_BATCHES", batches)
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True,
+            name=f"agg{agg}_{batches}_{use_quality}", **kw
+        )
+        assert stats.realigned_range_count > 0
+        outs[(agg, batches)] = (out, ranges)
+    assert outs[("1", "16")] == outs[("0", "16")]
+    assert outs[("1", "2")] == outs[("0", "16")]
+
+
+def test_fastlane_adaptive_lane_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """The realign lane choice (host C DP vs device kernel) is adaptive
+    when PANVC3_HOST_DP_CELLS is unset; all three modes — adaptive,
+    forced-host, forced-device — must produce identical bytes."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+
+    outs = {}
+    for name, cells in (("adaptive", None), ("device", "0"), ("host", str(10**15))):
+        if cells is None:
+            monkeypatch.delenv("PANVC3_HOST_DP_CELLS", raising=False)
+        else:
+            monkeypatch.setenv("PANVC3_HOST_DP_CELLS", cells)
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"lane_{name}"
+        )
+        assert stats.realigned_range_count > 0
+        outs[name] = (out, ranges)
+    assert outs["adaptive"] == outs["host"] == outs["device"]

@@ -112,6 +112,66 @@ def main() -> None:
             f"{batch_size * iters / best:,.0f} reads/s"
         )
 
+    # ---- fused v4 (event-geometry rewrite + segment-space run detection) --
+    from panvc3_tpu.ops.event_geometry import DeviceEventGeometry, EventGeometry
+    from panvc3_tpu.ops.fused_event import _fused_event_body
+
+    host_geo = EventGeometry(src_entries, dst_entries, ref_id_mapping)
+    geo = DeviceEventGeometry(host_geo)
+    rid = jax.device_put(np.asarray([rec.ref_id for rec in recs], np.int32))
+    n_units_dev = jax.device_put(np.asarray(batch.n_ref_units))
+
+    outs4 = _fused_event_body(
+        geo, ref_flat_dev, rid, dev[2], n_units_dev, dev[3], dev[4], dev[5],
+        dev[6], go, ge, R, BatchProjector.FUSED_RUN_PAD,
+        BatchProjector.FUSED_RUN_PAD, pool,
+    )
+    flags4 = jax.device_get(outs4[7])
+    print(f"[fused-bench] v4 flags {flags4.tolist()}", file=sys.stderr)
+
+    @partial(jax.jit, static_argnames=("n_iters", "stage"))
+    def fused_v4_loop(args, rid_, nu, n_iters, stage):
+        def body(i, carry):
+            acc, pos = carry
+            pos = pos.at[0].set(acc % 7)
+            o = _fused_event_body(
+                geo, ref_flat_dev, rid_, pos, nu, args[3], args[4], args[5],
+                args[6], go, ge, R, BatchProjector.FUSED_RUN_PAD,
+                BatchProjector.FUSED_RUN_PAD, pool, stage,
+            )
+            # depend on wire + realign outputs so nothing dead-codes away
+            acc = (
+                acc + o[7][2] + jnp.sum(o[0])
+                + jnp.sum(o[1]).astype(jnp.int32)
+                + jnp.sum(o[5]).astype(jnp.int32) + jnp.sum(o[6])
+            )
+            return acc, pos
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[2]))[0]
+
+    v4_names = {
+        0: "event slots", 1: "+wire pack", 2: "+boundaries", 3: "+rank sort",
+        4: "+seg decode", 5: "+tokens/runs", 6: "+compaction", 7: "+slices",
+        9: "full",
+    }
+    v4_stages = (
+        (0, 1, 2, 3, 4, 5, 6, 7, 9)
+        if len(sys.argv) > 3 and sys.argv[3] == "stages"
+        else (9,)
+    )
+    for stage in v4_stages:
+        jax.block_until_ready(fused_v4_loop(dev, rid, n_units_dev, iters, stage))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fused_v4_loop(dev, rid, n_units_dev, iters, stage))
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+        print(
+            f"[fused-bench] v4 stage {stage} ({v4_names[stage]}): "
+            f"{best / iters * 1e3:.2f} ms/iter "
+            f"{batch_size * iters / best:,.0f} reads/s"
+        )
+
 
 if __name__ == "__main__":
     main()
