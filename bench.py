@@ -263,6 +263,18 @@ def _run() -> None:
         )
     reads_per_s = best
 
+    # tool-level rows where the DEVICE engine is the chosen realign lane
+    # (realignment-heavy and -q workloads) + the measured host/device
+    # crossover (VERDICT r2 #3)
+    lanes = {}
+    try:
+        lanes = _device_lane_metrics(
+            index_path, ref_path, founders, src_entries, batch_size,
+            pipeline_depth,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] device-lane measurement failed: {exc}", file=sys.stderr)
+
     # kernel-side numbers with device-resident inputs: what the chip itself
     # sustains once the tunnel/host are out of the picture (VERDICT r1 asked
     # for exactly this split alongside the tunnel-bound tool number)
@@ -274,6 +286,14 @@ def _run() -> None:
     except Exception as exc:  # noqa: BLE001 — report the tool metric regardless
         print(f"[bench] kernel-side measurement failed: {exc}", file=sys.stderr)
 
+    # event-kernel rate at genome-representative table depth (~20 search
+    # steps; the toy tables above need few steps — VERDICT r2 #4)
+    deep = {}
+    try:
+        deep = _deep_table_metrics(batch_size)
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] deep-table measurement failed: {exc}", file=sys.stderr)
+
     result = {
         "metric": "projected_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -284,8 +304,210 @@ def _run() -> None:
         "baseline": {"reads_per_s": BASELINE_READS_PER_S, "kind": "estimate"},
         "tool_dp_cell_updates_per_s": round(tool_cells_per_s, 1),
     }
+    result.update(lanes)
     result.update(kernel)
+    result.update(deep)
     print(json.dumps(result))
+
+
+def _device_lane_metrics(
+    index_path, ref_path, founders, src_entries, batch_size, pipeline_depth
+):
+    """Tool-level reads/s + DP cells/s on workloads where the realign lane
+    is the device kernel, plus the measured host-DP/device crossover."""
+    import io
+    import math
+    import os
+
+    from panvc3_tpu.pipeline.project_alignments import (
+        ProjectConfig,
+        TagSpec,
+        run_project_alignments,
+    )
+
+    sams = {}
+
+    def heavy_sam(n):
+        if n not in sams:
+            sams[n] = _records_to_sam(
+                synthesise_heavy_records(founders, n), src_entries
+            )
+        return sams[n]
+
+    def run_once(tag, n, env=None, use_quality=False, repeats=3):
+        sam = heavy_sam(n)
+        saved = {}
+        for k, v in (env or {}).items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        try:
+            cfg = ProjectConfig(
+                msa_index_path=index_path,
+                reference_path=ref_path,
+                reference_msa_id="REF",
+                ref_id_separator="/",
+                tags=TagSpec(rec_idx="XI"),
+                engine="device",
+                device_batch_size=batch_size,
+                pipeline_depth=pipeline_depth,
+                use_read_base_qualities=use_quality,
+                status_output_interval=0,
+            )
+            run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)  # warm
+            best_rps = 0.0
+            best = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                stats = run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
+                dt = time.perf_counter() - t0
+                if n / dt > best_rps:
+                    best_rps = n / dt
+                    best = (stats, dt)
+            stats, dt = best
+            print(
+                f"[bench] {tag}: {n} reads in {dt:.2f}s "
+                f"({stats.realignment_cells} DP cells, "
+                f"realign {stats.realignment_time_ns / 1e6:.0f} ms)",
+                file=sys.stderr,
+            )
+            return best_rps, stats, dt
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    n_short = min(8, max(1, 65536 // batch_size)) * batch_size
+    n_long = 3 * n_short  # long enough for the adaptive lane to converge
+    rows = {}
+    dev = host = None
+    # the DEFAULT config: the adaptive controller picks the faster lane
+    # per batch (needs a few windows of feedback, hence the longer stream)
+    try:
+        a_rps, a_stats, a_dt = run_once(
+            "realign-heavy (adaptive)", n_long, repeats=2
+        )
+        rows["tool_realign_heavy_reads_per_s"] = round(a_rps, 1)
+        rows["tool_realign_heavy_dp_cells_per_s"] = round(
+            a_stats.realignment_cells / a_dt, 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] realign-heavy adaptive row failed: {exc}", file=sys.stderr)
+    try:
+        dev_rps, dev_stats, dev_dt = dev = run_once(
+            "realign-heavy (device lane forced)", n_short,
+            env={"PANVC3_HOST_DP_CELLS": "0"},
+        )
+        rows["tool_realign_heavy_device_lane_reads_per_s"] = round(dev_rps, 1)
+        rows["tool_realign_heavy_device_lane_dp_cells_per_s"] = round(
+            dev_stats.realignment_cells / dev_dt, 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] realign-heavy device row failed: {exc}", file=sys.stderr)
+    try:
+        host_rps, host_stats, host_dt = host = run_once(
+            "realign-heavy (host lane forced)", n_short,
+            env={"PANVC3_HOST_DP_CELLS": str(10**15)},
+        )
+        rows["tool_realign_heavy_host_lane_reads_per_s"] = round(host_rps, 1)
+        rows["tool_realign_heavy_host_lane_dp_cells_per_s"] = round(
+            host_stats.realignment_cells / host_dt, 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] realign-heavy host row failed: {exc}", file=sys.stderr)
+    try:
+        q_rps, q_stats, q_dt = run_once(
+            "realign-heavy -q (adaptive)", n_short, use_quality=True, repeats=2
+        )
+        rows["tool_q_reads_per_s"] = round(q_rps, 1)
+        rows["tool_q_dp_cells_per_s"] = round(
+            q_stats.realignment_cells / q_dt, 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] -q row failed: {exc}", file=sys.stderr)
+
+    # crossover: cells where host C DP time == device per-batch realign
+    # cost (both from the forced runs — stage+fetch wall per batch vs
+    # measured host ns/cell)
+    if dev and host and host[1].realignment_cells and host[1].realignment_time_ns:
+        host_ns_cell = (
+            host[1].realignment_time_ns / host[1].realignment_cells
+        )
+        dev_batch_ns = dev[1].realignment_time_ns / math.ceil(
+            n_short / batch_size
+        )
+        rows["host_dp_crossover_cells"] = round(dev_batch_ns / host_ns_cell, 1)
+    return rows
+
+
+def _deep_table_metrics(batch_size):
+    """Event-kernel rate against tables of genome-representative depth:
+    >=1M difference events per (src, dst) pair, ~20 fixed-trip binary
+    search steps (the toy tables above converge in a few)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import SequenceEntry
+    from panvc3_tpu.ops.event_geometry import DeviceEventGeometry, EventGeometry
+
+    rng = np.random.default_rng(11)
+    n_cols = 1 << 26  # 64M aligned columns
+    src_bits = (rng.random(n_cols) < 0.015).astype(np.uint8)
+    dst_bits = (rng.random(n_cols) < 0.015).astype(np.uint8)
+    src_bits[0] = dst_bits[0] = 0
+    src = SequenceEntry("F", GapBitVector.from_bits(src_bits))
+    dst = SequenceEntry("REF", GapBitVector.from_bits(dst_bits))
+    host_geo = EventGeometry([src], [dst], [0])
+    geo = DeviceEventGeometry(host_geo)
+    pe = host_geo.events[0]
+    n_events = int(len(pe.gap_start) + len(pe.del_b))
+    steps = max(
+        int(np.ceil(np.log2(geo.max_gap + 1))) + 1,
+        int(np.ceil(np.log2(geo.max_del + 1))) + 1,
+    )
+    print(
+        f"[bench] deep tables: {n_events} events/pair, {steps} search steps",
+        file=sys.stderr,
+    )
+
+    B = batch_size
+    R = 128
+    pos = rng.integers(0, src.gaps.n_zeros - 256, B).astype(np.int32)
+    nu = np.full(B, 100, np.int32)
+    rid = np.zeros(B, np.int32)
+    ev_kern = jax.jit(geo.kernel_wire, static_argnames=("R",))
+    rid_d, pos_d, nu_d = (
+        jax.device_put(rid), jax.device_put(pos), jax.device_put(nu)
+    )
+
+    iters = 20
+
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def loop(rid_, pos_, nu_, n_iters):
+        def body(i, carry):
+            acc, p = carry
+            p = p.at[0].set(acc % 7)
+            wire, overflow = ev_kern(rid_, p, nu_, R)
+            return acc + wire[0, 0].astype(jnp.int32) + overflow, p
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), pos_))[0]
+
+    jax.block_until_ready(loop(rid_d, pos_d, nu_d, iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(rid_d, pos_d, nu_d, iters))
+    dt = time.perf_counter() - t0
+    print(
+        f"[bench] deep event rewrite: {iters}x{B} reads in {dt:.2f}s",
+        file=sys.stderr,
+    )
+    return {
+        "kernel_event_rewrite_reads_per_s_deep": round(B * iters / dt, 1),
+        "event_table_events_per_pair": n_events,
+        "event_table_search_steps": steps,
+    }
 
 
 def _kernel_metrics(
@@ -353,6 +575,49 @@ def _kernel_metrics(
     ref_flat_dev = bp.ref_flat_dev
     dev_index = bp.index  # force the lazy table build outside the trace
 
+    # the engine's default fused path is v4 (event-geometry rewrite +
+    # segment-space run detection, ops/fused_event.py); the v3 gap-math
+    # kernel is reported alongside as its overflow fallback
+    from panvc3_tpu.ops.event_geometry import DeviceEventGeometry, EventGeometry
+    from panvc3_tpu.ops.fused_event import _fused_event_body
+
+    geo = DeviceEventGeometry(
+        EventGeometry(src_entries, dst_entries, ref_id_mapping)
+    )
+    rid_dev0 = jax.device_put(
+        np.asarray([rec.ref_id for rec in recs], np.int32)
+    )
+    n_units_dev0 = jax.device_put(np.asarray(batch.n_ref_units))
+
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def fused_v4_loop(args, rid_, nu, n_iters):
+        def body(i, carry):
+            acc, pos = carry
+            pos = pos.at[0].set(acc % 7)
+            o = _fused_event_body(
+                geo, ref_flat_dev, rid_, pos, nu, args[3], args[4], args[5],
+                args[6], go, ge, R, BatchProjector.FUSED_RUN_PAD,
+                BatchProjector.FUSED_RUN_PAD, pool,
+            )
+            acc = (
+                acc + o[7][2] + jnp.sum(o[0])
+                + jnp.sum(o[1]).astype(jnp.int32)
+                + jnp.sum(o[5]).astype(jnp.int32) + jnp.sum(o[6])
+            )
+            return acc, pos
+        return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[2]))[0]
+
+    jax.block_until_ready(fused_v4_loop(dev, rid_dev0, n_units_dev0, iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fused_v4_loop(dev, rid_dev0, n_units_dev0, iters))
+    dt = time.perf_counter() - t0
+    kernel_reads_per_s = len(recs) * iters / dt
+    print(
+        f"[bench] fused v4 kernel: {iters}x{len(recs)} device-resident reads "
+        f"in {dt:.2f}s (single dispatch)",
+        file=sys.stderr,
+    )
+
     @partial(jax.jit, static_argnames=("n_iters",))
     def fused_loop(args, n_iters):
         def body(i, carry):
@@ -370,10 +635,10 @@ def _kernel_metrics(
     t0 = time.perf_counter()
     jax.block_until_ready(fused_loop(dev, iters))
     dt = time.perf_counter() - t0
-    kernel_reads_per_s = len(recs) * iters / dt
+    kernel_reads_per_s_gapmath = len(recs) * iters / dt
     print(
-        f"[bench] fused kernel: {iters}x{len(recs)} device-resident reads "
-        f"in {dt:.2f}s (single dispatch)",
+        f"[bench] fused v3 (gap-math) kernel: {iters}x{len(recs)} "
+        f"device-resident reads in {dt:.2f}s (single dispatch)",
         file=sys.stderr,
     )
 
@@ -512,6 +777,7 @@ def _kernel_metrics(
     return {
         "kernel_dp_cell_updates_per_s_131k": round(cells2 * iters / dt2, 1),
         "kernel_reads_per_s": round(kernel_reads_per_s, 1),
+        "kernel_reads_per_s_gapmath": round(kernel_reads_per_s_gapmath, 1),
         "kernel_rewrite_reads_per_s": round(kernel_rewrite_reads_per_s, 1),
         "kernel_event_rewrite_reads_per_s": round(
             kernel_event_rewrite_reads_per_s, 1

@@ -56,16 +56,28 @@ def _substitution_scores(ref, query, ref_qual, query_qual, use_quality):
     The quality path gathers the host-precomputed quantised Malde tables
     (align.malde_tables): every score is a small integer (x MALDE_SCALE),
     so the float32 fill is exact and byte-identical to the float64 host
-    oracle — the gap costs arrive pre-scaled by the same factor."""
+    oracle — the gap costs arrive pre-scaled by the same factor.
+
+    ``ref_qual=None`` means "reference qualities pinned to phred42 max"
+    (the reference ALWAYS does this, alignment_projector.cc:108) — callers
+    then ship no ref-quality array at all, and ``query_qual`` may be uint8
+    (4x fewer wire bytes than int32; cast here).  Padded cells may score
+    differently than with an explicit 0-padded array, but they are masked
+    by the m/n lengths and never reach the traceback."""
     eq = query[:, :, None] == ref[:, None, :]
     if not use_quality:
         return jnp.where(eq, 0.0, -1.0).astype(jnp.float32)
     from ..align import malde_tables
+    from ..alphabet import PHRED42_MAX
 
     mt, xt = malde_tables()
     mtj = jnp.asarray(mt, dtype=jnp.float32)
     xtj = jnp.asarray(xt, dtype=jnp.float32)
-    idx = ref_qual[:, None, :] * mt.shape[1] + query_qual[:, :, None]
+    qq = query_qual[:, :, None].astype(jnp.int32)
+    if ref_qual is None:
+        idx = jnp.int32(PHRED42_MAX) * mt.shape[1] + qq  # (B, Q, 1)
+    else:
+        idx = ref_qual[:, None, :].astype(jnp.int32) * mt.shape[1] + qq
     match_s = jnp.take(mtj.reshape(-1), idx)
     mismatch_s = jnp.take(xtj.reshape(-1), idx)
     return jnp.where(eq, match_s, mismatch_s)
@@ -288,13 +300,18 @@ def realign_device_kernel(
     query_len: jnp.ndarray,  # int32[B]
     go: jnp.ndarray,         # float32 scalar
     ge: jnp.ndarray,         # float32 scalar
-    ref_qual: jnp.ndarray,   # int32[B, R]
-    query_qual: jnp.ndarray,  # int32[B, Q]
+    ref_qual: jnp.ndarray | None,   # int32[B, R], or None = phred42 max
+    query_qual: jnp.ndarray,        # int (any width)[B, Q]
     use_quality: bool,
     R: int,
     Q: int,
 ):
-    if _use_fused_pallas():
+    # the quality path ships a precomputed (Q, R, TILE_B) f32 sub tile into
+    # VMEM; past 64x64 run pads that tile alone busts the ~16 MB scoped
+    # VMEM budget (measured OOM at 128x128), so big -q shapes stay on the
+    # XLA scans (bit-identical)
+    pallas_ok = _use_fused_pallas() and (not use_quality or R * Q <= 4096)
+    if pallas_ok:
         from .realign_pallas_fused import realign_fused_pallas
 
         sub = (

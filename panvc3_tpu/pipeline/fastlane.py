@@ -576,8 +576,13 @@ def run_fast(
                 )
             else:
                 if use_quality:
-                    rq = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
-                    qq = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
+                    # ref quals are pinned to phred42 max (the reference's
+                    # rule) — rq=None skips the array entirely; query quals
+                    # ship as u8 (4x fewer tunnel bytes than the staged i32)
+                    rq = None
+                    qq = np.frombuffer(qq_b, np.int32).reshape(S, Qp).astype(
+                        np.uint8
+                    )
                 else:
                     # dead at trace time when quality scoring is off —
                     # ship 4-byte dummies, not (S, Rp) zero blocks
@@ -827,15 +832,16 @@ def run_fast(
             qb = np.zeros((S_b, Qmax), np.uint8)
             rl = np.zeros(S_b, np.int32)
             ql = np.zeros(S_b, np.int32)
-            rq = qq = None
+            qq = None
             if use_quality:
                 if Rmax + Qmax > 5461:
                     raise ValueError(
                         "quality-scored realignment run too long for the "
                         f"exact quantised path (R+Q={Rmax + Qmax})"
                     )
-                rq = np.zeros((S_b, Rmax), np.int32)
-                qq = np.zeros((S_b, Qmax), np.int32)
+                # ref quals are phred42-max by the reference's rule (rq=None
+                # in the kernel); query quals ship as u8
+                qq = np.zeros((S_b, Qmax), np.uint8)
             parts = []
             off = 0
             for c in ctxs:
@@ -845,8 +851,9 @@ def run_fast(
                 rl[off:off + S] = np.frombuffer(rl_b, np.int32)
                 ql[off:off + S] = np.frombuffer(ql_b, np.int32)
                 if use_quality:
-                    rq[off:off + S, :Rp] = np.frombuffer(rq_b, np.int32).reshape(S, Rp)
-                    qq[off:off + S, :Qp] = np.frombuffer(qq_b, np.int32).reshape(S, Qp)
+                    qq[off:off + S, :Qp] = np.frombuffer(
+                        qq_b, np.int32
+                    ).reshape(S, Qp).astype(np.uint8)
                 parts.append((off, off + S))
                 off += S
             steps = Rmax + Qmax
@@ -865,7 +872,7 @@ def run_fast(
                     from ..align import MALDE_SCALE
 
                     kgo, kge = go * MALDE_SCALE, ge * MALDE_SCALE
-                    rqa, qqa = rq, qq
+                    rqa, qqa = None, qq
                 else:
                     kgo, kge = go, ge
                     rqa = np.zeros((1, 1), np.int32)
