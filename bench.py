@@ -469,8 +469,14 @@ def _deep_table_metrics(batch_size):
         int(np.ceil(np.log2(geo.max_gap + 1))) + 1,
         int(np.ceil(np.log2(geo.max_del + 1))) + 1,
     )
+    # the rank-bucket index replaces the full-range search at this depth
+    # (2 bucket gathers + log2(occupancy) steps)
+    eff_steps = (
+        geo.bucket_steps + 2 if geo.bucket_steps + 2 < steps else steps
+    )
     print(
-        f"[bench] deep tables: {n_events} events/pair, {steps} search steps",
+        f"[bench] deep tables: {n_events} events/pair, {steps} search steps "
+        f"({eff_steps} effective with the bucket index)",
         file=sys.stderr,
     )
 
@@ -507,6 +513,7 @@ def _deep_table_metrics(batch_size):
         "kernel_event_rewrite_reads_per_s_deep": round(B * iters / dt, 1),
         "event_table_events_per_pair": n_events,
         "event_table_search_steps": steps,
+        "event_table_effective_steps": eff_steps,
     }
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 
 from ..bitvec import GapBitVector
@@ -231,6 +233,56 @@ class DeviceEventGeometry:
         self.base_gap_start = ge_n
         self.base_del_b = ge_n + gs_n
 
+        # Two-level search: a direct-mapped rank-bucket index per (pair,
+        # table) narrows every binary search to one bucket, cutting the
+        # serialized gather rounds from ~log2(events/pair) (21 at genome
+        # depth) to ~log2(bucket occupancy) (~7).  bucket j of pair p holds
+        # the first table index with value >= j << BUCKET_SHIFT; query q
+        # searches [bucket[q>>S], bucket[q>>S + 1]].  Memory: one int32 per
+        # 2^BUCKET_SHIFT source ranks per table (~2.3 MB/Gbp/pair).
+        self.BUCKET_SHIFT = 12
+        S = self.BUCKET_SHIFT
+        tab_host = np.asarray(self.search_tab)
+        go_h = np.asarray(self.gap_off)
+        do_h = np.asarray(self.del_off)
+        bucket_parts = []
+        bucket_off = [0]
+        max_occ = 0
+        n_pairs = len(go_h) - 1
+        for p in range(n_pairs):
+            nz = int(nzeros[p])
+            nb = (max(nz + 1, 1) >> S) + 1
+            thresholds = np.arange(nb + 1, dtype=np.int64) << S
+            row_parts = []
+            for base, off in (
+                (self.base_gap_end, go_h),
+                (self.base_gap_start, go_h),
+                (self.base_del_b, do_h),
+            ):
+                lo = base + int(off[p])
+                hi = base + int(off[p + 1])
+                vals = tab_host[lo:hi]
+                bs = lo + np.searchsorted(vals, thresholds, side="left")
+                occ = int(np.max(np.diff(bs), initial=0))
+                max_occ = max(max_occ, occ)
+                row_parts.append(bs.astype(np.int32))
+            # layout per pair: [gap_end | gap_start | del_b] bucket rows,
+            # each nb+1 entries (3*(nb+1) per pair block)
+            bucket_parts.append(np.concatenate(row_parts))
+            bucket_off.append(bucket_off[-1] + 3 * (nb + 1))
+        self.bucket_tab = jnp.asarray(
+            np.concatenate(bucket_parts)
+            if bucket_parts
+            else np.zeros(1, np.int32)
+        )
+        self.bucket_off = jnp.asarray(np.asarray(bucket_off, np.int32))
+        # per-pair bucket-row length (nb+1) for clamping and for addressing
+        # the three table rows within a pair's block
+        self.bucket_row = jnp.asarray(
+            np.asarray(np.diff(bucket_off) // 3, np.int32)
+        )
+        self.bucket_steps = max(1, int(np.ceil(np.log2(max_occ + 1))) + 1)
+
     def slots(self, ref_ids, pos, n_units, R: int):
         """Jittable: decode the record-relative event slots.
 
@@ -283,16 +335,36 @@ class DeviceEventGeometry:
         bgs = self.base_gap_start
         bdb = self.base_del_b
         steps = max(gsteps, dsteps)
-        q_lo = jnp.stack([
-            g_lo0, g_lo0 + bgs, d_lo + bdb,
-            g_lo0, g_lo0 + bgs, d_lo + bdb, d_lo + bdb,
-        ])
-        q_hi = jnp.stack([
-            g_hi0, g_hi0 + bgs, d_hi + bdb,
-            g_hi0, g_hi0 + bgs, d_hi + bdb, d_hi + bdb,
-        ])
         q_val = jnp.stack([u, u, u + 1, p, p + n, p + 1, p + n])
-        res = searchsorted(self.search_tab, q_lo, q_hi, q_val, steps)
+        if (
+            self.bucket_steps + 2 < steps
+            and os.environ.get("PANVC3_EVENT_BUCKETS") != "0"
+        ):
+            # two-level: the rank-bucket index narrows each search window
+            # to one bucket (two extra gather rounds buy ~log2(events) -
+            # ~log2(occupancy) fewer loop steps — 21 -> ~9 at genome depth)
+            Sh = self.BUCKET_SHIFT
+            base_p = self.bucket_off[ref_ids][None, :]
+            row_len = self.bucket_row[ref_ids][None, :]
+            # table row per query: gap_end=0, gap_start=1, del_b=2
+            r_t = jnp.asarray([0, 1, 2, 0, 1, 2, 2], jnp.int32)[:, None]
+            j = jnp.clip(q_val >> Sh, 0, row_len - 2)
+            slot = base_p + r_t * row_len + j
+            lo_b = self.bucket_tab[slot]
+            hi_b = self.bucket_tab[slot + 1]
+            res = searchsorted(
+                self.search_tab, lo_b, hi_b, q_val, self.bucket_steps
+            )
+        else:
+            q_lo = jnp.stack([
+                g_lo0, g_lo0 + bgs, d_lo + bdb,
+                g_lo0, g_lo0 + bgs, d_lo + bdb, d_lo + bdb,
+            ])
+            q_hi = jnp.stack([
+                g_hi0, g_hi0 + bgs, d_hi + bdb,
+                g_hi0, g_hi0 + bgs, d_hi + bdb, d_hi + bdb,
+            ])
+            res = searchsorted(self.search_tab, q_lo, q_hi, q_val, steps)
         ju = res[0]
         iu = res[1] - bgs
         jd = res[2] - bdb

@@ -36,6 +36,13 @@ _PROF = os.environ.get("PANVC3_FASTLANE_PROF") == "1"
 # dispatch (helps on directly attached TPUs; blocks on the axon tunnel)
 _D2H_PREFETCH = os.environ.get("PANVC3_D2H_PREFETCH") == "1"
 
+# Adaptive realign-lane state (host C DP ns/cell vs device per-batch
+# realign cost EMAs), process-global: these describe the hardware/link,
+# so every run in the process shares and refines them.  Priors reproduce
+# the historical 4e6-cell threshold until measurements arrive.
+_ADAPT = {"host_ns_cell": 4.0, "dev_ns_batch": 16e6}
+_ADAPT_LOCK = __import__("threading").Lock()
+
 
 def fastlane_eligible(cfg, reader, writer, mesh, batch_engine=None) -> bool:
     """The fast lane covers the default tool configuration (now including
@@ -172,8 +179,8 @@ def run_fast(
     # real measurements arrive.
     _hdc_env = os.environ.get("PANVC3_HOST_DP_CELLS")
     host_dp_cells = int(_hdc_env) if _hdc_env else None
-    adapt = {"host_ns_cell": 4.0, "dev_ns_batch": 16e6}
-    adapt_lock = __import__("threading").Lock()
+    adapt = _ADAPT  # process-global: the EMAs describe the hardware, not
+    adapt_lock = _ADAPT_LOCK  # the run — later runs keep what was learned
 
     # Cross-batch DP aggregation (threaded drain only): batches whose runs
     # go to the DEVICE kernel defer the dispatch; the writer thread pools

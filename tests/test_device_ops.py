@@ -769,3 +769,59 @@ def test_fused_pallas_wire_path_matches(monkeypatch):
         )
     jax.clear_caches()
     assert np.array_equal(outs["0"], outs["1"])
+
+
+def test_event_bucket_search_matches_host_oracle(monkeypatch):
+    """The two-level rank-bucket search (deep event tables) must reproduce
+    the host event oracle exactly, on a pair dense enough that the bucket
+    branch actually activates.  (Bucket-vs-full-search equality was also
+    verified directly; the full-range search compiles pathologically
+    slowly on XLA CPU at this table depth, so CI compares against the
+    oracle instead.)"""
+    import jax
+
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import SequenceEntry
+    from panvc3_tpu.ops.event_geometry import (
+        DeviceEventGeometry,
+        EventGeometry,
+    )
+
+    rng = np.random.default_rng(23)
+    n_cols = 400_000
+    src_bits = (rng.random(n_cols) < 0.02).astype(np.uint8)
+    dst_bits = (rng.random(n_cols) < 0.02).astype(np.uint8)
+    src_bits[0] = dst_bits[0] = 0
+    src = SequenceEntry("F", GapBitVector.from_bits(src_bits))
+    dst = SequenceEntry("REF", GapBitVector.from_bits(dst_bits))
+    host = EventGeometry([src], [dst], [0])
+    geo = DeviceEventGeometry(host)
+    # table deep enough that bucketing engages (else the test is vacuous)
+    assert geo.bucket_steps + 2 < max(
+        int(np.ceil(np.log2(geo.max_gap + 1))) + 1,
+        int(np.ceil(np.log2(geo.max_del + 1))) + 1,
+    )
+
+    monkeypatch.delenv("PANVC3_EVENT_BUCKETS", raising=False)
+    B, R = 256, 128
+    ref_ids = np.zeros(B, np.int32)
+    pos = rng.integers(0, src.gaps.n_zeros - 200, B).astype(np.int32)
+    # hit the clamp paths too
+    pos[:2] = [0, src.gaps.n_zeros - 130]
+    n_units = rng.integers(0, 101, B).astype(np.int32)
+
+    got = [
+        np.asarray(x)
+        for x in jax.jit(geo.kernel, static_argnames=("R",))(
+            ref_ids, pos, n_units, R
+        )
+    ]
+    assert int(got[5]) == 0, "unexpected event-slot overflow"
+    want = host.batch(ref_ids, pos, n_units, R, 8)
+    assert int(want[5]) == 0
+    for g, w, name in zip(
+        got[:5],
+        (want[0], want[1], want[2], want[3], want[4]),
+        ("dst_pos", "gapbits", "d_vals", "d_pos", "d_n"),
+    ):
+        np.testing.assert_array_equal(g, w, err_msg=name)
