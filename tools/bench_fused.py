@@ -67,15 +67,17 @@ def main() -> None:
     ref_flat_dev = bp.ref_flat_dev
     dev_index = bp.index
 
-    # wire-identity check: one plain call, hash all outputs
-    out = fused_projection_kernel(
-        dev_index, ref_flat_dev, *dev, go, ge, R, U,
-        BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD, pool,
-    )
-    h = hashlib.sha256()
-    for arr in jax.device_get(out):
-        h.update(np.ascontiguousarray(arr).tobytes())
-    print(f"[fused-bench] output sha256 {h.hexdigest()[:16]}", file=sys.stderr)
+    mode_early = sys.argv[3] if len(sys.argv) > 3 else ""
+    if not (mode_early.startswith("v4") and mode_early != "v4"):
+        # wire-identity check: one plain call, hash all outputs
+        out = fused_projection_kernel(
+            dev_index, ref_flat_dev, *dev, go, ge, R, U,
+            BatchProjector.FUSED_RUN_PAD, BatchProjector.FUSED_RUN_PAD, pool,
+        )
+        h = hashlib.sha256()
+        for arr in jax.device_get(out):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        print(f"[fused-bench] output sha256 {h.hexdigest()[:16]}", file=sys.stderr)
 
     @partial(jax.jit, static_argnames=("n_iters", "stage"))
     def fused_loop(args, n_iters, stage):
@@ -90,8 +92,10 @@ def main() -> None:
             return acc + o[5][2], query
         return jax.lax.fori_loop(0, n_iters, body, (jnp.int32(0), args[6]))[0]
 
+    mode = sys.argv[3] if len(sys.argv) > 3 else ""
     stages = (
-        (0, 1, 2, 3, 4, 5) if len(sys.argv) > 3 and sys.argv[3] == "stages"
+        (0, 1, 2, 3, 4, 5) if mode == "stages"
+        else () if mode.startswith("v4")
         else (5,)
     )
     names = {
@@ -155,7 +159,10 @@ def main() -> None:
     }
     v4_stages = (
         (0, 1, 2, 3, 4, 5, 6, 7, 9)
-        if len(sys.argv) > 3 and sys.argv[3] == "stages"
+        if mode == "stages"
+        else (0, 3, 5, 7, 9) if mode == "v4stages"
+        else (1, 6, 7, 9) if mode == "v4b"
+        else tuple(int(s) for s in mode[3:].split(",")) if mode.startswith("v4:")
         else (9,)
     )
     for stage in v4_stages:
@@ -169,7 +176,8 @@ def main() -> None:
         print(
             f"[fused-bench] v4 stage {stage} ({v4_names[stage]}): "
             f"{best / iters * 1e3:.2f} ms/iter "
-            f"{batch_size * iters / best:,.0f} reads/s"
+            f"{batch_size * iters / best:,.0f} reads/s",
+            flush=True,
         )
 
 
