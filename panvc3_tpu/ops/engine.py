@@ -267,9 +267,14 @@ class BatchProjector:
             # event-slot-overflow fallback and the PANVC3_FUSED_EVENT=0 path.
             # The u8 wire needs R <= 255; the boundary-rank matrix is
             # O(ops^2) per record, so pathological op counts use v3 too.
+            # u8 wire needs R <= 255; the boundary-rank matrix is O(ops^2)
+            # per record; the compaction packs record ids / query coords
+            # into 16-bit scatter-lane fields
             use_event = (
                 batch.pad_ref_units <= 255
                 and batch.ops.shape[1] <= 32
+                and len(records) < 65536
+                and batch.query.shape[1] < 65536
                 and os.environ.get("PANVC3_FUSED_EVENT") != "0"
             )
             if use_event:

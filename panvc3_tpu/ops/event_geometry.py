@@ -410,14 +410,23 @@ class DeviceEventGeometry:
 
     def pack_isgap(self, a, b, R: int):
         """Little-endian per-record gap bitmask u8[B, R/8] from the clipped
-        gap-run slot bounds (the wire format of ``_gap_math_packed``)."""
+        gap-run slot bounds (the wire format of ``_gap_math_packed``).
+
+        Interval paint as scatter-delta + prefix sum (two B x GAP_SLOTS
+        scatters + one (B, R) cumsum) instead of the (B, GAP_SLOTS, R)
+        one-hot compare — ~8x fewer element ops at R=128."""
         import jax.numpy as jnp
 
         B = a.shape[0]
-        r = jnp.arange(R, dtype=jnp.int32)[None, None, :]
-        isgap = jnp.any(
-            (r >= a[:, :, None]) & (r <= b[:, :, None]), axis=1
+        valid = a <= b
+        one = jnp.where(valid, 1, 0)
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        paint = (
+            jnp.zeros((B, R + 1), jnp.int32)
+            .at[bidx, jnp.clip(a, 0, R)].add(one)
+            .at[bidx, jnp.clip(b + 1, 0, R)].add(-one)
         )
+        isgap = jnp.cumsum(paint[:, :R], axis=1) > 0
         bits = isgap.astype(jnp.uint8).reshape(B, R // 8, 8)
         weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
         return jnp.sum(bits * weights, axis=2).astype(jnp.uint8)

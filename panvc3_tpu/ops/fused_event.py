@@ -305,24 +305,50 @@ def _fused_event_body(
                     run_query_len)
 
     # ---- stage 4: compact runs into a global slot pool --------------------
-    flat_report = report.reshape(-1)
-    gslot_incl = jnp.cumsum(flat_report.astype(jnp.int32))
-    total_runs = gslot_incl[-1]
-    gslot = gslot_incl - 1
+    # Slot indices come from a per-record (B, T) cumsum + a (B,)-long
+    # record-offset prefix — NOT one flat (B*T) cumsum, whose single long
+    # sequential axis this backend lowers pathologically (measured ~11 ms
+    # of a 22 ms dispatch; same class as the cummax note in CLAUDE.md).
+    rep_i = report.astype(jnp.int32)
+    row_incl = jnp.cumsum(rep_i, axis=1)
+    row_counts = row_incl[:, -1]
+    rec_off = jnp.cumsum(row_counts) - row_counts  # (B,) exclusive
+    total_runs = rec_off[-1] + row_counts[-1]
+    gslot = rec_off[:, None] + row_incl - 1
     pool_overflow = jnp.where(total_runs > slot_pool, 1, 0).astype(jnp.int32)
+
+    # breaks sit only on main-lane tokens (D-lane tokens are I/D by
+    # construction) and the final synthetic column, so the scatters run
+    # over that (B, NB+1) sub-lattice — 1/2 the elements — and two 16-bit
+    # fields share each lane (bounds: incl_ref/incl_query < 2**16 via the
+    # R <= 255 event constraint and the engine's Lq/B < 2**16 guards)
+    def main_lane(buf):
+        return jnp.concatenate([buf[:, 1::2], buf[:, -1:]], axis=1)
+
+    m_report = main_lane(report)
+    m_gslot = main_lane(gslot)
     scatter_idx = jnp.where(
-        flat_report, jnp.clip(gslot, 0, slot_pool - 1), slot_pool
+        m_report, jnp.clip(m_gslot, 0, slot_pool - 1), slot_pool
+    ).reshape(-1)
+
+    rec_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    vals = jnp.stack(
+        [
+            main_lane(run_start_ref),
+            main_lane((run_ref_len << 16) | rec_b),
+            main_lane((run_start_query << 16) | run_query_len),
+        ],
+        axis=2,
+    ).reshape(-1, 3)
+    compacted = (
+        jnp.zeros((slot_pool, 3), jnp.int32)
+        .at[scatter_idx].set(vals, mode="drop")
     )
-
-    def compact(buf):
-        out = jnp.zeros(slot_pool, jnp.int32)
-        return out.at[scatter_idx].set(buf.reshape(-1), mode="drop")
-
-    c_sr = compact(run_start_ref)
-    c_rl = compact(run_ref_len)
-    c_sq = compact(run_start_query)
-    c_ql = compact(run_query_len)
-    c_rec = compact(jnp.broadcast_to(jnp.arange(B)[:, None], (B, T)))
+    c_sr = compacted[:, 0]
+    c_rl = compacted[:, 1] >> 16
+    c_rec = compacted[:, 1] & 0xFFFF
+    c_sq = compacted[:, 2] >> 16
+    c_ql = compacted[:, 2] & 0xFFFF
 
     if _stage == 6:  # run compaction
         return _cut(c_sr, c_rl, c_sq, c_ql, c_rec, total_runs)

@@ -543,3 +543,76 @@ def test_fused_event_overflow_redispatches_gap_variant(tmp_path, monkeypatch):
         outs[engine] = out.getvalue()
     assert calls["gap"] >= 1  # the event overflow re-dispatch fired
     assert outs["host"] == outs["device"]
+
+
+def test_fused_event_clip_and_passthrough_ops(msa_files, founder_seqs, monkeypatch):
+    """Fused v4's segment machinery must handle pass-through ops (S/H/P/I)
+    interleaved with ref ops — clips around indel runs, hard clips at the
+    edges, padding ops mid-run — byte-identically to the host engine."""
+    import panvc3_tpu.ops.engine as eng
+
+    index_path, _, _ = msa_files
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    rng = np.random.default_rng(31)
+    lines = ["@HD\tVN:1.6"]
+    for sid, fs in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(fs)}")
+    names = [s for s in stripped if s != "REF"]
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(80):
+        sid = names[int(rng.integers(len(names)))]
+        s = stripped[sid]
+        pos = int(rng.integers(0, len(s) - 160))
+        kind = i % 5
+        if kind == 0:  # soft clips both ends around an I+D run
+            sc1, sc2 = int(rng.integers(1, 8)), int(rng.integers(1, 8))
+            clip1 = rng.choice(bases, sc1).tobytes()
+            clip2 = rng.choice(bases, sc2).tobytes()
+            ins = rng.choice(bases, 3).tobytes()
+            seq = clip1 + s[pos:pos + 30] + ins + s[pos + 33:pos + 63] + clip2
+            cigar = f"{sc1}S30=3I3D30={sc2}S"
+        elif kind == 1:  # hard clips (consume nothing)
+            ins = rng.choice(bases, 2).tobytes()
+            seq = s[pos:pos + 25] + ins + s[pos + 29:pos + 54]
+            cigar = "4H25=2I4D25=6H"
+        elif kind == 2:  # padding op inside the indel run (P breaks runs)
+            ins = rng.choice(bases, 2).tobytes()
+            seq = s[pos:pos + 25] + ins + s[pos + 27:pos + 52]
+            cigar = "25=2I1P2D25="
+        elif kind == 3:  # leading soft clip + pure match
+            sc = int(rng.integers(1, 10))
+            clip = rng.choice(bases, sc).tobytes()
+            seq = clip + s[pos:pos + 60]
+            cigar = f"{sc}S60="
+        else:  # two separate runs in one read
+            ins1 = rng.choice(bases, 2).tobytes()
+            ins2 = rng.choice(bases, 3).tobytes()
+            seq = (
+                s[pos:pos + 20] + ins1 + s[pos + 22:pos + 42]
+                + ins2 + s[pos + 46:pos + 66]
+            )
+            cigar = "20=2I2D20=3I4D20="
+        q = seq.decode()
+        qual = "I" * len(q)
+        lines.append(
+            f"c{i}\t0\ttest/{sid}\t{pos + 1}\t60\t{cigar}\t*\t0\t0\t{q}\t{qual}"
+        )
+    sam = ("\n".join(lines) + "\n").encode()
+
+    monkeypatch.setattr(eng.BatchProjector, "FUSED_RUN_PAD", 64)
+    outs = {}
+    for engine, fused in (("host", False), ("device", True)):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+            device_batch_size=32,
+            fused_kernel=fused,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 80
+        outs[engine] = out.getvalue()
+    assert outs["host"] == outs["device"]

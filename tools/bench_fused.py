@@ -125,13 +125,17 @@ def main() -> None:
     rid = jax.device_put(np.asarray([rec.ref_id for rec in recs], np.int32))
     n_units_dev = jax.device_put(np.asarray(batch.n_ref_units))
 
-    outs4 = _fused_event_body(
-        geo, ref_flat_dev, rid, dev[2], n_units_dev, dev[3], dev[4], dev[5],
-        dev[6], go, ge, R, BatchProjector.FUSED_RUN_PAD,
-        BatchProjector.FUSED_RUN_PAD, pool,
+    _v4_jit = jax.jit(
+        partial(_fused_event_body, geo),
+        static_argnames=("R", "run_r", "run_q", "slot_pool", "_stage"),
+    )
+    outs4 = _v4_jit(
+        ref_flat_dev, rid, dev[2], n_units_dev, dev[3], dev[4], dev[5],
+        dev[6], go, ge, R=R, run_r=BatchProjector.FUSED_RUN_PAD,
+        run_q=BatchProjector.FUSED_RUN_PAD, slot_pool=pool,
     )
     flags4 = jax.device_get(outs4[7])
-    print(f"[fused-bench] v4 flags {flags4.tolist()}", file=sys.stderr)
+    print(f"[fused-bench] v4 flags {flags4.tolist()}", file=sys.stderr, flush=True)
 
     @partial(jax.jit, static_argnames=("n_iters", "stage"))
     def fused_v4_loop(args, rid_, nu, n_iters, stage):
