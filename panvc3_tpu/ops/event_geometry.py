@@ -195,7 +195,7 @@ class DeviceEventGeometry:
                 else np.zeros(0, np.int64)
             )
             # one sentinel so fixed-trip searches can clamp safely
-            return jnp.asarray(np.r_[a, np.int32(2**31 - 1)].astype(np.int32))
+            return np.r_[a, np.int32(2**31 - 1)].astype(np.int32)
 
         def catsum(parts):
             # global cumulative sums; per-pair values are differences
@@ -205,8 +205,11 @@ class DeviceEventGeometry:
                 if parts
                 else np.zeros(0, np.int64)
             )
-            return jnp.asarray(np.r_[np.int64(0), np.cumsum(a)].astype(np.int32))
+            return np.r_[np.int64(0), np.cumsum(a)].astype(np.int32)
 
+        # host copies: the kernel never gathers these individually (every
+        # device lookup goes through the fused tables below), so they stay
+        # off HBM
         self.gap_start = cat(gs_parts)
         self.gap_end = cat(ge_parts)
         self.del_b = cat(db_parts)
@@ -215,9 +218,6 @@ class DeviceEventGeometry:
             [pe_ge - pe_gs + 1 for pe_gs, pe_ge in zip(gs_parts, ge_parts)]
         )
         self.del_clen = catsum(dl_parts)
-        self.gap_off = jnp.asarray(np.asarray(gap_off, np.int32))
-        self.del_off = jnp.asarray(np.asarray(del_off, np.int32))
-        self.nzeros = jnp.asarray(np.asarray(nzeros, np.int32))
         self.max_gap = int(np.max(np.diff(gap_off), initial=0))
         self.max_del = int(np.max(np.diff(del_off), initial=0))
         # one concatenated search table so the kernel's seven independent
@@ -226,8 +226,8 @@ class DeviceEventGeometry:
         # dominant cost — so 7 searches -> 1 cuts the rounds ~7x)
         ge_n = int(self.gap_end.shape[0])
         gs_n = int(self.gap_start.shape[0])
-        self.search_tab = jnp.concatenate(
-            [self.gap_end, self.gap_start, self.del_b]
+        self.search_tab = jnp.asarray(
+            np.concatenate([self.gap_end, self.gap_start, self.del_b])
         )
         self.base_gap_end = 0
         self.base_gap_start = ge_n
@@ -239,12 +239,31 @@ class DeviceEventGeometry:
         # depth) to ~log2(bucket occupancy) (~7).  bucket j of pair p holds
         # the first table index with value >= j << BUCKET_SHIFT; query q
         # searches [bucket[q>>S], bucket[q>>S + 1]].  Memory: one int32 per
-        # 2^BUCKET_SHIFT source ranks per table (~2.3 MB/Gbp/pair).
-        self.BUCKET_SHIFT = 12
-        S = self.BUCKET_SHIFT
+        # 2^BUCKET_SHIFT source ranks per table (S auto-tunes below so the
+        # index stays ~1.5 bytes/event; PANVC3_EVENT_BUCKET_SHIFT overrides).
         tab_host = np.asarray(self.search_tab)
-        go_h = np.asarray(self.gap_off)
-        do_h = np.asarray(self.del_off)
+        go_h = np.asarray(gap_off, np.int64)
+        do_h = np.asarray(del_off, np.int64)
+        n_pairs_s = len(go_h) - 1
+        env_s = os.environ.get("PANVC3_EVENT_BUCKET_SHIFT")
+        if env_s:
+            S = max(1, int(env_s))
+        else:
+            # Width so the densest pair averages ~8 events/bucket (~5-step
+            # in-bucket searches); the index then costs ~1.5 bytes/event
+            # (~10% of the event tables).  Clamped to [6, 12]: sparser
+            # tables gain nothing from more buckets, and the kernel falls
+            # back to plain binary search when buckets cannot beat it.
+            S = 12
+            for pp in range(n_pairs_s):
+                ev_n = max(
+                    int(go_h[pp + 1] - go_h[pp]),
+                    int(do_h[pp + 1] - do_h[pp]),
+                    1,
+                )
+                nz_p = max(int(nzeros[pp]), 1)
+                S = min(S, max(6, int(np.log2(max(8 * nz_p // ev_n, 1)))))
+        self.BUCKET_SHIFT = S
         bucket_parts = []
         bucket_off = [0]
         max_occ = 0
@@ -275,13 +294,41 @@ class DeviceEventGeometry:
             if bucket_parts
             else np.zeros(1, np.int32)
         )
-        self.bucket_off = jnp.asarray(np.asarray(bucket_off, np.int32))
-        # per-pair bucket-row length (nb+1) for clamping and for addressing
-        # the three table rows within a pair's block
-        self.bucket_row = jnp.asarray(
-            np.asarray(np.diff(bucket_off) // 3, np.int32)
-        )
         self.bucket_steps = max(1, int(np.ceil(np.log2(max_occ + 1))) + 1)
+
+        # ---- fused gather tables --------------------------------------
+        # The kernel's cost is serialized gather ROUNDS, not bytes: every
+        # per-pair scalar rides ONE metadata gather, and every post-search
+        # lookup (slot decodes, straddle, prefix sums) rides ONE gather
+        # over an interleaved table — 16 gather ops -> 3 (+ search steps).
+        meta = np.stack(
+            [
+                np.asarray(gap_off[:-1], np.int32),   # 0: g_lo0
+                np.asarray(gap_off[1:], np.int32),    # 1: g_hi0
+                np.asarray(del_off[:-1], np.int32),   # 2: d_lo
+                np.asarray(del_off[1:], np.int32),    # 3: d_hi
+                np.asarray(nzeros, np.int32),         # 4: n_zeros
+                np.asarray(bucket_off[:-1], np.int32),  # 5: bucket base
+                np.asarray(np.diff(bucket_off) // 3, np.int32),  # 6: row len
+            ]
+        )
+        self.meta_tab = jnp.asarray(meta)
+
+        # interleaved post-search table:
+        #   [gs0 ge0 gs1 ge1 ... | db0 dl0 db1 dl1 ... | gap_clen | del_clen]
+        # so each gap/del slot decodes with adjacent indices of one gather
+        ndel = int(self.del_b.shape[0])
+        slot_np = np.empty(2 * (ge_n + ndel), np.int32)
+        slot_np[0 : 2 * ge_n : 2] = self.gap_start
+        slot_np[1 : 2 * ge_n : 2] = self.gap_end
+        self.base_del_il = 2 * ge_n
+        slot_np[self.base_del_il :: 2] = self.del_b
+        slot_np[self.base_del_il + 1 :: 2] = self.del_len
+        self.base_gap_clen = len(slot_np)
+        self.base_del_clen = self.base_gap_clen + len(self.gap_clen)
+        self.post_tab = jnp.asarray(
+            np.concatenate([slot_np, self.gap_clen, self.del_clen])
+        )
 
     def slots(self, ref_ids, pos, n_units, R: int):
         """Jittable: decode the record-relative event slots.
@@ -317,14 +364,14 @@ class DeviceEventGeometry:
 
         gsteps = max(1, int(np.ceil(np.log2(self.max_gap + 1))) + 1)
         dsteps = max(1, int(np.ceil(np.log2(self.max_del + 1))) + 1)
-        g_lo0 = self.gap_off[ref_ids]
-        g_hi0 = self.gap_off[ref_ids + 1]
-        d_lo = self.del_off[ref_ids]
-        d_hi = self.del_off[ref_ids + 1]
+        # every per-pair scalar in ONE gather (rounds, not bytes, are the
+        # kernel's cost — see the fused-table note in __init__)
+        meta = self.meta_tab[:, ref_ids]                       # (7, B)
+        g_lo0, g_hi0, d_lo, d_hi = meta[0], meta[1], meta[2], meta[3]
 
         # initial = u - G(u) + D(u) over the event prefix sums (see
         # project_unit); no rank/select tables involved.
-        u = jnp.clip(p, 0, jnp.maximum(self.nzeros[ref_ids] - 1, 0))
+        u = jnp.clip(p, 0, jnp.maximum(meta[4] - 1, 0))
 
         # The seven searches are independent, so they run as ONE fixed-trip
         # loop over (7, B) stacked queries against the concatenated table:
@@ -344,16 +391,15 @@ class DeviceEventGeometry:
             # to one bucket (two extra gather rounds buy ~log2(events) -
             # ~log2(occupancy) fewer loop steps — 21 -> ~9 at genome depth)
             Sh = self.BUCKET_SHIFT
-            base_p = self.bucket_off[ref_ids][None, :]
-            row_len = self.bucket_row[ref_ids][None, :]
+            base_p = meta[5][None, :]
+            row_len = meta[6][None, :]
             # table row per query: gap_end=0, gap_start=1, del_b=2
             r_t = jnp.asarray([0, 1, 2, 0, 1, 2, 2], jnp.int32)[:, None]
             j = jnp.clip(q_val >> Sh, 0, row_len - 2)
             slot = base_p + r_t * row_len + j
-            lo_b = self.bucket_tab[slot]
-            hi_b = self.bucket_tab[slot + 1]
+            bt = self.bucket_tab[jnp.stack([slot, slot + 1])]  # one gather
             res = searchsorted(
-                self.search_tab, lo_b, hi_b, q_val, self.bucket_steps
+                self.search_tab, bt[0], bt[1], q_val, self.bucket_steps
             )
         else:
             q_lo = jnp.stack([
@@ -373,34 +419,51 @@ class DeviceEventGeometry:
         dlo = res[5] - bdb
         dhi = res[6] - bdb
 
-        straddle = jnp.where(
-            iu > ju,
-            u - self.gap_start[jnp.clip(ju, 0, self.gap_start.shape[0] - 1)],
-            0,
+        gcnt = jnp.maximum(hi - lo, 0)
+        dcnt = jnp.maximum(dhi - dlo, 0)
+
+        # every post-search lookup in ONE gather over the interleaved table
+        KG = self.GAP_SLOTS
+        K = D_SPARSE_SLOTS
+        kk = jnp.arange(KG, dtype=jnp.int32)[None, :]
+        dk = jnp.arange(K, dtype=jnp.int32)[None, :]
+        ev = 2 * jnp.clip(lo[:, None] + kk, 0, self.gap_start.shape[0] - 1)
+        dev = self.base_del_il + 2 * jnp.clip(
+            dlo[:, None] + dk, 0, self.del_b.shape[0] - 1
         )
-        g_cov = self.gap_clen[ju] - self.gap_clen[g_lo0] + straddle
-        d_cov = self.del_clen[jd] - self.del_clen[d_lo]
+        ju_c = 2 * jnp.clip(ju, 0, self.gap_start.shape[0] - 1)
+        bgc = self.base_gap_clen
+        bdc = self.base_del_clen
+        post_idx = jnp.concatenate(
+            [
+                ev, ev + 1, dev, dev + 1,
+                ju_c[:, None],
+                (bgc + ju)[:, None], (bgc + g_lo0)[:, None],
+                (bdc + jd)[:, None], (bdc + d_lo)[:, None],
+            ],
+            axis=1,
+        )
+        vals = self.post_tab[post_idx]            # (B, 2KG + 2K + 5)
+        gs_v = vals[:, :KG]
+        ge_v = vals[:, KG : 2 * KG]
+        db_v = vals[:, 2 * KG : 2 * KG + K]
+        dl_v = vals[:, 2 * KG + K : 2 * KG + 2 * K]
+        c0 = 2 * KG + 2 * K
+
+        straddle = jnp.where(iu > ju, u - vals[:, c0], 0)
+        g_cov = vals[:, c0 + 1] - vals[:, c0 + 2] + straddle
+        d_cov = vals[:, c0 + 3] - vals[:, c0 + 4]
         initial = (u - g_cov + d_cov).astype(jnp.int32)
 
-        gcnt = jnp.maximum(hi - lo, 0)
-
-        KG = self.GAP_SLOTS
-        kk = jnp.arange(KG, dtype=jnp.int32)[None, :]
-        ev = jnp.clip(lo[:, None] + kk, 0, self.gap_start.shape[0] - 1)
         ev_valid = kk < gcnt[:, None]
-        a = jnp.where(ev_valid, self.gap_start[ev] - p[:, None], R)
-        b = jnp.where(ev_valid, self.gap_end[ev] - p[:, None], -1)
+        a = jnp.where(ev_valid, gs_v - p[:, None], R)
+        b = jnp.where(ev_valid, ge_v - p[:, None], -1)
         a = jnp.maximum(a, 0)
         b = jnp.minimum(b, n[:, None] - 1)
 
-        dcnt = jnp.maximum(dhi - dlo, 0)
-
-        K = D_SPARSE_SLOTS
-        dk = jnp.arange(K, dtype=jnp.int32)[None, :]
-        dev = jnp.clip(dlo[:, None] + dk, 0, self.del_b.shape[0] - 1)
         dvalid = dk < dcnt[:, None]
-        d_pos_i = jnp.where(dvalid, self.del_b[dev] - p[:, None], 0)
-        d_len_i = jnp.where(dvalid, self.del_len[dev], 0)
+        d_pos_i = jnp.where(dvalid, db_v - p[:, None], 0)
+        d_len_i = jnp.where(dvalid, dl_v, 0)
 
         overflow = (
             jnp.sum(jnp.where(gcnt > KG, 1, 0))
