@@ -28,6 +28,24 @@ def normalise_dna5(seq: str | bytes) -> bytes:
     return DNA5_NORMALISE[arr].tobytes()
 
 
+def dna5_normalise_device(x):
+    """Traced-array DNA5_NORMALISE: identical to the table for every byte
+    value (uppercase, U->T, other->N) but pure elementwise vector ops —
+    a 256-entry table gather serializes per element on TPU
+    (tests/test_device_ops.py asserts equality over all 256 inputs)."""
+    import jax.numpy as jnp
+
+    up = x & jnp.uint8(0xDF)
+    up = jnp.where(up == jnp.uint8(ord("U")), jnp.uint8(ord("T")), up)
+    is_acgt = (
+        (up == jnp.uint8(ord("A")))
+        | (up == jnp.uint8(ord("C")))
+        | (up == jnp.uint8(ord("G")))
+        | (up == jnp.uint8(ord("T")))
+    )
+    return jnp.where(is_acgt, up, jnp.uint8(ord("N")))
+
+
 # -- phred ------------------------------------------------------------------
 PHRED42_MAX = 41  # seqan3::phred42 stores phred scores 0..41
 PHRED_OFFSET = 33  # SAM QUAL encoding offset

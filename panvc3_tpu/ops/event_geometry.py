@@ -249,9 +249,10 @@ class DeviceEventGeometry:
         if env_s:
             S = max(1, int(env_s))
         else:
-            # Width so the densest pair averages ~8 events/bucket (~5-step
-            # in-bucket searches); the index then costs ~1.5 bytes/event
-            # (~10% of the event tables).  Clamped to [6, 12]: sparser
+            # Width so the densest pair averages ~2 events/bucket (~2-3
+            # step in-bucket searches; each step costs lanes x B gather
+            # elements).  The index then costs ~6 bytes/event — small next
+            # to the ~8 bytes/event tables.  Clamped to [6, 12]: sparser
             # tables gain nothing from more buckets, and the kernel falls
             # back to plain binary search when buckets cannot beat it.
             S = 12
@@ -262,7 +263,7 @@ class DeviceEventGeometry:
                     1,
                 )
                 nz_p = max(int(nzeros[pp]), 1)
-                S = min(S, max(6, int(np.log2(max(8 * nz_p // ev_n, 1)))))
+                S = min(S, max(6, int(np.log2(max(2 * nz_p // ev_n, 1)))))
         self.BUCKET_SHIFT = S
         bucket_parts = []
         bucket_off = [0]
@@ -301,6 +302,26 @@ class DeviceEventGeometry:
         # per-pair scalar rides ONE metadata gather, and every post-search
         # lookup (slot decodes, straddle, prefix sums) rides ONE gather
         # over an interleaved table — 16 gather ops -> 3 (+ search steps).
+        # rows 7/8 let the kernel drop the ju/jd search lanes (see slots():
+        # they equal lo/dlo except at clamped positions, where the answer
+        # is a per-pair constant)
+        go_i = np.asarray(gap_off, np.int64)
+        do_i = np.asarray(del_off, np.int64)
+        last_ge = np.where(
+            go_i[1:] > go_i[:-1],
+            self.gap_end[np.maximum(go_i[1:] - 1, 0)],
+            np.int32(-1),
+        ).astype(np.int32)
+        first_db = np.where(
+            do_i[1:] > do_i[:-1],
+            self.del_b[np.minimum(do_i[:-1], max(len(self.del_b) - 1, 0))],
+            np.int32(-1),
+        ).astype(np.int32)
+        last_db = np.where(
+            do_i[1:] > do_i[:-1],
+            self.del_b[np.maximum(do_i[1:] - 1, 0)],
+            np.int32(-1),
+        ).astype(np.int32)
         meta = np.stack(
             [
                 np.asarray(gap_off[:-1], np.int32),   # 0: g_lo0
@@ -310,6 +331,9 @@ class DeviceEventGeometry:
                 np.asarray(nzeros, np.int32),         # 4: n_zeros
                 np.asarray(bucket_off[:-1], np.int32),  # 5: bucket base
                 np.asarray(np.diff(bucket_off) // 3, np.int32),  # 6: row len
+                last_ge,                              # 7: pair's last gap_end
+                first_db,                             # 8: pair's first del_b
+                last_db,                              # 9: pair's last del_b
             ]
         )
         self.meta_tab = jnp.asarray(meta)
@@ -329,22 +353,69 @@ class DeviceEventGeometry:
         self.post_tab = jnp.asarray(
             np.concatenate([slot_np, self.gap_clen, self.del_clen])
         )
+        self._gap_off_np = go_i
+        self._del_off_np = do_i
+        self._eff_cache: dict[int, tuple[int, int]] = {}
+
+    def effective_slots(self, R: int) -> tuple[int, int]:
+        """Tight per-geometry slot widths for records spanning <= R units.
+
+        Real MSAs are sparse (one indel site per ~100 bp), so a record
+        window overlaps 1-3 events, not the worst-case 8 — and every slot
+        lane costs a serialized gather element PER RECORD (~10 ns on this
+        backend, tools/bench_prims.py).  The bound is exact: for a window
+        whose first overlapped gap event is i, the overlap count is at
+        most searchsorted(gap_start, gap_end[i] + R) - i (window width
+        <= R, events sorted); deletions likewise over del_b.  Records can
+        therefore never overflow the effective widths, which are clamped
+        to the wire-format maxima GAP_SLOTS/DEL_SLOTS."""
+        hit = self._eff_cache.get(R)
+        if hit is not None:
+            return hit
+        kg = kd = 1
+        go, do = self._gap_off_np, self._del_off_np
+        for pp in range(len(go) - 1):
+            gs = self.gap_start[go[pp] : go[pp + 1]]
+            ge = self.gap_end[go[pp] : go[pp + 1]]
+            if len(gs):
+                kg = max(
+                    kg,
+                    int(
+                        np.max(
+                            np.searchsorted(gs, ge.astype(np.int64) + R)
+                            - np.arange(len(gs))
+                        )
+                    ),
+                )
+            db = self.del_b[do[pp] : do[pp + 1]]
+            if len(db):
+                kd = max(
+                    kd,
+                    int(
+                        np.max(
+                            np.searchsorted(db, db.astype(np.int64) + R)
+                            - np.arange(len(db))
+                        )
+                    ),
+                )
+        out = (min(kg, self.GAP_SLOTS), min(kd, self.DEL_SLOTS))
+        self._eff_cache[R] = out
+        return out
 
     def slots(self, ref_ids, pos, n_units, R: int):
         """Jittable: decode the record-relative event slots.
 
         Returns ``(initial, a, b, gcnt, d_rel, d_len, dcnt, overflow)``:
-        ``a``/``b`` int32[B, GAP_SLOTS] record-relative ref-rank bounds of
-        the overlapping dst-gap runs (clipped to [0, n-1]; invalid slots
-        a=R, b=-1), ``d_rel``/``d_len`` int32[B, DEL_SLOTS] record-relative
-        deletion boundaries in [1, n-1] and their dst-base counts (invalid
-        slots zero).  ``overflow`` counts records whose events exceed the
-        slot bounds — their slot decodes are truncated and the caller must
-        fall back (the wire packers additionally count u8 width overruns).
+        ``a``/``b`` int32[B, kg] record-relative ref-rank bounds of the
+        overlapping dst-gap runs (clipped to [0, n-1]; invalid slots a=R,
+        b=-1), ``d_rel``/``d_len`` int32[B, kd] record-relative deletion
+        boundaries in [1, n-1] and their dst-base counts (invalid slots
+        zero); (kg, kd) = ``effective_slots(R)`` <= the wire maxima.
+        ``overflow`` counts records whose events exceed the slot bounds —
+        their slot decodes are truncated and the caller must fall back
+        (the wire packers additionally count u8 width overruns).
         """
         import jax.numpy as jnp
-
-        from .rewrite_batch import D_SPARSE_SLOTS
 
         def searchsorted(table, off_lo, off_hi, value, steps):
             # first index in [off_lo, off_hi) with table[i] >= value
@@ -373,16 +444,29 @@ class DeviceEventGeometry:
         # project_unit); no rank/select tables involved.
         u = jnp.clip(p, 0, jnp.maximum(meta[4] - 1, 0))
 
-        # The seven searches are independent, so they run as ONE fixed-trip
-        # loop over (7, B) stacked queries against the concatenated table:
-        # each loop step is a serialized small gather round (the kernel's
-        # dominant cost), so this cuts the rounds ~7x.  Indices are exactly
-        # those of the per-table searches (each sub-table keeps its own
-        # sentinel; converged lanes are fixed points of extra steps).
+        # The searches are independent, so they run as ONE fixed-trip loop
+        # over stacked queries against the concatenated table: search cost
+        # on this backend is per gathered ELEMENT, so fewer lanes is the
+        # lever.  Only FOUR searches are needed — the initial-position
+        # searches derive from them:
+        #   ju (gap_end >= u):  equals lo when 0 <= p < nz (u == p) and
+        #     when p < 0 (both reduce to g_lo0: all values >= 0); at
+        #     p >= nz, u = nz-1 and gap_end is strictly increasing and
+        #     <= nz-1, so ju = g_hi0 - [pair's last gap_end == nz-1]
+        #     (meta row 7, -1 for empty pairs);
+        #   jd (del_b >= u+1):  equals dlo when 0 <= p < nz; at p < 0,
+        #     u+1 = 1 and jd = d_lo + [pair's first del_b == 0] (meta
+        #     row 8, del_b strictly increasing); at p >= nz, u+1 = nz and
+        #     del_b <= nz, so jd = d_hi - [pair's last del_b == nz]
+        #     (meta row 9);
+        #   iu (gap_start >= u) is only ever used for the straddle test
+        #     iu > ju, which (runs disjoint, gap_start increasing) is
+        #     exactly gap_start[ju] < u — and gap_start[ju] is already a
+        #     lane of the post-search gather.
         bgs = self.base_gap_start
         bdb = self.base_del_b
         steps = max(gsteps, dsteps)
-        q_val = jnp.stack([u, u, u + 1, p, p + n, p + 1, p + n])
+        q_val = jnp.stack([p, p + n, p + 1, p + n])
         if (
             self.bucket_steps + 2 < steps
             and os.environ.get("PANVC3_EVENT_BUCKETS") != "0"
@@ -394,7 +478,7 @@ class DeviceEventGeometry:
             base_p = meta[5][None, :]
             row_len = meta[6][None, :]
             # table row per query: gap_end=0, gap_start=1, del_b=2
-            r_t = jnp.asarray([0, 1, 2, 0, 1, 2, 2], jnp.int32)[:, None]
+            r_t = jnp.asarray([0, 1, 2, 2], jnp.int32)[:, None]
             j = jnp.clip(q_val >> Sh, 0, row_len - 2)
             slot = base_p + r_t * row_len + j
             bt = self.bucket_tab[jnp.stack([slot, slot + 1])]  # one gather
@@ -402,29 +486,36 @@ class DeviceEventGeometry:
                 self.search_tab, bt[0], bt[1], q_val, self.bucket_steps
             )
         else:
-            q_lo = jnp.stack([
-                g_lo0, g_lo0 + bgs, d_lo + bdb,
-                g_lo0, g_lo0 + bgs, d_lo + bdb, d_lo + bdb,
-            ])
-            q_hi = jnp.stack([
-                g_hi0, g_hi0 + bgs, d_hi + bdb,
-                g_hi0, g_hi0 + bgs, d_hi + bdb, d_hi + bdb,
-            ])
+            q_lo = jnp.stack([g_lo0, g_lo0 + bgs, d_lo + bdb, d_lo + bdb])
+            q_hi = jnp.stack([g_hi0, g_hi0 + bgs, d_hi + bdb, d_hi + bdb])
             res = searchsorted(self.search_tab, q_lo, q_hi, q_val, steps)
-        ju = res[0]
-        iu = res[1] - bgs
-        jd = res[2] - bdb
-        lo = res[3]
-        hi = res[4] - bgs
-        dlo = res[5] - bdb
-        dhi = res[6] - bdb
+        lo = res[0]
+        hi = res[1] - bgs
+        dlo = res[2] - bdb
+        dhi = res[3] - bdb
+        # meta rows 7-9 are -1 for empty tables, so the == compares below
+        # are safely false there (nz - 1 = -1 only with an empty gap table)
+        over_end = p > jnp.maximum(meta[4] - 1, 0)
+        ju = jnp.where(
+            over_end,
+            g_hi0
+            - jnp.where((meta[7] == meta[4] - 1) & (g_hi0 > g_lo0), 1, 0),
+            lo,
+        )
+        jd = jnp.where(
+            over_end,
+            # u+1 = nz there (nz = 0 keeps u+1 = 1 > any del_b <= 0)
+            d_hi - jnp.where((meta[9] == meta[4]) & (meta[4] >= 1), 1, 0),
+            jnp.where(p >= 0, dlo, d_lo + jnp.where(meta[8] == 0, 1, 0)),
+        )
 
         gcnt = jnp.maximum(hi - lo, 0)
         dcnt = jnp.maximum(dhi - dlo, 0)
 
-        # every post-search lookup in ONE gather over the interleaved table
-        KG = self.GAP_SLOTS
-        K = D_SPARSE_SLOTS
+        # every post-search lookup in ONE gather over the interleaved
+        # table, over the geometry's EFFECTIVE slot widths (usually 1-3,
+        # not the wire-format 8 — see effective_slots)
+        KG, K = self.effective_slots(R)
         kk = jnp.arange(KG, dtype=jnp.int32)[None, :]
         dk = jnp.arange(K, dtype=jnp.int32)[None, :]
         ev = 2 * jnp.clip(lo[:, None] + kk, 0, self.gap_start.shape[0] - 1)
@@ -450,7 +541,10 @@ class DeviceEventGeometry:
         dl_v = vals[:, 2 * KG + K : 2 * KG + 2 * K]
         c0 = 2 * KG + 2 * K
 
-        straddle = jnp.where(iu > ju, u - vals[:, c0], 0)
+        # iu > ju  <=>  gap_start[ju] < u (see the lane-derivation note)
+        straddle = jnp.where(
+            (ju < g_hi0), jnp.maximum(u - vals[:, c0], 0), 0
+        )
         g_cov = vals[:, c0 + 1] - vals[:, c0 + 2] + straddle
         d_cov = vals[:, c0 + 3] - vals[:, c0 + 4]
         initial = (u - g_cov + d_cov).astype(jnp.int32)
@@ -475,21 +569,18 @@ class DeviceEventGeometry:
         """Little-endian per-record gap bitmask u8[B, R/8] from the clipped
         gap-run slot bounds (the wire format of ``_gap_math_packed``).
 
-        Interval paint as scatter-delta + prefix sum (two B x GAP_SLOTS
-        scatters + one (B, R) cumsum) instead of the (B, GAP_SLOTS, R)
-        one-hot compare — ~8x fewer element ops at R=128."""
+        Interval paint as a (B, slots, R) one-hot compare + any-reduce:
+        pure VPU work at ~0.09 ns/element, vs ~11 ns/element for the
+        scatter-delta formulation's two (B, slots) scatters (this backend
+        serializes scatters per element — tools/bench_prims.py), which
+        flips the old "fewer element ops" reasoning on its head."""
         import jax.numpy as jnp
 
         B = a.shape[0]
-        valid = a <= b
-        one = jnp.where(valid, 1, 0)
-        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-        paint = (
-            jnp.zeros((B, R + 1), jnp.int32)
-            .at[bidx, jnp.clip(a, 0, R)].add(one)
-            .at[bidx, jnp.clip(b + 1, 0, R)].add(-one)
+        r = jnp.arange(R, dtype=jnp.int32)[None, None, :]
+        isgap = jnp.any(
+            (a[:, :, None] <= r) & (r <= b[:, :, None]), axis=1
         )
-        isgap = jnp.cumsum(paint[:, :R], axis=1) > 0
         bits = isgap.astype(jnp.uint8).reshape(B, R // 8, 8)
         weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, None, :]
         return jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
@@ -501,12 +592,20 @@ class DeviceEventGeometry:
         (callers fall back to the gap kernel on overflow)."""
         import jax.numpy as jnp
 
+        from .rewrite_batch import D_SPARSE_SLOTS
+
         initial, a, b, gcnt, d_pos_i, d_len_i, dcnt, ov_slots = self.slots(
             ref_ids, pos, n_units, R
         )
         gapbits = self.pack_isgap(a, b, R)
-        d_vals = jnp.minimum(d_len_i, 255).astype(jnp.uint8)
-        d_pos = jnp.minimum(d_pos_i, 255).astype(jnp.uint8)
+        # zero-pad the effective slot widths back to the fixed wire width
+        wpad = D_SPARSE_SLOTS - d_len_i.shape[1]
+        d_vals = jnp.pad(
+            jnp.minimum(d_len_i, 255).astype(jnp.uint8), ((0, 0), (0, wpad))
+        )
+        d_pos = jnp.pad(
+            jnp.minimum(d_pos_i, 255).astype(jnp.uint8), ((0, 0), (0, wpad))
+        )
         d_n8 = jnp.minimum(dcnt, 255).astype(jnp.uint8)
 
         overflow = (

@@ -41,13 +41,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..alphabet import DNA5_NORMALISE
+from ..alphabet import dna5_normalise_device
 from ..cigar import D, EQ, H, I, N, P, S, X
 from .rank_select import DeviceGapIndex
 from .realign_batch import _traceback_batch, _use_fused_pallas, fill_dispatch
 from .rewrite_batch import CODE_NONE, _IS_REF_OP, expand_by_delta, rewrite_math
 
-_DNA5_LUT = jnp.asarray(DNA5_NORMALISE)
 
 # emitted-op classification tables (codes 0..15; emitted stream contains
 # D/I/EQ/X from ref units and I/S/H/P pass-through ops)
@@ -231,7 +230,9 @@ def fused_projection_kernel(
         out = jnp.zeros(slot_pool, jnp.int32)
         return out.at[scatter_idx].set(buf.reshape(-1), mode="drop")
 
-    c_sr = compact(run_start_ref)
+    # fold the per-record reference offset in here: c_sr then indexes
+    # ref_flat directly, dropping the ref_off[c_rec] gather round
+    c_sr = compact(run_start_ref + ref_off[:, None])
     c_rl = compact(run_ref_len)
     c_sq = compact(run_start_query)
     c_ql = compact(run_query_len)
@@ -248,8 +249,10 @@ def fused_projection_kernel(
         jnp.where((c_rl > run_r) | (c_ql > run_q), 1, 0)
     ).astype(jnp.int32)
 
-    ref_idx = ref_off[c_rec][:, None] + c_sr[:, None] + rr
-    ref_slice = _DNA5_LUT[ref_flat[jnp.clip(ref_idx, 0, ref_flat.shape[0] - 1)]]
+    ref_idx = c_sr[:, None] + rr
+    ref_slice = dna5_normalise_device(
+        ref_flat[jnp.clip(ref_idx, 0, ref_flat.shape[0] - 1)]
+    )
     ref_slice = jnp.where(rr < ref_len[:, None], ref_slice, 0)
 
     q_idx = jnp.clip(c_sq[:, None] + rq, 0, query.shape[1] - 1)

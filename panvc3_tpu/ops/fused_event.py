@@ -49,13 +49,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..alphabet import DNA5_NORMALISE
+from ..alphabet import dna5_normalise_device
 from ..cigar import D, EQ, I
 from .fused import _CONS_QUERY, _CONS_REF, _prefix_max_i
 from .realign_batch import _traceback_batch, _use_fused_pallas, fill_dispatch
 from .rewrite_batch import CODE_NONE, _IS_MTYPE_OP, _IS_REF_OP
 
-_DNA5_LUT = jnp.asarray(DNA5_NORMALISE)
 
 # boundary tie priorities at equal unit position: a gap run ending at u
 # stops covering before anything else at u, a gap run starting at u covers
@@ -88,8 +87,6 @@ def _fused_event_body(
     _stage: int = 9,  # profiling aid: truncate after stage N (tools/bench_fused.py)
 ):
     B, O = ops.shape
-    KG = geo.GAP_SLOTS
-    K = geo.DEL_SLOTS
 
     def _cut(*parts):
         """Stage-truncated return: sums keep a data dependency on
@@ -106,6 +103,10 @@ def _fused_event_body(
     initial, ga, gb, gcnt, d_rel, d_len, dcnt, ov_slots = geo.slots(
         ref_ids, rec_src_pos, n_ref_units, R
     )
+    # effective slot widths (geo.effective_slots(R)): every downstream
+    # lattice (boundaries, token axis, compaction scatter) scales with them
+    KG = ga.shape[1]
+    K = d_rel.shape[1]
     # the host-side wire (same layout the split path fetches)
     gapbits = geo.pack_isgap(ga, gb, R)
     d_vals = jnp.minimum(d_len, 255).astype(jnp.uint8)
@@ -334,7 +335,9 @@ def _fused_event_body(
     rec_b = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
     vals = jnp.stack(
         [
-            main_lane(run_start_ref),
+            # per-record reference offset folded in: c_sr then indexes
+            # ref_flat directly (no ref_off[c_rec] gather at slice time)
+            main_lane(run_start_ref + ref_off[:, None]),
             main_lane((run_ref_len << 16) | rec_b),
             main_lane((run_start_query << 16) | run_query_len),
         ],
@@ -362,8 +365,10 @@ def _fused_event_body(
         jnp.where((c_rl > run_r) | (c_ql > run_q), 1, 0)
     ).astype(jnp.int32)
 
-    ref_idx = ref_off[c_rec][:, None] + c_sr[:, None] + rr
-    ref_slice = _DNA5_LUT[ref_flat[jnp.clip(ref_idx, 0, ref_flat.shape[0] - 1)]]
+    ref_idx = c_sr[:, None] + rr
+    ref_slice = dna5_normalise_device(
+        ref_flat[jnp.clip(ref_idx, 0, ref_flat.shape[0] - 1)]
+    )
     ref_slice = jnp.where(rr < ref_len[:, None], ref_slice, 0)
 
     q_idx = jnp.clip(c_sq[:, None] + rq, 0, query.shape[1] - 1)

@@ -825,3 +825,83 @@ def test_event_bucket_search_matches_host_oracle(monkeypatch):
         ("dst_pos", "gapbits", "d_vals", "d_pos", "d_n"),
     ):
         np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_event_slots_edge_positions_match_host(monkeypatch):
+    """Device event slots == the host oracle at clamped/degenerate
+    positions (p < 0, p = nz-1, p >= nz, all-gap rows) and boundary
+    events (gap run ending at rank nz-1, del_b == 0, del_b == nz) — the
+    cases the kernel's derived ju/jd search lanes special-case."""
+    import jax
+
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import SequenceEntry
+    from panvc3_tpu.ops.event_geometry import (
+        DeviceEventGeometry,
+        EventGeometry,
+    )
+
+    def gv(s):
+        return GapBitVector.from_gap_string(s.encode())
+
+    # pair 0: gap run ending exactly at rank nz-1, del boundary at nz
+    # pair 1: del boundary at 0 (first_db == 0)
+    # pair 2: no events at all
+    # pair 3: all-gap source row (nz == 0, del_b == [0])
+    srcs = ["AA--AAA-", "-AAAA", "AAAA", "----"]
+    dsts = ["A-A-AA-A", "AAAAA", "AAAA", "AAAA"]
+    src_entries = [
+        SequenceEntry(f"F{i}", gv(s)) for i, s in enumerate(srcs)
+    ]
+    dst_entries = [
+        SequenceEntry(f"R{i}", gv(s)) for i, s in enumerate(dsts)
+    ]
+    rim = [0, 1, 2, 3]
+
+    rids, poss, nus = [], [], []
+    for rid, s in enumerate(src_entries):
+        nz = s.gaps.n_zeros
+        for p in (-2, -1, 0, 1, max(nz - 2, 0), max(nz - 1, 0), nz, nz + 1,
+                  nz + 5):
+            for nu in (0, 1, 2, 3):
+                rids.append(rid)
+                poss.append(p)
+                nus.append(nu)
+    ref_ids = np.asarray(rids, np.int32)
+    pos = np.asarray(poss, np.int32)
+    n_units = np.asarray(nus, np.int32)
+    R, K = 16, 8
+
+    monkeypatch.setenv("PANVC3_EVENT_GEOMETRY_NATIVE", "0")
+    host_np = EventGeometry(src_entries, dst_entries, rim)
+    monkeypatch.delenv("PANVC3_EVENT_GEOMETRY_NATIVE")
+    host_nat = EventGeometry(src_entries, dst_entries, rim)
+
+    dev = DeviceEventGeometry(host_np)
+    got = [
+        np.asarray(x)
+        for x in jax.jit(dev.kernel, static_argnames=("R",))(
+            ref_ids, pos, n_units, R
+        )
+    ]
+    assert int(got[5]) == 0, "unexpected event-slot overflow"
+    for host in (host_np, host_nat):
+        want = host.batch(ref_ids, pos, n_units, R, K)
+        assert int(want[5]) == 0
+        for g, w, name in zip(
+            got[:5], want[:5],
+            ("dst_pos", "gapbits", "d_vals", "d_pos", "d_n"),
+        ):
+            np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_dna5_normalise_device_matches_table():
+    """The vectorised device normaliser == DNA5_NORMALISE on all 256 byte
+    values (it replaces the serialized table gather in the fused kernels)."""
+    import jax
+
+    from panvc3_tpu.alphabet import DNA5_NORMALISE, dna5_normalise_device
+
+    x = np.arange(256, dtype=np.uint8)
+    got = np.asarray(jax.jit(dna5_normalise_device)(x))
+    np.testing.assert_array_equal(got, DNA5_NORMALISE[x])
