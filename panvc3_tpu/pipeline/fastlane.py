@@ -36,12 +36,96 @@ _PROF = os.environ.get("PANVC3_FASTLANE_PROF") == "1"
 # dispatch (helps on directly attached TPUs; blocks on the axon tunnel)
 _D2H_PREFETCH = os.environ.get("PANVC3_D2H_PREFETCH") == "1"
 
-# Adaptive realign-lane state (host C DP ns/cell vs device per-batch
-# realign cost EMAs), process-global: these describe the hardware/link,
-# so every run in the process shares and refines them.  Priors reproduce
-# the historical 4e6-cell threshold until measurements arrive.
-_ADAPT = {"host_ns_cell": 4.0, "dev_ns_batch": 16e6}
-_ADAPT_LOCK = __import__("threading").Lock()
+class LaneController:
+    """End-to-end adaptive host/device realign-lane choice.
+
+    A pure cost inequality (cells x host_ns_cell <= device_batch_ns)
+    compares RAW per-batch costs, but the two lanes load different parts
+    of the pipeline: the host C DP runs inside the worker pool (hidden
+    until the cores saturate) while the device lane adds writer-thread
+    dispatch + fetch to the ordered drain's critical path — on a
+    realignment-heavy bench the inequality picked the device lane while
+    the host lane measured 1.6x faster END TO END.  This controller
+    optimizes the quantity that matters: per-lane EMAs of emitted
+    ns/read (observed on the single-threaded writer), with periodic
+    probe windows on the other lane and a 10% switch hysteresis.  The
+    cost EMAs survive as an override for extreme batches only (huge-run
+    batches always go device, trivial ones always host — there the raw
+    physics dominate any pipeline effect).
+
+    Process-global: the EMAs describe the hardware/link, so every run in
+    the process shares and refines them; ``begin_run`` resets only the
+    per-run emit timestamp.
+    """
+
+    PROBE_PERIOD = 48   # decisions between probe windows
+    PROBE_LEN = 3       # probe decisions per window (~6% probe duty)
+    HYSTERESIS = 0.9    # switch only on a >=10% measured win
+    OVERRIDE = 8.0      # cost-ratio beyond which physics beat probing
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+        # cost EMAs; priors reproduce the historical 4e6-cell threshold
+        self.host_ns_cell = 4.0
+        self.dev_ns_batch = 16e6
+        self.ns_read = {"host": None, "dev": None}
+        self.mode = "host"
+        self.tick = 0
+        self.last_emit_ns = None
+
+    def begin_run(self):
+        with self.lock:
+            self.last_emit_ns = None
+
+    def decide(self, real_cells: int) -> bool:
+        """True -> host C DP; False -> device lane."""
+        with self.lock:
+            host_ns = real_cells * self.host_ns_cell
+            if host_ns > self.OVERRIDE * self.dev_ns_batch:
+                return False
+            if self.OVERRIDE * host_ns < self.dev_ns_batch:
+                return True
+            self.tick += 1
+            if self.tick % self.PROBE_PERIOD < self.PROBE_LEN:
+                return self.mode != "host"  # probe the other lane
+            return self.mode == "host"
+
+    def observe_host_dp(self, ns: float, cells: int):
+        with self.lock:
+            self.host_ns_cell = 0.7 * self.host_ns_cell + 0.3 * ns / cells
+
+    def observe_dev_batch(self, total_ns: float):
+        with self.lock:
+            self.dev_ns_batch = 0.7 * self.dev_ns_batch + 0.3 * total_ns
+
+    def observe_emit(
+        self, dev_lane: bool, reads: int, now_ns: int, attribute: bool = True
+    ):
+        """Writer-thread signal: one batch emitted.  ``attribute=False``
+        (no realign runs — lane-neutral) only advances the timestamp."""
+        with self.lock:
+            last = self.last_emit_ns
+            self.last_emit_ns = now_ns
+            if not attribute or last is None or reads <= 0 or now_ns <= last:
+                return
+            lane = "dev" if dev_lane else "host"
+            ns_read = (now_ns - last) / reads
+            cur = self.ns_read[lane]
+            self.ns_read[lane] = (
+                ns_read if cur is None else 0.8 * cur + 0.2 * ns_read
+            )
+            h, d = self.ns_read["host"], self.ns_read["dev"]
+            if h is None or d is None:
+                return
+            if self.mode == "host" and d < self.HYSTERESIS * h:
+                self.mode = "dev"
+            elif self.mode == "dev" and h < self.HYSTERESIS * d:
+                self.mode = "host"
+
+
+_ADAPT = LaneController()
 
 
 def fastlane_eligible(cfg, reader, writer, mesh, batch_engine=None) -> bool:
@@ -171,16 +255,15 @@ def run_fast(
         and hasattr(nat, "realign_runs_host")
     )
     # Host-DP/device crossover: PANVC3_HOST_DP_CELLS sets a hard cell-count
-    # threshold; unset, the lane choice is ADAPTIVE — measured EMAs of the
-    # host C DP's ns/cell and the device lane's observed per-batch realign
-    # cost (stage+fetch) decide per batch (host wins iff
-    # cells * host_ns_per_cell <= device_batch_ns).  Priors reproduce the
-    # old 4e6-cell default (≈4 ns/cell C DP vs ≈16 ms device batch) until
+    # threshold; unset, the lane choice is ADAPTIVE (LaneController):
+    # per-lane EMAs of emitted ns/read with periodic probe windows and
+    # hysteresis, plus raw-cost overrides for extreme batches.  Priors
+    # reproduce the old 4e6-cell default (≈4 ns/cell C DP vs ≈16 ms) until
     # real measurements arrive.
     _hdc_env = os.environ.get("PANVC3_HOST_DP_CELLS")
     host_dp_cells = int(_hdc_env) if _hdc_env else None
-    adapt = _ADAPT  # process-global: the EMAs describe the hardware, not
-    adapt_lock = _ADAPT_LOCK  # the run — later runs keep what was learned
+    adapt = _ADAPT  # process-global LaneController (see its docstring)
+    adapt.begin_run()
 
     # Cross-batch DP aggregation (threaded drain only): batches whose runs
     # go to the DEVICE kernel defer the dispatch; the writer thread pools
@@ -507,10 +590,7 @@ def run_fast(
                 if host_dp_cells is not None:
                     use_host = real_cells <= host_dp_cells
                 else:
-                    use_host = (
-                        real_cells * adapt["host_ns_cell"]
-                        <= adapt["dev_ns_batch"]
-                    )
+                    use_host = adapt.decide(real_cells)
                 if use_host:
                     t_dp = _time.perf_counter_ns()
                     if use_quality:
@@ -534,11 +614,7 @@ def run_fast(
                     )
                     dt_dp = _time.perf_counter_ns() - t_dp
                     if real_cells > 1000:  # skip noise-dominated samples
-                        with adapt_lock:
-                            adapt["host_ns_cell"] = (
-                                0.7 * adapt["host_ns_cell"]
-                                + 0.3 * dt_dp / real_cells
-                            )
+                        adapt.observe_host_dp(dt_dp, real_cells)
             rh_wire = not use_quality and (Rp + Qp) % 2 == 0 and Rp + Qp < 256
             if host_dp is not None:
                 pass
@@ -756,11 +832,18 @@ def run_fast(
         if payload.get("dev_realign"):
             total_ns = payload["stage_ns"] + payload["fetch_ns"]
             if total_ns:
-                # observed device realign cost feeds the adaptive lane choice
-                with adapt_lock:
-                    adapt["dev_ns_batch"] = (
-                        0.7 * adapt["dev_ns_batch"] + 0.3 * total_ns
-                    )
+                # observed device realign cost feeds the extreme-batch
+                # override of the adaptive lane choice
+                adapt.observe_dev_batch(total_ns)
+        # end-to-end signal: inter-emit wall time per read, attributed to
+        # the emitted batch's realign lane (single-threaded here); batches
+        # without realign runs only advance the timestamp
+        adapt.observe_emit(
+            bool(payload.get("dev_realign")),
+            payload["kept"],
+            _time.perf_counter_ns(),
+            attribute=bool(payload["n_realn"]),
+        )
         tw = _time.perf_counter() if _PROF else 0.0
         writer.write_raw(payload["blob"])
         if _PROF:

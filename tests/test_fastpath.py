@@ -565,3 +565,52 @@ def test_fastlane_adaptive_lane_byte_identical(
         assert stats.realigned_range_count > 0
         outs[name] = (out, ranges)
     assert outs["adaptive"] == outs["host"] == outs["device"]
+
+
+def test_lane_controller_probe_and_hysteresis():
+    """The adaptive LaneController converges to the measured-faster lane,
+    keeps probing the other one at a bounded duty cycle, and lets the raw
+    cost model override only on extreme batches."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    c = LaneController()
+    # extreme-batch overrides (priors: 4 ns/cell host, 16 ms device)
+    assert c.decide(100) is True          # trivial: always host
+    assert c.decide(200_000_000) is False  # huge: always device
+
+    # mid-range: starts on host, probes the device lane sometimes
+    mid = 4_000_000
+    decisions = [c.decide(mid) for _ in range(c.PROBE_PERIOD * 2)]
+    assert decisions.count(False) == 2 * c.PROBE_LEN
+    assert decisions.count(True) == 2 * (c.PROBE_PERIOD - c.PROBE_LEN)
+
+    # feed emits: device lane measured 2x faster -> mode flips to device
+    t = [0]
+
+    def emit(dev, ns):
+        t[0] += ns
+        c.observe_emit(dev, reads=1000, now_ns=t[0])
+
+    emit(False, 1)  # first emit only sets the timestamp
+    for _ in range(20):
+        emit(False, 2_000_000)
+        emit(True, 1_000_000)
+    assert c.mode == "dev"
+    probe_true = [c.decide(mid) for _ in range(c.PROBE_PERIOD)]
+    assert probe_true.count(True) == c.PROBE_LEN  # now host is the probe
+
+    # within 10% hysteresis: no flapping back
+    for _ in range(20):
+        emit(False, 1_050_000)
+        emit(True, 1_000_000)
+    assert c.mode == "dev"
+    # host clearly faster again -> flips back
+    for _ in range(40):
+        emit(False, 500_000)
+        emit(True, 1_000_000)
+    assert c.mode == "host"
+
+    # lane-neutral batches advance the clock without attribution
+    before = dict(c.ns_read)
+    c.observe_emit(True, reads=1000, now_ns=t[0] + 10**9, attribute=False)
+    assert c.ns_read == before
