@@ -437,7 +437,7 @@ class DeviceEventGeometry:
         dsteps = max(1, int(np.ceil(np.log2(self.max_del + 1))) + 1)
         # every per-pair scalar in ONE gather (rounds, not bytes, are the
         # kernel's cost — see the fused-table note in __init__)
-        meta = self.meta_tab[:, ref_ids]                       # (7, B)
+        meta = self.meta_tab[:, ref_ids]                       # (10, B)
         g_lo0, g_hi0, d_lo, d_hi = meta[0], meta[1], meta[2], meta[3]
 
         # initial = u - G(u) + D(u) over the event prefix sums (see

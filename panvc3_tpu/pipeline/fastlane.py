@@ -46,22 +46,29 @@ class LaneController:
     dispatch + fetch to the ordered drain's critical path — on a
     realignment-heavy bench the inequality picked the device lane while
     the host lane measured 1.6x faster END TO END.  This controller
-    optimizes the quantity that matters: per-lane EMAs of emitted
-    ns/read (observed on the single-threaded writer), with periodic
-    probe windows on the other lane and a 10% switch hysteresis.  The
-    cost EMAs survive as an override for extreme batches only (huge-run
-    batches always go device, trivial ones always host — there the raw
-    physics dominate any pipeline effect).
+    optimizes the quantity that matters: per-lane throughput measured
+    over EPOCHS — contiguous same-lane spans of emitted batches, clocked
+    from the span's first emit to its last — with periodic consecutive
+    probe windows on the other lane and a 10% switch hysteresis.
+    Per-batch inter-emit gaps would be badly biased here: a deferred
+    device batch at the ordered drain's head dams completed host
+    payloads (which then emit back-to-back at ~zero gaps), so span-level
+    accounting is required for an honest comparison.  The raw cost EMAs
+    survive as overrides for extreme batches only, asymmetrically:
+    forcing the HOST lane on trivial batches is cheap and safe, while
+    forcing the DEVICE lane needs high confidence because dev_ns_batch
+    is window-amortized under cross-batch DP aggregation.
 
     Process-global: the EMAs describe the hardware/link, so every run in
     the process shares and refines them; ``begin_run`` resets only the
-    per-run emit timestamp.
+    per-run span state.
     """
 
-    PROBE_PERIOD = 48   # decisions between probe windows
-    PROBE_LEN = 3       # probe decisions per window (~6% probe duty)
-    HYSTERESIS = 0.9    # switch only on a >=10% measured win
-    OVERRIDE = 8.0      # cost-ratio beyond which physics beat probing
+    PROBE_PERIOD = 48    # decisions between probe windows
+    PROBE_LEN = 6        # consecutive probe decisions (one measurable span)
+    HYSTERESIS = 0.9     # switch only on a >=10% measured win
+    OVERRIDE_HOST = 8.0  # cheap side: cost-ratio that forces the host lane
+    OVERRIDE_DEV = 64.0  # expensive side: ratio that forces the device lane
 
     def __init__(self):
         import threading
@@ -73,19 +80,24 @@ class LaneController:
         self.ns_read = {"host": None, "dev": None}
         self.mode = "host"
         self.tick = 0
-        self.last_emit_ns = None
+        # current same-lane span: lane, first-emit clock, reads since
+        self.span_lane = None
+        self.span_start_ns = 0
+        self.span_last_ns = 0
+        self.span_reads = 0
 
     def begin_run(self):
         with self.lock:
-            self.last_emit_ns = None
+            self.span_lane = None
+            self.span_reads = 0
 
     def decide(self, real_cells: int) -> bool:
         """True -> host C DP; False -> device lane."""
         with self.lock:
             host_ns = real_cells * self.host_ns_cell
-            if host_ns > self.OVERRIDE * self.dev_ns_batch:
+            if host_ns > self.OVERRIDE_DEV * self.dev_ns_batch:
                 return False
-            if self.OVERRIDE * host_ns < self.dev_ns_batch:
+            if self.OVERRIDE_HOST * host_ns < self.dev_ns_batch:
                 return True
             self.tick += 1
             if self.tick % self.PROBE_PERIOD < self.PROBE_LEN:
@@ -100,29 +112,45 @@ class LaneController:
         with self.lock:
             self.dev_ns_batch = 0.7 * self.dev_ns_batch + 0.3 * total_ns
 
+    def _close_span(self):
+        # record the finished span's ns/read (clocked from its FIRST emit,
+        # so the lane-transition turbulence of batch 1 is excluded)
+        elapsed = self.span_last_ns - self.span_start_ns
+        if self.span_lane is not None and self.span_reads > 0 and elapsed > 0:
+            ns_read = elapsed / self.span_reads
+            cur = self.ns_read[self.span_lane]
+            self.ns_read[self.span_lane] = (
+                ns_read if cur is None else 0.7 * cur + 0.3 * ns_read
+            )
+            h, d = self.ns_read["host"], self.ns_read["dev"]
+            if h is not None and d is not None:
+                if self.mode == "host" and d < self.HYSTERESIS * h:
+                    self.mode = "dev"
+                elif self.mode == "dev" and h < self.HYSTERESIS * d:
+                    self.mode = "host"
+
     def observe_emit(
         self, dev_lane: bool, reads: int, now_ns: int, attribute: bool = True
     ):
         """Writer-thread signal: one batch emitted.  ``attribute=False``
-        (no realign runs — lane-neutral) only advances the timestamp."""
+        (no realign runs — lane-neutral) joins the open span, if any,
+        without being able to start or switch one."""
         with self.lock:
-            last = self.last_emit_ns
-            self.last_emit_ns = now_ns
-            if not attribute or last is None or reads <= 0 or now_ns <= last:
+            if not attribute:
+                if self.span_lane is not None:
+                    self.span_reads += reads
+                    self.span_last_ns = now_ns
                 return
             lane = "dev" if dev_lane else "host"
-            ns_read = (now_ns - last) / reads
-            cur = self.ns_read[lane]
-            self.ns_read[lane] = (
-                ns_read if cur is None else 0.8 * cur + 0.2 * ns_read
-            )
-            h, d = self.ns_read["host"], self.ns_read["dev"]
-            if h is None or d is None:
-                return
-            if self.mode == "host" and d < self.HYSTERESIS * h:
-                self.mode = "dev"
-            elif self.mode == "dev" and h < self.HYSTERESIS * d:
-                self.mode = "host"
+            if lane != self.span_lane:
+                self._close_span()
+                self.span_lane = lane
+                self.span_start_ns = now_ns
+                self.span_last_ns = now_ns
+                self.span_reads = 0  # first batch only starts the clock
+            else:
+                self.span_reads += reads
+                self.span_last_ns = now_ns
 
 
 _ADAPT = LaneController()
@@ -976,9 +1004,12 @@ def run_fast(
                     o, c2 = jax.device_get(rh)
                     return np.ascontiguousarray(o), np.ascontiguousarray(c2)
 
-            ctxs[0]["stage_ns"] = (
-                ctxs[0].get("stage_ns", 0) + _time.perf_counter_ns() - t0
-            )
+            # spread the shared dispatch cost across the window's batches
+            # so per-batch stage_ns (and the dev_ns_batch EMA fed from it)
+            # reflects the amortized device cost, not a lopsided ctxs[0]
+            share = (_time.perf_counter_ns() - t0) // len(ctxs)
+            for c in ctxs:
+                c["stage_ns"] = c.get("stage_ns", 0) + share
             return parts, fetch_pool.submit(_fetch), steps
 
         def _finish_deferred(ctx, agg_fut, lo, hi, steps):

@@ -905,3 +905,57 @@ def test_dna5_normalise_device_matches_table():
     x = np.arange(256, dtype=np.uint8)
     got = np.asarray(jax.jit(dna5_normalise_device)(x))
     np.testing.assert_array_equal(got, DNA5_NORMALISE[x])
+
+
+def test_event_slots_random_positions_match_host(monkeypatch):
+    """Randomized differential for the derived search lanes: random MSAs,
+    positions spanning [-5, nz+5] (including the clamp regions), random
+    unit counts — device kernel == host numpy oracle byte for byte."""
+    import jax
+
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import SequenceEntry
+    from panvc3_tpu.ops.event_geometry import (
+        DeviceEventGeometry,
+        EventGeometry,
+    )
+
+    monkeypatch.setenv("PANVC3_EVENT_GEOMETRY_NATIVE", "0")
+    rng = np.random.default_rng(31)
+    R, K = 32, 8
+    for trial in range(6):
+        n_cols = 300
+        vecs = []
+        for _ in range(3):
+            gaps = rng.random(n_cols) < (0.02 + 0.05 * trial)
+            s = np.where(gaps, ord("-"), ord("A")).astype(np.uint8)
+            s[0] = ord("A")
+            vecs.append(GapBitVector.from_gap_string(s.tobytes()))
+        entries = [SequenceEntry(str(i), v) for i, v in enumerate(vecs)]
+        host = EventGeometry(entries, [entries[0]], [0, 0, 0])
+        dev = DeviceEventGeometry(host)
+
+        B = 192
+        ref_ids = rng.integers(0, 3, B).astype(np.int32)
+        nz = np.asarray([vecs[r].n_zeros for r in ref_ids])
+        pos = rng.integers(-5, nz + 6).astype(np.int32)
+        n_units = rng.integers(0, R + 1, B).astype(np.int32)
+
+        got = [
+            np.asarray(x)
+            for x in jax.jit(dev.kernel, static_argnames=("R",))(
+                ref_ids, pos, n_units, R
+            )
+        ]
+        want = host.batch(ref_ids, pos, n_units, R, K)
+        if int(got[5]) or int(want[5]):
+            # device overflow is a strict superset of host use_full (the
+            # device also flags gap-slot overruns and d_len == 255), so
+            # only the implication holds
+            assert not int(want[5]) or int(got[5]), "host overflow unseen"
+            continue
+        for g, w, name in zip(
+            got[:5], want[:5],
+            ("dst_pos", "gapbits", "d_vals", "d_pos", "d_n"),
+        ):
+            np.testing.assert_array_equal(g, w, err_msg=name)

@@ -568,49 +568,61 @@ def test_fastlane_adaptive_lane_byte_identical(
 
 
 def test_lane_controller_probe_and_hysteresis():
-    """The adaptive LaneController converges to the measured-faster lane,
-    keeps probing the other one at a bounded duty cycle, and lets the raw
-    cost model override only on extreme batches."""
+    """The adaptive LaneController converges to the measured-faster lane
+    using span-level throughput (robust to the ordered drain's damming
+    bursts), probes the other lane at a bounded duty cycle, and lets the
+    raw cost model override only on extreme batches (asymmetrically)."""
     from panvc3_tpu.pipeline.fastlane import LaneController
 
     c = LaneController()
-    # extreme-batch overrides (priors: 4 ns/cell host, 16 ms device)
-    assert c.decide(100) is True          # trivial: always host
-    assert c.decide(200_000_000) is False  # huge: always device
+    # extreme-batch overrides (priors: 4 ns/cell host, 16 ms device);
+    # overrides short-circuit before the probe schedule consumes a tick
+    c.tick = c.PROBE_LEN  # park outside the probe window
+    assert c.decide(100) is True           # trivial: always host
+    assert c.decide(200_000_000) is True   # 800 ms host DP < 64x16 ms: mode
+    assert c.decide(1_000_000_000) is False  # 4 s host DP: force device
 
-    # mid-range: starts on host, probes the device lane sometimes
-    mid = 4_000_000
+    # mid-range: starts on host, probes the device lane in consecutive
+    # windows of PROBE_LEN
+    mid = 8_000_000
+    c.tick = 0
     decisions = [c.decide(mid) for _ in range(c.PROBE_PERIOD * 2)]
     assert decisions.count(False) == 2 * c.PROBE_LEN
     assert decisions.count(True) == 2 * (c.PROBE_PERIOD - c.PROBE_LEN)
 
-    # feed emits: device lane measured 2x faster -> mode flips to device
+    # emit spans: device spans measured 2x faster -> mode flips to device.
+    # Shapes mimic the drain's damming: the first batch of each span (the
+    # dammed head) carries a huge gap, which span accounting excludes.
     t = [0]
 
-    def emit(dev, ns):
-        t[0] += ns
+    def span(dev, n, ns_per_batch, head_ns=30_000_000):
+        t[0] += head_ns  # lane-transition turbulence (excluded)
         c.observe_emit(dev, reads=1000, now_ns=t[0])
+        for _ in range(n - 1):
+            t[0] += ns_per_batch
+            c.observe_emit(dev, reads=1000, now_ns=t[0])
 
-    emit(False, 1)  # first emit only sets the timestamp
-    for _ in range(20):
-        emit(False, 2_000_000)
-        emit(True, 1_000_000)
+    for _ in range(8):
+        span(False, 40, 2_000_000)
+        span(True, 6, 1_000_000)
+    assert c.ns_read["dev"] < c.ns_read["host"]
     assert c.mode == "dev"
     probe_true = [c.decide(mid) for _ in range(c.PROBE_PERIOD)]
     assert probe_true.count(True) == c.PROBE_LEN  # now host is the probe
 
     # within 10% hysteresis: no flapping back
-    for _ in range(20):
-        emit(False, 1_050_000)
-        emit(True, 1_000_000)
+    for _ in range(8):
+        span(True, 40, 1_000_000)
+        span(False, 6, 1_050_000)
     assert c.mode == "dev"
     # host clearly faster again -> flips back
-    for _ in range(40):
-        emit(False, 500_000)
-        emit(True, 1_000_000)
+    for _ in range(8):
+        span(True, 40, 1_000_000)
+        span(False, 6, 500_000)
     assert c.mode == "host"
 
-    # lane-neutral batches advance the clock without attribution
+    # lane-neutral batches join the open span but cannot start one
+    c.begin_run()
     before = dict(c.ns_read)
     c.observe_emit(True, reads=1000, now_ns=t[0] + 10**9, attribute=False)
-    assert c.ns_read == before
+    assert c.span_lane is None and c.ns_read == before

@@ -59,11 +59,16 @@ def main() -> None:
             )),
             sidx, B * W,
         ),
-        # flat 1-D scatter of B*W elements into a pool
+        # flat 1-D scatter of B*W elements into a pool (indices spread by a
+        # large odd multiplier — small-range indices would measure collision
+        # serialization instead of a representative scatter)
         f"scatter1d {B * W}": (
             mk(lambda x, i: jnp.sum(
                 jnp.zeros(B * W, jnp.int32)
-                .at[(x + i % 3).reshape(-1) * 7 % (B * W)].add(vals.reshape(-1))
+                .at[
+                    ((jnp.arange(B * W, dtype=jnp.int32) + x.reshape(-1) + i)
+                     * 48271 % (B * W))
+                ].add(vals.reshape(-1))
             )),
             sidx, B * W,
         ),
