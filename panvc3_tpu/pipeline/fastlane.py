@@ -69,6 +69,7 @@ class LaneController:
     HYSTERESIS = 0.9     # switch only on a >=10% measured win
     OVERRIDE_HOST = 8.0  # cheap side: cost-ratio that forces the host lane
     OVERRIDE_DEV = 64.0  # expensive side: ratio that forces the device lane
+    BACKOFF_MAX = 16     # probe-period multiplier when the probe keeps losing
 
     def __init__(self):
         import threading
@@ -80,6 +81,7 @@ class LaneController:
         self.ns_read = {"host": None, "dev": None}
         self.mode = "host"
         self.tick = 0
+        self.backoff = 1
         # current same-lane span: lane, first-emit clock, reads since
         self.span_lane = None
         self.span_start_ns = 0
@@ -100,7 +102,11 @@ class LaneController:
             if self.OVERRIDE_HOST * host_ns < self.dev_ns_batch:
                 return True
             self.tick += 1
-            if self.tick % self.PROBE_PERIOD < self.PROBE_LEN:
+            # probe at the END of each period (a start-of-period window
+            # would penalize short streams, whose first batches all land
+            # in it), with exponential back-off while probes keep losing
+            period = self.PROBE_PERIOD * self.backoff
+            if self.tick % period >= period - self.PROBE_LEN:
                 return self.mode != "host"  # probe the other lane
             return self.mode == "host"
 
@@ -117,6 +123,7 @@ class LaneController:
         # so the lane-transition turbulence of batch 1 is excluded)
         elapsed = self.span_last_ns - self.span_start_ns
         if self.span_lane is not None and self.span_reads > 0 and elapsed > 0:
+            was_probe = self.span_lane != self.mode
             ns_read = elapsed / self.span_reads
             cur = self.ns_read[self.span_lane]
             self.ns_read[self.span_lane] = (
@@ -128,6 +135,15 @@ class LaneController:
                     self.mode = "dev"
                 elif self.mode == "dev" and h < self.HYSTERESIS * d:
                     self.mode = "host"
+                if was_probe:
+                    mine = d if self.span_lane == "dev" else h
+                    other = h if self.span_lane == "dev" else d
+                    if self.span_lane == self.mode:
+                        self.backoff = 1  # probe won: watch closely again
+                    elif mine > 2 * other:
+                        self.backoff = min(self.backoff * 2, self.BACKOFF_MAX)
+                    else:
+                        self.backoff = 1
 
     def observe_emit(
         self, dev_lane: bool, reads: int, now_ns: int, attribute: bool = True

@@ -626,3 +626,24 @@ def test_lane_controller_probe_and_hysteresis():
     before = dict(c.ns_read)
     c.observe_emit(True, reads=1000, now_ns=t[0] + 10**9, attribute=False)
     assert c.span_lane is None and c.ns_read == before
+
+    # probes back off exponentially while the probed lane keeps losing
+    # badly (>2x) — short -q streams must not burn 12% of batches probing
+    # a 4x-slower tunnel lane
+    c2 = LaneController()
+    t2 = [0]
+
+    def span2(dev, n, ns_per_batch):
+        t2[0] += 30_000_000
+        c2.observe_emit(dev, reads=1000, now_ns=t2[0])
+        for _ in range(n - 1):
+            t2[0] += ns_per_batch
+            c2.observe_emit(dev, reads=1000, now_ns=t2[0])
+
+    for _ in range(4):
+        span2(False, 40, 1_000_000)
+        span2(True, 6, 5_000_000)  # losing probe: 5x slower
+    span2(False, 4, 1_000_000)  # close the final dev span
+    assert c2.mode == "host" and c2.backoff >= 8
+    c2.tick = 0
+    assert not any(not c2.decide(8_000_000) for _ in range(c2.PROBE_PERIOD))

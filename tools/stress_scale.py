@@ -13,6 +13,10 @@ tests in tests/.
 from __future__ import annotations
 
 import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import resource
 import sys
 import tempfile
