@@ -2435,6 +2435,7 @@ typedef struct {
     Py_ssize_t n_rec;
     Py_ssize_t gap_stride;
     long K, use_full, R, Lq;
+    int no_span; /* PANVC3_SPAN_FAST=0: disable the bulk match-span path */
 } finrec_shared;
 
 typedef struct {
@@ -2537,9 +2538,93 @@ static void *finrec_slab_run(void *arg)
                 }                                                         \
             } while (0)
 
-        for (int32_t k = 0; k < nu; ++k, ++u) {
+        for (int32_t k = 0; k < nu;) {
             int8_t op = unit_op[u];
             int32_t cnt = unit_count[u];
+            /* Bulk fast path: a span of match-type units with no dst gaps,
+             * no deletion events and unclamped query/ref cursors emits
+             * pure =/X decided by an 8-bytes-at-a-time compare.  Typical
+             * reads are long all-match spans, so this skips the per-unit
+             * branch cascade for most units (byte-identical output: EMIT2
+             * run-merging is the same, d=0 emits nothing, gap=0 keeps the
+             * compare branch). */
+            if (pv3_is_mtype_op(op) && !S->no_span) {
+                int32_t lim = nu - k;
+                if (use_full) {
+                    const int32_t *df = d_full + (size_t)rec * R + r;
+                    int32_t dl = 0;
+                    while (dl < lim && df[dl] == 0)
+                        ++dl;
+                    lim = dl;
+                } else if (si < d_n[rec]) {
+                    int32_t nd = (int32_t)d_pos[(size_t)rec * K + si] - r;
+                    if (nd < lim)
+                        lim = nd;
+                }
+                /* zero-gap-bit prefix length from bit r */
+                {
+                    int32_t gl = 0;
+                    int32_t byte = r >> 3;
+                    uint8_t b0 = (uint8_t)(gb[byte] >> (r & 7));
+                    if (b0 == 0) {
+                        gl = 8 - (r & 7);
+                        ++byte;
+                        while (gl + 8 <= lim && gb[byte] == 0) {
+                            gl += 8;
+                            ++byte;
+                        }
+                        if (gl < lim) {
+                            uint8_t bl = gb[byte];
+                            while (gl < lim && !(bl & 1)) {
+                                ++gl;
+                                bl >>= 1;
+                            }
+                        }
+                    } else {
+                        uint8_t bl = b0;
+                        while (gl < lim && !(bl & 1)) {
+                            ++gl;
+                            bl >>= 1;
+                        }
+                    }
+                    if (gl < lim)
+                        lim = gl;
+                }
+                if ((int64_t)lim > Lq - qpos)
+                    lim = (int32_t)(Lq - qpos);
+                if (ref_cursor < 0)
+                    lim = 0;
+                else if ((int64_t)lim > reflen - ref_cursor)
+                    lim = (int32_t)(reflen - ref_cursor);
+                int32_t span = 0;
+                while (span < lim && pv3_is_mtype_op(unit_op[u + span]))
+                    ++span;
+                if (span >= 4) {
+                    const unsigned char *qp = qrow + qpos;
+                    const unsigned char *rp = refc + ref_cursor;
+                    int32_t i = 0;
+                    while (i + 8 <= span) {
+                        uint64_t a, b;
+                        memcpy(&a, qp + i, 8);
+                        memcpy(&b, rp + i, 8);
+                        if (a == b) {
+                            EMIT2(OP_EQ, 8);
+                            i += 8;
+                        } else {
+                            for (int32_t j = 0; j < 8; ++j, ++i)
+                                EMIT2(qp[i] == rp[i] ? OP_EQ : OP_X, 1);
+                        }
+                    }
+                    for (; i < span; ++i)
+                        EMIT2(qp[i] == rp[i] ? OP_EQ : OP_X, 1);
+                    qpos += span;
+                    ref_cursor += span;
+                    r += span;
+                    k += span;
+                    u += span;
+                    continue;
+                }
+            }
             if (pv3_is_ref_op(op)) {
                 int32_t d;
                 if (use_full) {
@@ -2583,6 +2668,8 @@ static void *finrec_slab_run(void *arg)
                     qpos += cnt;
                 EMIT2(op, cnt);
             }
+            ++k;
+            ++u;
         }
         if (cur_len > 0) {
             run_ops[out] = cur_op;
@@ -2700,6 +2787,10 @@ PyObject *pv3_finalize_reconstruct(PyObject *self, PyObject *args)
     sh.use_full = use_full;
     sh.R = R;
     sh.Lq = Lq;
+    {
+        const char *e = getenv("PANVC3_SPAN_FAST");
+        sh.no_span = e && e[0] == '0' && e[1] == '\0';
+    }
 
     int32_t *runs_per_rec = malloc((n_rec ? n_rec : 1) * sizeof(int32_t));
     const unsigned char **refs = NULL;

@@ -432,6 +432,63 @@ def test_fastlane_bam_input_output(msa_files, founder_seqs, tmp_path):
     ]
     assert got == want
 
+def test_fastlane_match_span_mismatch_offsets(
+    msa_files, founder_seqs, tmp_path
+):
+    """Stress the finalize_reconstruct bulk match-span compare: reads with
+    substitutions at every mod-8 offset, clusters straddling the 8-byte
+    chunk boundary, X runs, and non-multiple-of-8 read lengths, placed
+    both in gap-free and gap-dense founder regions.  The fast lane must
+    stay byte-identical to the host oracle."""
+    index_path, _, _ = msa_files
+    stripped = {sid: s.replace(b"-", b"") for sid, s in founder_seqs.items()}
+    names = [s for s in stripped if s != "REF"]
+    lines = ["@HD\tVN:1.6"]
+    for sid, fs in stripped.items():
+        lines.append(f"@SQ\tSN:test/{sid}\tLN:{len(fs)}")
+
+    def mutate(seq: bytes, offsets) -> bytes:
+        b = bytearray(seq)
+        for o in offsets:
+            if o < len(b):
+                b[o] = b"ACGT"[(b"ACGT".index(bytes([b[o]])) + 1) % 4] \
+                    if bytes([b[o]]) in b"ACGT" else ord("A")
+        return bytes(b)
+
+    rid = 0
+    rng = np.random.default_rng(42)
+    for read_len in (8, 37, 100, 101):
+        for sid in names:
+            s = stripped[sid]
+            for start in (0, 13, len(s) // 2, len(s) - read_len - 1):
+                if start < 0 or start + read_len > len(s):
+                    continue
+                base = s[start:start + read_len]
+                layouts = (
+                    [],  # pure match span
+                    *([o] for o in range(min(16, read_len))),  # each offset
+                    [6, 7, 8, 9],          # cluster across chunk boundary
+                    list(range(5, 14)),    # 9-long X run
+                    [read_len - 1],        # last base
+                    sorted(set(int(x) for x in rng.integers(0, read_len, 6))),
+                )
+                for offs in layouts:
+                    seq = mutate(base, offs)
+                    lines.append(
+                        f"m{rid}\t0\ttest/{sid}\t{start + 1}\t60\t"
+                        f"{read_len}=\t*\t0\t0\t{seq.decode()}\t"
+                        f"{'I' * read_len}"
+                    )
+                    rid += 1
+    sam = ("\n".join(lines) + "\n").encode()
+
+    fast = _run(sam, index_path, tmp_path, fastlane=True, name="spanfast")
+    host = _run(sam, index_path, tmp_path, fastlane=False, engine="host",
+                name="spanhost")
+    assert fast[0] == host[0]
+    assert fast[2] == host[2]
+
+
 def test_fastlane_device_event_geometry_byte_identical(
     msa_files, founder_seqs, tmp_path, monkeypatch
 ):
