@@ -107,6 +107,12 @@ class BatchProjector:
         self._fused_event_kernel = None
 
         # Flat reference buffer; rebuilt when new chromosomes get loaded.
+        # The lock pairs _ensure_refs (main thread, streams contigs in)
+        # with ref_flat_snapshot (the fast lane's drain thread reads a
+        # consistent buffer/offset pair for the ref-gather wire).
+        import threading
+
+        self._ref_lock = threading.Lock()
         self._ref_flat = None
         self._ref_flat_host = np.zeros(0, dtype=np.uint8)
         self._ref_off: dict[int, int] = {}
@@ -139,21 +145,33 @@ class BatchProjector:
         return self._fused_event_kernel
 
     def _ensure_refs(self, ref_seqs: dict[int, bytes]) -> None:
-        if set(ref_seqs) == set(self._ref_off):
-            return
-        parts = []
-        off = 0
-        self._ref_off = {}
-        for rid, seq in ref_seqs.items():
-            self._ref_off[rid] = off
-            parts.append(np.frombuffer(seq, dtype=np.uint8))
-            off += len(seq)
-        # host-resident flat reference (the gap-geometry kernel never ships
-        # reference bytes to the device; the =/X comparison is host work)
-        self._ref_flat_host = (
-            np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
-        )
-        self._ref_flat = None  # device copy built lazily (fused path only)
+        with self._ref_lock:
+            if set(ref_seqs) == set(self._ref_off):
+                return
+            parts = []
+            off = 0
+            self._ref_off = {}
+            for rid, seq in ref_seqs.items():
+                self._ref_off[rid] = off
+                parts.append(np.frombuffer(seq, dtype=np.uint8))
+                off += len(seq)
+            # host-resident flat reference (the gap-geometry kernel never
+            # ships reference bytes to the device; the =/X comparison is
+            # host work)
+            self._ref_flat_host = (
+                np.concatenate(parts) if parts else np.zeros(1, dtype=np.uint8)
+            )
+            self._ref_flat = None  # device copy built lazily
+
+    def ref_flat_snapshot(self):
+        """(device flat reference, {rid: offset}) as a consistent pair.
+
+        Safe to call from the fast lane's drain thread while the main
+        thread streams new contigs through _ensure_refs; materialises the
+        device copy on first use (i.e. only when a device lane actually
+        wants it)."""
+        with self._ref_lock:
+            return self.ref_flat_dev, dict(self._ref_off)
 
     @property
     def ref_flat_dev(self):

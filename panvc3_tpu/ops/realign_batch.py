@@ -376,6 +376,66 @@ def _realign_wire(packed_in, go, ge, R, Q):
 realign_device_kernel_wire = jax.jit(_realign_wire, static_argnames=("R", "Q"))
 
 
+def pack_realign_refgather_input(
+    query: np.ndarray, start: np.ndarray, rl: np.ndarray, ql: np.ndarray
+) -> np.ndarray:
+    """Wire input for the ref-gather variant: the reference rows stay on
+    device (gathered from the resident flat reference), so each row ships
+    only [query Q | ref start u32 LE | ref_len u16 | query_len u16]
+    (Q+8 bytes vs R+Q+4 for the classic wire — the dominant wire cut for
+    large-run batches)."""
+    s, q = query.shape
+    out = np.empty((s, q + 8), dtype=np.uint8)
+    out[:, :q] = query
+    out[:, q:q + 4] = start.astype("<u4").view(np.uint8).reshape(s, 4)
+    out[:, q + 4:q + 6] = rl.astype("<u2").view(np.uint8).reshape(s, 2)
+    out[:, q + 6:] = ql.astype("<u2").view(np.uint8).reshape(s, 2)
+    return out
+
+
+def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
+    """Classic wire DP, but the reference rows are row-gathered on device
+    from the flat reference buffer (raw bytes; the per-contig text the
+    fused kernels already keep resident) and dna5-normalised + zero-padded
+    in-kernel, reproducing stage_realign_runs' staged rows exactly
+    (native/fastpath.c pv3_stage_realign_runs writes dna5_table[ref[k]]
+    for k < rl and zeros beyond)."""
+    from ..alphabet import dna5_normalise_device
+
+    p = packed_in
+    query = p[:, :Q]
+    tail = p[:, Q:].astype(jnp.int32)
+    start = tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16) | (
+        tail[:, 3] << 24
+    )
+    rl = tail[:, 4] | (tail[:, 5] << 8)
+    ql = tail[:, 6] | (tail[:, 7] << 8)
+    lane = jnp.arange(R, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + lane, 0, ref_flat.shape[0] - 1)
+    ref = dna5_normalise_device(jnp.take(ref_flat, idx, axis=0))
+    ref = jnp.where(lane < rl[:, None], ref, jnp.uint8(0))
+    if _use_fused_pallas():
+        from .realign_pallas_fused import realign_fused_pallas
+
+        ops, count = realign_fused_pallas(
+            None, ref, query, ql, rl, go, ge, R, Q
+        )
+    else:
+        sub = _substitution_scores(ref, query, None, None, False)
+        trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
+        ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
+    nib = (ops.astype(jnp.uint8)) & 0xF
+    packed_ops = nib[:, 0::2] | (nib[:, 1::2] << 4)
+    return jnp.concatenate(
+        [packed_ops, jnp.minimum(count, 255).astype(jnp.uint8)[:, None]], axis=1
+    )
+
+
+realign_device_kernel_wire_refgather = jax.jit(
+    _realign_wire_refgather, static_argnames=("R", "Q")
+)
+
+
 def unpack_realign_wire(wire: np.ndarray, steps: int):
     """(ops int8[S, steps], count int32[S]) from a fetched wire buffer.
     Nibble 15 decodes from the int8 padding byte 127 (127 & 0xF == 15);

@@ -323,6 +323,12 @@ def run_fast(
     )
     agg_target_runs = int(os.environ.get("PANVC3_DP_AGG_RUNS", "131072"))
     agg_max_batches = int(os.environ.get("PANVC3_DP_AGG_BATCHES", "16"))
+    # Ref-gather wire (integer path): ship [query | ref start | lens] rows
+    # (Q+8 B) and gather + dna5-normalise the reference rows in-kernel from
+    # the resident flat reference — R bytes/run less wire, the dominant
+    # cost of large-run device batches.  PANVC3_DP_REFGATHER=0 reverts to
+    # shipping staged reference rows.
+    refgather_ok = os.environ.get("PANVC3_DP_REFGATHER", "1") != "0"
 
     # shard-aware check data: dev id -1 == entry outside this index shard
     shard_check = cfg.chr_shard is not None
@@ -665,9 +671,17 @@ def run_fast(
             elif defer_dp:
                 # device lane: defer — the writer thread aggregates this
                 # batch's runs with the rest of the in-flight window into
-                # one large dispatch (see _dispatch_aggregate)
+                # one large dispatch (see _dispatch_aggregate).  The
+                # per-run (dst rid, ref start) pairs ride along so the
+                # dispatch can gather reference rows on device from the
+                # resident flat reference instead of shipping them.
+                ind_a = np.frombuffer(indel_b, np.int32).reshape(-1, 9)
                 ctx.update(
                     agg=(ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b),
+                    agg_rid_loc=(
+                        np.frombuffer(ctx["dst_rids"], np.int32)[ind_a[:, 0]],
+                        ind_a[:, 1].copy(),
+                    ),
                     deferred=True,
                 )
                 ctx["stage_ns"] = _time.perf_counter_ns() - t0
@@ -951,9 +965,11 @@ def run_fast(
             bounded set of variants); results come back as row slices.
             Returns (parts [(lo, hi)], fetch_future, steps)."""
             from ..ops.realign_batch import (
+                pack_realign_refgather_input as _pack_rg,
                 pack_realign_wire_input as _pack_wire,
                 realign_device_kernel as _kern,
                 realign_device_kernel_wire as _kern_wire,
+                realign_device_kernel_wire_refgather as _kern_wire_rg,
                 unpack_realign_wire as _unpack_wire,
             )
 
@@ -962,7 +978,39 @@ def run_fast(
             Qmax = _next_pow2(max(c["agg"][5] for c in ctxs))
             S_tot = sum(c["agg"][6] for c in ctxs)
             S_b = _next_pow2(max(S_tot, 256))
-            ref = np.zeros((S_b, Rmax), np.uint8)
+            steps = Rmax + Qmax
+            wire_ok = not use_quality and steps % 2 == 0 and steps < 256
+
+            # ref-gather eligibility: every run's dst contig must be in the
+            # current flat-reference snapshot (taken under bp's ref lock —
+            # main may stream new contigs in concurrently)
+            rg_starts = rg_flat = None
+            if wire_ok and refgather_ok:
+                flat, offmap = bp.ref_flat_snapshot()
+                if flat.shape[0] <= 0xFFFFFFFF:
+                    off_lut = np.full(
+                        max(1, len(dst_entries)), -1, np.int64
+                    )
+                    for rid_, o_ in offmap.items():
+                        off_lut[rid_] = o_
+                    starts = np.zeros(S_b, np.int64)
+                    off = 0
+                    for c in ctxs:
+                        rid_arr, loc_arr = c["agg_rid_loc"]
+                        n_real = len(rid_arr)
+                        if n_real:
+                            so = off_lut[rid_arr]
+                            if (so < 0).any():
+                                starts = None
+                                break
+                            starts[off:off + n_real] = so + loc_arr
+                        off += c["agg"][6]
+                    if starts is not None:
+                        rg_starts, rg_flat = starts, flat
+
+            ref = None if rg_starts is not None else np.zeros(
+                (S_b, Rmax), np.uint8
+            )
             qb = np.zeros((S_b, Qmax), np.uint8)
             rl = np.zeros(S_b, np.int32)
             ql = np.zeros(S_b, np.int32)
@@ -980,7 +1028,10 @@ def run_fast(
             off = 0
             for c in ctxs:
                 ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b = c["agg"]
-                ref[off:off + S, :Rp] = np.frombuffer(ref_b, np.uint8).reshape(S, Rp)
+                if ref is not None:
+                    ref[off:off + S, :Rp] = np.frombuffer(
+                        ref_b, np.uint8
+                    ).reshape(S, Rp)
                 qb[off:off + S, :Qp] = np.frombuffer(q_b, np.uint8).reshape(S, Qp)
                 rl[off:off + S] = np.frombuffer(rl_b, np.int32)
                 ql[off:off + S] = np.frombuffer(ql_b, np.int32)
@@ -990,9 +1041,17 @@ def run_fast(
                     ).reshape(S, Qp).astype(np.uint8)
                 parts.append((off, off + S))
                 off += S
-            steps = Rmax + Qmax
-            wire_ok = not use_quality and steps % 2 == 0 and steps < 256
-            if wire_ok:
+            if rg_starts is not None:
+                rh = _kern_wire_rg(
+                    _pack_rg(qb, rg_starts, rl, ql), rg_flat, go, ge,
+                    Rmax, Qmax,
+                )
+
+                def _fetch():
+                    w = jax.device_get(rh)
+                    o, c2 = _unpack_wire(np.asarray(w)[:S_tot], steps)
+                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+            elif wire_ok:
                 rh = _kern_wire(
                     _pack_wire(ref, qb, rl, ql), go, ge, Rmax, Qmax
                 )

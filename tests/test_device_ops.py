@@ -463,6 +463,59 @@ class TestWireFormats:
                 ops_w[i, : count_w[i]], ops_ref[i, : count_ref[i]]
             )
 
+    def test_realign_refgather_wire_matches_wire(self):
+        """The ref-gather wire variant (reference rows gathered on device
+        from the flat reference and dna5-normalised in-kernel) must equal
+        the classic wire kernel fed the staged rows (dna5_table applied,
+        zero-padded past rl) — including raw lowercase/N/junk reference
+        bytes, zero-length padding rows and starts at the buffer edges."""
+        from panvc3_tpu.alphabet import DNA5_NORMALISE
+        from panvc3_tpu.ops.realign_batch import (
+            pack_realign_refgather_input,
+            pack_realign_wire_input,
+            realign_device_kernel_wire,
+            realign_device_kernel_wire_refgather,
+        )
+
+        rng = np.random.default_rng(17)
+        S, R, Q = 64, 8, 8
+        flat = rng.choice(
+            np.frombuffer(b"ACGTacgtNnUuXx-\x00", dtype=np.uint8), 4096
+        ).astype(np.uint8)
+        start = rng.integers(0, len(flat) - R, S).astype(np.int64)
+        start[0] = 0
+        start[1] = len(flat) - R
+        rl = rng.integers(1, R + 1, S).astype(np.int32)
+        ql = rng.integers(1, Q + 1, S).astype(np.int32)
+        # zero-length padding rows, as the aggregate dispatch emits them
+        rl[-4:] = 0
+        ql[-4:] = 0
+        start[-4:] = 0
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        q = rng.choice(bases, (S, Q)).astype(np.uint8)
+        q[np.arange(Q)[None, :] >= ql[:, None]] = 0
+
+        # staged rows, exactly as pv3_stage_realign_runs builds them
+        ref = np.zeros((S, R), np.uint8)
+        for i in range(S):
+            ref[i, : rl[i]] = DNA5_NORMALISE[
+                flat[start[i]: start[i] + rl[i]]
+            ]
+        go, ge = np.float32(0), np.float32(-1)
+
+        classic = np.asarray(
+            realign_device_kernel_wire(
+                pack_realign_wire_input(ref, q, rl, ql), go, ge, R, Q
+            )
+        )
+        gathered = np.asarray(
+            realign_device_kernel_wire_refgather(
+                pack_realign_refgather_input(q, start, rl, ql),
+                jnp.asarray(flat), go, ge, R, Q,
+            )
+        )
+        np.testing.assert_array_equal(gathered, classic)
+
     def test_event_geometry_matches_gap_kernel(self):
         """Host event-based geometry == device gap kernel on random MSAs
         (the fast lane substitutes the former for the latter)."""

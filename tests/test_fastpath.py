@@ -601,6 +601,28 @@ def test_fastlane_dp_aggregation_byte_identical(
     assert outs[("1", "2")] == outs[("0", "16")]
 
 
+def test_fastlane_refgather_wire_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """The ref-gather aggregate wire (reference rows gathered on device
+    from the resident flat reference instead of shipped) must not change a
+    single output byte vs the classic staged-row wire."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+    monkeypatch.setenv("PANVC3_HOST_DP", "0")  # force the device lane
+    monkeypatch.setenv("PANVC3_DP_AGGREGATE", "1")
+
+    outs = {}
+    for rg in ("0", "1"):
+        monkeypatch.setenv("PANVC3_DP_REFGATHER", rg)
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"rg{rg}"
+        )
+        assert stats.realigned_range_count > 0
+        outs[rg] = (out, ranges)
+    assert outs["1"] == outs["0"]
+
+
 def test_fastlane_adaptive_lane_byte_identical(
     msa_files, founder_seqs, tmp_path, monkeypatch
 ):
