@@ -38,7 +38,16 @@ def _enable_compilation_cache() -> None:
         pass
 
 
-_enable_compilation_cache()
+if "--cpu-lane" in sys.argv:
+    # subprocess mode (spawned by _cpu_lane_metric): measure the headline
+    # workload on the CPU backend — a tunnel-independent number that
+    # separates tunnel weather from code regressions.  The axon plugin
+    # ignores JAX_PLATFORMS; jax.config must be set before backend init.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    _enable_compilation_cache()
 
 BASELINE_READS_PER_S = 25_000.0
 WORKFLOW = pathlib.Path("/root/reference/test-workflow")
@@ -186,19 +195,13 @@ def main() -> None:
     raise SystemExit("bench failed after 3 attempts")
 
 
-def _run() -> None:
-    """Tool-level measurement: SAM text in -> projected SAM out through the
-    full panvc3_project_alignments pipeline (parse, device projection, tag
-    surgery, formatting) — the same scope as the reference's own
-    µs/record status counter (project_alignments.cc:446-481)."""
-    import io
+def _setup_headline():
+    """(cfg, sam, n, records, src_entries, dst_entries, ref_id_mapping,
+    ref_seq, founders, batch_size, pipeline_depth): the headline workload,
+    shared by the TPU run and the --cpu-lane subprocess."""
+    import os
 
-    from panvc3_tpu.cigar import format_cigar
-    from panvc3_tpu.pipeline.project_alignments import (
-        ProjectConfig,
-        TagSpec,
-        run_project_alignments,
-    )
+    from panvc3_tpu.pipeline.project_alignments import ProjectConfig, TagSpec
 
     src_entries, dst_entries, ref_id_mapping, ref_seq, founders = build_index_entries()
 
@@ -217,8 +220,6 @@ def _run() -> None:
     ref_path = "/tmp/panvc3_bench_ref.fa"
     with open(ref_path, "wb") as fh:
         fh.write(b">test\n" + ref_seq + b"\n")
-
-    import os
 
     batch_size = int(os.environ.get("PANVC3_BENCH_BATCH", "8192"))
     pipeline_depth = int(os.environ.get("PANVC3_BENCH_DEPTH", "2"))
@@ -240,6 +241,56 @@ def _run() -> None:
         pipeline_depth=pipeline_depth,
         status_output_interval=0,
     )
+    return (
+        cfg, sam, n, records, src_entries, dst_entries, ref_id_mapping,
+        ref_seq, founders, batch_size, pipeline_depth,
+    )
+
+
+def _run_cpu_lane() -> None:
+    """--cpu-lane subprocess: the headline workload on the CPU backend.
+    Prints one JSON line consumed by _cpu_lane_metric."""
+    import io
+
+    from panvc3_tpu.pipeline.project_alignments import run_project_alignments
+
+    cfg, sam, n = _setup_headline()[:3]
+    run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)  # warm
+    best = 0.0
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
+        best = max(best, n / (time.perf_counter() - t0))
+    print(json.dumps({"tool_reads_per_s_cpu_lane": round(best, 1)}))
+
+
+def _cpu_lane_metric() -> dict:
+    """Run the headline workload in a CPU-backend subprocess — a
+    tunnel-independent row that tells tunnel weather from regressions
+    (the kernel-side rows serve the same purpose for device compute)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--cpu-lane"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        timeout=900, check=True, cwd=str(pathlib.Path(__file__).parent),
+    )
+    return json.loads(out.stdout.splitlines()[-1])
+
+
+def _run() -> None:
+    """Tool-level measurement: SAM text in -> projected SAM out through the
+    full panvc3_project_alignments pipeline (parse, device projection, tag
+    surgery, formatting) — the same scope as the reference's own
+    µs/record status counter (project_alignments.cc:446-481)."""
+    import io
+
+    from panvc3_tpu.pipeline.project_alignments import run_project_alignments
+
+    (
+        cfg, sam, n, records, src_entries, dst_entries, ref_id_mapping,
+        ref_seq, founders, batch_size, pipeline_depth,
+    ) = _setup_headline()
 
     # warmup pass (compiles; first scan lowering on the axon tunnel is slow)
     run_project_alignments(io.BytesIO(sam), io.BytesIO(), cfg)
@@ -269,11 +320,23 @@ def _run() -> None:
     lanes = {}
     try:
         lanes = _device_lane_metrics(
-            index_path, ref_path, founders, src_entries, batch_size,
-            pipeline_depth,
+            cfg.msa_index_path, cfg.reference_path, founders, src_entries,
+            batch_size, pipeline_depth,
         )
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] device-lane measurement failed: {exc}", file=sys.stderr)
+
+    # tunnel-independent CPU-lane headline (subprocess, CPU backend)
+    cpu_lane = {}
+    try:
+        cpu_lane = _cpu_lane_metric()
+        print(
+            f"[bench] cpu-lane headline: "
+            f"{cpu_lane.get('tool_reads_per_s_cpu_lane'):,} reads/s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] cpu-lane measurement failed: {exc}", file=sys.stderr)
 
     # kernel-side numbers with device-resident inputs: what the chip itself
     # sustains once the tunnel/host are out of the picture (VERDICT r1 asked
@@ -305,6 +368,7 @@ def _run() -> None:
         "tool_dp_cell_updates_per_s": round(tool_cells_per_s, 1),
     }
     result.update(lanes)
+    result.update(cpu_lane)
     result.update(kernel)
     result.update(deep)
     print(json.dumps(result))
@@ -795,4 +859,7 @@ def _kernel_metrics(
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu-lane" in sys.argv:
+        _run_cpu_lane()
+    else:
+        main()
