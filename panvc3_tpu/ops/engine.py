@@ -163,14 +163,23 @@ class BatchProjector:
             )
             self._ref_flat = None  # device copy built lazily
 
-    def ref_flat_snapshot(self):
-        """(device flat reference, {rid: offset}) as a consistent pair.
+    def ref_flat_snapshot(self, max_h2d_bytes: int | None = None):
+        """(device flat reference, {rid: offset}) as a consistent pair, or
+        None when materialising it would exceed ``max_h2d_bytes``.
 
         Safe to call from the fast lane's drain thread while the main
-        thread streams new contigs through _ensure_refs; materialises the
-        device copy on first use (i.e. only when a device lane actually
-        wants it)."""
+        thread streams new contigs through _ensure_refs.  The H2D cap
+        guards genome-scale tunnel runs: shipping a multi-GB flat
+        reference to enable the ref-gather wire would dwarf the wire it
+        saves — unless the buffer is already device-resident (fused
+        kernels keep it so), in which case the gather is free to use."""
         with self._ref_lock:
+            if (
+                max_h2d_bytes is not None
+                and self._ref_flat is None
+                and self._ref_flat_host.nbytes > max_h2d_bytes
+            ):
+                return None
             return self.ref_flat_dev, dict(self._ref_off)
 
     @property

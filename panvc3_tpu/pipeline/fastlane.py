@@ -327,8 +327,13 @@ def run_fast(
     # (Q+8 B) and gather + dna5-normalise the reference rows in-kernel from
     # the resident flat reference — R bytes/run less wire, the dominant
     # cost of large-run device batches.  PANVC3_DP_REFGATHER=0 reverts to
-    # shipping staged reference rows.
+    # shipping staged reference rows; PANVC3_REFGATHER_MAX_H2D caps the
+    # one-time flat-reference upload the mode may trigger (default 256 MB;
+    # a buffer the fused kernels already made resident is always used).
     refgather_ok = os.environ.get("PANVC3_DP_REFGATHER", "1") != "0"
+    refgather_max_h2d = int(
+        os.environ.get("PANVC3_REFGATHER_MAX_H2D", str(256 << 20))
+    )
 
     # shard-aware check data: dev id -1 == entry outside this index shard
     shard_check = cfg.chr_shard is not None
@@ -985,8 +990,13 @@ def run_fast(
             # current flat-reference snapshot (taken under bp's ref lock —
             # main may stream new contigs in concurrently)
             rg_starts = rg_flat = None
-            if wire_ok and refgather_ok:
-                flat, offmap = bp.ref_flat_snapshot()
+            snap_rg = (
+                bp.ref_flat_snapshot(refgather_max_h2d)
+                if wire_ok and refgather_ok
+                else None
+            )
+            if snap_rg is not None:
+                flat, offmap = snap_rg
                 if flat.shape[0] <= 0xFFFFFFFF:
                     off_lut = np.full(
                         max(1, len(dst_entries)), -1, np.int64
