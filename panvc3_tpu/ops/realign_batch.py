@@ -376,35 +376,86 @@ def _realign_wire(packed_in, go, ge, R, Q):
 realign_device_kernel_wire = jax.jit(_realign_wire, static_argnames=("R", "Q"))
 
 
+# ---------------------------------------------------------------------------
+# Ref-gather wire: the reference rows stay on device (row-gathered from the
+# resident flat reference), and the query ships as 4-bit MATCH-EQUIVALENCE
+# codes.  The DP's output depends on the query only through the match
+# matrix against dna5-normalised reference bytes ({A,C,G,T,N}) and zero
+# padding, so a 7-value code preserves it exactly: A/C/G/T/N round-trip,
+# every other byte maps to a canonical non-matching byte (0x01), and NUL
+# stays NUL (padding).  Input row (Q/2 + 8 B):
+# [query codes 4-bit packed | ref start u32 LE | ref_len u16 | query_len
+# u16].  Output row (steps/4 + 1 B): the traceback ops 2-bit packed
+# (=,X,I,D are the only codes a traceback emits) plus the count byte.
+# ---------------------------------------------------------------------------
+
+# byte -> match-equivalence code
+QUERY_CODE = np.full(256, 5, dtype=np.uint8)  # OTHER
+for _i, _c in enumerate(b"ACGTN"):
+    QUERY_CODE[_c] = _i
+QUERY_CODE[0] = 6  # PAD (stays NUL)
+# code -> canonical byte (OTHER -> 0x01: never equals a dna5 ref byte or 0)
+QUERY_DECODE = np.frombuffer(b"ACGTN\x01\x00\x00", dtype=np.uint8).copy()
+
+_TB_OPS = (7, 8, 1, 2)  # =, X, I, D — the only ops a traceback emits
+
+
 def pack_realign_refgather_input(
     query: np.ndarray, start: np.ndarray, rl: np.ndarray, ql: np.ndarray
 ) -> np.ndarray:
-    """Wire input for the ref-gather variant: the reference rows stay on
-    device (gathered from the resident flat reference), so each row ships
-    only [query Q | ref start u32 LE | ref_len u16 | query_len u16]
-    (Q+8 bytes vs R+Q+4 for the classic wire — the dominant wire cut for
-    large-run batches)."""
     s, q = query.shape
-    out = np.empty((s, q + 8), dtype=np.uint8)
-    out[:, :q] = query
-    out[:, q:q + 4] = start.astype("<u4").view(np.uint8).reshape(s, 4)
-    out[:, q + 4:q + 6] = rl.astype("<u2").view(np.uint8).reshape(s, 2)
-    out[:, q + 6:] = ql.astype("<u2").view(np.uint8).reshape(s, 2)
+    codes = QUERY_CODE[query]
+    out = np.empty((s, q // 2 + 8), dtype=np.uint8)
+    out[:, : q // 2] = codes[:, 0::2] | (codes[:, 1::2] << 4)
+    out[:, q // 2: q // 2 + 4] = (
+        start.astype("<u4").view(np.uint8).reshape(s, 4)
+    )
+    out[:, q // 2 + 4: q // 2 + 6] = (
+        rl.astype("<u2").view(np.uint8).reshape(s, 2)
+    )
+    out[:, q // 2 + 6:] = ql.astype("<u2").view(np.uint8).reshape(s, 2)
     return out
 
 
+def unpack_realign_refgather_wire(wire: np.ndarray, steps: int):
+    """(ops int8[S, steps], count int32[S]) from a fetched ref-gather wire
+    buffer (2-bit op codes); entries past ``count`` are never read
+    downstream."""
+    s = wire.shape[0]
+    quarter = steps // 4
+    lut = np.asarray(_TB_OPS, dtype=np.int8)
+    ops = np.empty((s, steps), dtype=np.int8)
+    body = wire[:, :quarter]
+    ops[:, 0::4] = lut[body & 3]
+    ops[:, 1::4] = lut[(body >> 2) & 3]
+    ops[:, 2::4] = lut[(body >> 4) & 3]
+    ops[:, 3::4] = lut[body >> 6]
+    count = wire[:, quarter].astype(np.int32)
+    return ops, count
+
+
 def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
-    """Classic wire DP, but the reference rows are row-gathered on device
-    from the flat reference buffer (raw bytes; the per-contig text the
-    fused kernels already keep resident) and dna5-normalised + zero-padded
-    in-kernel, reproducing stage_realign_runs' staged rows exactly
-    (native/fastpath.c pv3_stage_realign_runs writes dna5_table[ref[k]]
-    for k < rl and zeros beyond)."""
+    """Classic wire DP with both wire directions slimmed: reference rows
+    row-gathered from the flat reference (raw bytes; the per-contig text
+    the fused kernels already keep resident), dna5-normalised +
+    zero-padded in-kernel to reproduce stage_realign_runs' staged rows
+    exactly (native/fastpath.c pv3_stage_realign_runs writes
+    dna5_table[ref[k]] for k < rl and zeros beyond); query rows decoded
+    from 4-bit codes; traceback ops returned 2-bit packed."""
     from ..alphabet import dna5_normalise_device
 
     p = packed_in
-    query = p[:, :Q]
-    tail = p[:, Q:].astype(jnp.int32)
+    half = Q // 2
+    packed_q = p[:, :half]
+    codes = jnp.empty((p.shape[0], Q), jnp.uint8)
+    codes = codes.at[:, 0::2].set(packed_q & 0xF)
+    codes = codes.at[:, 1::2].set(packed_q >> 4)
+    # code -> canonical byte, as elementwise selects (a table gather
+    # serializes per element on this backend)
+    query = jnp.uint8(0)
+    for code, byte in enumerate(QUERY_DECODE[:6]):
+        query = jnp.where(codes == jnp.uint8(code), jnp.uint8(byte), query)
+    tail = p[:, half:].astype(jnp.int32)
     start = tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16) | (
         tail[:, 3] << 24
     )
@@ -424,8 +475,20 @@ def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
         sub = _substitution_scores(ref, query, None, None, False)
         trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
         ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
-    nib = (ops.astype(jnp.uint8)) & 0xF
-    packed_ops = nib[:, 0::2] | (nib[:, 1::2] << 4)
+    # 2-bit encode: ops are in {=,X,I,D}; anything past count is padding
+    # and may encode arbitrarily (downstream never reads it)
+    o = ops.astype(jnp.uint8)
+    code2 = (
+        jnp.where(o == jnp.uint8(8), jnp.uint8(1), jnp.uint8(0))
+        | jnp.where(o == jnp.uint8(1), jnp.uint8(2), jnp.uint8(0))
+        | jnp.where(o == jnp.uint8(2), jnp.uint8(3), jnp.uint8(0))
+    )
+    packed_ops = (
+        code2[:, 0::4]
+        | (code2[:, 1::4] << 2)
+        | (code2[:, 2::4] << 4)
+        | (code2[:, 3::4] << 6)
+    )
     return jnp.concatenate(
         [packed_ops, jnp.minimum(count, 255).astype(jnp.uint8)[:, None]], axis=1
     )

@@ -975,6 +975,7 @@ def run_fast(
                 realign_device_kernel as _kern,
                 realign_device_kernel_wire as _kern_wire,
                 realign_device_kernel_wire_refgather as _kern_wire_rg,
+                unpack_realign_refgather_wire as _unpack_rg,
                 unpack_realign_wire as _unpack_wire,
             )
 
@@ -982,7 +983,7 @@ def run_fast(
             Rmax = _next_pow2(max(c["agg"][4] for c in ctxs))
             Qmax = _next_pow2(max(c["agg"][5] for c in ctxs))
             S_tot = sum(c["agg"][6] for c in ctxs)
-            S_b = _next_pow2(max(S_tot, 256))
+            S_b = _next_row_bucket(max(S_tot, 256))
             steps = Rmax + Qmax
             wire_ok = not use_quality and steps % 2 == 0 and steps < 256
 
@@ -992,7 +993,7 @@ def run_fast(
             rg_starts = rg_flat = None
             snap_rg = (
                 bp.ref_flat_snapshot(refgather_max_h2d)
-                if wire_ok and refgather_ok
+                if wire_ok and refgather_ok and steps % 4 == 0
                 else None
             )
             if snap_rg is not None:
@@ -1059,7 +1060,7 @@ def run_fast(
 
                 def _fetch():
                     w = jax.device_get(rh)
-                    o, c2 = _unpack_wire(np.asarray(w)[:S_tot], steps)
+                    o, c2 = _unpack_rg(np.asarray(w)[:S_tot], steps)
                     return np.ascontiguousarray(o), np.ascontiguousarray(c2)
             elif wire_ok:
                 rh = _kern_wire(
@@ -1326,5 +1327,19 @@ def run_fast(
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
+        p <<= 1
+    return p
+
+
+def _next_row_bucket(n: int) -> int:
+    """Smallest {p, 1.5p} ladder value >= n (p a power of two).  Row
+    buckets for the aggregate realign dispatch: a pure pow2 ladder wastes
+    up to 2x wire in padding rows just above a boundary; the half-octave
+    step bounds the waste at 33% while keeping the compiled shape set
+    small (two per octave)."""
+    p = 1
+    while p < n:
+        if p + (p >> 1) >= n:
+            return p + (p >> 1)
         p <<= 1
     return p

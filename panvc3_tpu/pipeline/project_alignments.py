@@ -477,7 +477,9 @@ def run_project_alignments(
 
     if cfg.engine == "device":
         from ..ops.engine import BatchProjector
+        from ..utils import enable_compile_cache
 
+        enable_compile_cache()
         mesh = None
         if cfg.data_parallel:
             from ..parallel.mesh import make_mesh

@@ -68,6 +68,41 @@ class StatusReporter:
         log_time(msg + ".")
 
 
+_compile_cache_enabled = False
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for device-engine tool runs.
+
+    TPU compiles are expensive (minutes per fresh realign/rewrite shape
+    over the axon tunnel); caching them on disk makes every tool run
+    after the first start warm.  CPU runs skip it (compiles are cheap and
+    tests should not write cache files).  PANVC3_COMPILE_CACHE=0
+    disables; JAX_COMPILATION_CACHE_DIR overrides the default
+    ~/.cache/panvc3_tpu/jax."""
+    global _compile_cache_enabled
+    if _compile_cache_enabled:
+        return
+    _compile_cache_enabled = True
+    import os
+
+    if os.environ.get("PANVC3_COMPILE_CACHE") == "0":
+        return
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return
+        d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "panvc3_tpu", "jax"
+        )
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimisation only
+        pass
+
+
 def log_peak_memory(file=sys.stderr) -> int:
     """Log and return peak RSS in bytes (the role of libbio's
     log_memory_usage)."""

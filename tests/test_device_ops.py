@@ -465,16 +465,20 @@ class TestWireFormats:
 
     def test_realign_refgather_wire_matches_wire(self):
         """The ref-gather wire variant (reference rows gathered on device
-        from the flat reference and dna5-normalised in-kernel) must equal
+        from the flat reference and dna5-normalised in-kernel; query as
+        4-bit match-equivalence codes; traceback 2-bit packed) must equal
         the classic wire kernel fed the staged rows (dna5_table applied,
-        zero-padded past rl) — including raw lowercase/N/junk reference
-        bytes, zero-length padding rows and starts at the buffer edges."""
+        zero-padded past rl) — including raw lowercase/N/junk bytes on
+        both sides, zero-length padding rows and starts at the buffer
+        edges."""
         from panvc3_tpu.alphabet import DNA5_NORMALISE
         from panvc3_tpu.ops.realign_batch import (
             pack_realign_refgather_input,
             pack_realign_wire_input,
             realign_device_kernel_wire,
             realign_device_kernel_wire_refgather,
+            unpack_realign_refgather_wire,
+            unpack_realign_wire,
         )
 
         rng = np.random.default_rng(17)
@@ -491,8 +495,11 @@ class TestWireFormats:
         rl[-4:] = 0
         ql[-4:] = 0
         start[-4:] = 0
-        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-        q = rng.choice(bases, (S, Q)).astype(np.uint8)
+        # query bytes include lowercase/N/junk: the 4-bit code must
+        # preserve the match matrix vs dna5-normalised reference bytes
+        q = rng.choice(
+            np.frombuffer(b"ACGTACGTACGTNnat?", dtype=np.uint8), (S, Q)
+        ).astype(np.uint8)
         q[np.arange(Q)[None, :] >= ql[:, None]] = 0
 
         # staged rows, exactly as pv3_stage_realign_runs builds them
@@ -508,13 +515,19 @@ class TestWireFormats:
                 pack_realign_wire_input(ref, q, rl, ql), go, ge, R, Q
             )
         )
+        ops_c, cnt_c = unpack_realign_wire(classic, R + Q)
         gathered = np.asarray(
             realign_device_kernel_wire_refgather(
                 pack_realign_refgather_input(q, start, rl, ql),
                 jnp.asarray(flat), go, ge, R, Q,
             )
         )
-        np.testing.assert_array_equal(gathered, classic)
+        ops_g, cnt_g = unpack_realign_refgather_wire(gathered, R + Q)
+        np.testing.assert_array_equal(cnt_g, cnt_c)
+        for i in range(S):
+            np.testing.assert_array_equal(
+                ops_g[i, : cnt_g[i]], ops_c[i, : cnt_c[i]]
+            )
 
     def test_event_geometry_matches_gap_kernel(self):
         """Host event-based geometry == device gap kernel on random MSAs
