@@ -91,6 +91,8 @@ def enable_compile_cache() -> None:
     try:
         import jax
 
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # caller (e.g. bench.py) already configured a cache
         if jax.default_backend() != "tpu":
             return
         d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
