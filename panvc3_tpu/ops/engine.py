@@ -582,6 +582,27 @@ class BatchProjector:
                 rewritten, record_runs,
             )
         realigned = _decode_realigned(realign_ops, realign_counts, total_runs)
+        # Defensive geometry compare: the DP consumed exactly the device-
+        # detected (ref, query) slice lengths, so each realigned CIGAR's
+        # consumption must match the host-detected run it replaces.  A bare
+        # run-count compare passes when counts coincide but coordinates
+        # shifted (ADVICE r3); device runs are compacted in (record, CIGAR)
+        # order, matching the host's flattened order.
+        k = 0
+        for runs in record_runs:
+            for r in runs:
+                qc = rc = 0
+                for c, op in realigned[k]:
+                    if op != "D":
+                        qc += c
+                    if op != "I":
+                        rc += c
+                k += 1
+                if qc != r.query_length or rc != r.ref_length:
+                    return self._realign_and_splice(
+                        records, queries, dst_ref_ids, ref_seqs, cfg,
+                        dst_pos, rewritten, record_runs,
+                    )
         return self._splice(records, dst_pos, rewritten, record_runs, realigned)
 
     def _finalize_any(self, batch, dst_pos_a, d_run, main_code, b):

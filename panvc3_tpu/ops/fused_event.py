@@ -244,10 +244,18 @@ def _fused_event_body(
         ),
         seg_opc,
     )
+    # Non-ref (pass-through) ops must be gated on segment width: a boundary
+    # landing exactly on the op's unit position (e.g. a dst-gap run ending
+    # at the ref rank just before an I/S op) creates a zero-length segment
+    # that `owns` still attributes to the op; emitting seg_cnt there would
+    # duplicate the op in the token stream and shift every downstream
+    # query/run coordinate.  The op's own segment always has n_seg >= 1
+    # (_PR_OP sorts last at its position and the next boundary sits at a
+    # strictly greater unit position), so exactly one copy survives.
     main_len = jnp.where(
         seg_isref,
         jnp.where(main_code == CODE_NONE, 0, n_seg),
-        seg_cnt,
+        jnp.where(n_seg > 0, seg_cnt, 0),
     )
 
     if _stage == 4:  # segment attribute decode

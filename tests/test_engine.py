@@ -616,3 +616,89 @@ def test_fused_event_clip_and_passthrough_ops(msa_files, founder_seqs, monkeypat
         assert stats.matched_reads == 80
         outs[engine] = out.getvalue()
     assert outs["host"] == outs["device"]
+
+
+def test_fused_event_zero_width_boundary_on_passthrough_op(tmp_path, monkeypatch):
+    """Regression (ADVICE r3): a dst-gap run ending exactly at the ref rank
+    immediately preceding a pass-through op (I, or a trailing S) creates a
+    zero-length segment owned by that op; fused v4 must NOT emit the op
+    twice there (it used to emit seg_cnt ungated by segment width, shifting
+    every downstream query/run coordinate and corrupting the CIGAR)."""
+    from panvc3_tpu.bitvec import GapBitVector
+    from panvc3_tpu.msa_index import ChrEntry, MsaIndex, SequenceEntry
+    import panvc3_tpu.ops.engine as eng
+
+    rng = np.random.default_rng(17)
+    n_cols = 512
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n_cols)
+    founder_aligned = base.copy()
+    ref_aligned = base.copy()
+    # dst-gap runs covering exactly the leading 2= of reads r0/r1 (so the
+    # gap-off boundary lands on the I op's unit position) and the last two
+    # ref units before r2's trailing soft clip
+    for a, b_ in ((10, 12), (100, 102), (218, 220)):
+        ref_aligned[a:b_] = ord("-")
+
+    index = MsaIndex()
+    ce = ChrEntry("test")
+    ce.sequence_entries = sorted(
+        [
+            SequenceEntry("REF", GapBitVector.from_gap_string(ref_aligned.tobytes())),
+            SequenceEntry("1", GapBitVector.from_gap_string(founder_aligned.tobytes())),
+        ],
+        key=lambda e: e.seq_id,
+    )
+    index.chr_entries.append(ce)
+    index.sort()
+    index_path = tmp_path / "msa.npz"
+    index.save(str(index_path))
+    ref_path = tmp_path / "ref.fa"
+    ref_path.write_bytes(b">test\n" + ref_aligned.tobytes().replace(b"-", b"") + b"\n")
+
+    f = founder_aligned.tobytes()
+    lines = ["@HD\tVN:1.6", f"@SQ\tSN:test/1\tLN:{len(f)}"]
+    # r0/r1: 2=1I2D20= with the 2= fully under a dst-gap run -> the rewrite
+    # turns them into I and the gap-off boundary coincides with the 1I
+    for i, pos in enumerate((10, 100)):
+        seq = (f[pos:pos + 2] + b"A" + f[pos + 4:pos + 24]).decode()
+        lines.append(
+            f"r{i}\t0\ttest/1\t{pos + 1}\t60\t2=1I2D20=\t*\t0\t0\t{seq}\t{'I' * len(seq)}"
+        )
+    # r2: trailing soft clip whose unit position coincides with a gap-off
+    seq2 = (f[200:220] + b"AC").decode()
+    lines.append(f"r2\t0\ttest/1\t201\t60\t20=2S\t*\t0\t0\t{seq2}\t{'I' * len(seq2)}")
+    sam = ("\n".join(lines) + "\n").encode()
+
+    calls = {"gap": 0, "host_realign": 0}
+    orig_fg = eng.BatchProjector._dispatch_fused_gap
+    orig_rs = eng.BatchProjector._realign_and_splice
+
+    def spy_fg(self, *a, **kw):
+        calls["gap"] += 1
+        return orig_fg(self, *a, **kw)
+
+    def spy_rs(self, *a, **kw):
+        calls["host_realign"] += 1
+        return orig_rs(self, *a, **kw)
+
+    monkeypatch.setattr(eng.BatchProjector, "_dispatch_fused_gap", spy_fg)
+    monkeypatch.setattr(eng.BatchProjector, "_realign_and_splice", spy_rs)
+
+    outs = {}
+    for engine, fused in (("host", False), ("device", True)):
+        cfg = ProjectConfig(
+            msa_index_path=str(index_path),
+            reference_path=str(ref_path),
+            reference_msa_id="REF",
+            ref_id_separator="/",
+            engine=engine,
+            device_batch_size=16,
+            fused_kernel=fused,
+        )
+        out = io.BytesIO()
+        stats = run_project_alignments(io.BytesIO(sam), out, cfg)
+        assert stats.matched_reads == 3
+        outs[engine] = out.getvalue()
+    assert calls["gap"] == 0  # no event-overflow redispatch: v4 path used
+    assert calls["host_realign"] == 0  # device DP results were used
+    assert outs["host"] == outs["device"]
