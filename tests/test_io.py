@@ -14,7 +14,7 @@ from panvc3_tpu.io.sam import (
     parse_sam_record,
 )
 
-REF_WORKFLOW = pathlib.Path("/root/reference/test-workflow")
+REF_WORKFLOW = pathlib.Path(__file__).resolve().parent.parent / "workflows/test-workflow/data"
 
 
 def test_bgzf_roundtrip(tmp_path):
@@ -81,7 +81,6 @@ def test_bgzf_native_python_cross_compat(tmp_path, monkeypatch):
         assert rd_nat.read_range(start, ln) == data[start:start + ln]
 
 
-@pytest.mark.skipif(not REF_WORKFLOW.exists(), reason="reference data absent")
 def test_read_bundled_genome():
     fa = FastaReader(str(REF_WORKFLOW / "genome/genome.fa.gz"))
     assert fa.names == ["test"]
@@ -101,7 +100,6 @@ def test_plain_fasta(tmp_path):
     assert fa.read_sequence("s2") == b"TTTT"
 
 
-@pytest.mark.skipif(not REF_WORKFLOW.exists(), reason="reference data absent")
 def test_read_bundled_bam():
     rd = SamReader(str(REF_WORKFLOW / "reads/alignment.bam"))
     assert rd.header.ref_names == ["test"]
@@ -113,7 +111,6 @@ def test_read_bundled_bam():
     assert r.query_length() == len(r.seq)
 
 
-@pytest.mark.skipif(not REF_WORKFLOW.exists(), reason="reference data absent")
 def test_bam_roundtrip(tmp_path):
     rd = SamReader(str(REF_WORKFLOW / "reads/alignment.bam"))
     recs = list(rd)

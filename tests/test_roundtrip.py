@@ -1,6 +1,6 @@
 """Round-trip integration test on the bundled real reads.
 
-/root/reference/test-workflow/reads/alignment.bam holds the 2000
+workflows/test-workflow/data/reads/alignment.bam (vendored reference data) holds the 2000
 Mason-simulated alignments against the original genome.  We project each
 record from REF coordinates into a founder's coordinates (using REF as the
 source row and the founder as destination — the same machinery in the
@@ -25,7 +25,6 @@ from panvc3_tpu.projector import project_alignment
 
 from .test_workflow_data import WORKFLOW, founder_seqs, msa_files  # fixtures
 
-pytestmark = pytest.mark.skipif(not WORKFLOW.exists(), reason="toy data absent")
 
 
 @pytest.mark.parametrize("engine", ["host", "device"])

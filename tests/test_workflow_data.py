@@ -1,7 +1,8 @@
-"""End-to-end tests over the bundled toy workflow data
-(/root/reference/test-workflow): build the MSA index from the real founder
-sequences, synthesise founder-aligned reads, project them, and verify
-coordinate/CIGAR consistency invariants."""
+"""End-to-end tests over the vendored toy workflow data
+(workflows/test-workflow/data, a verbatim copy of the reference's bundled
+/root/reference/test-workflow inputs — see its README): build the MSA index
+from the real founder sequences, synthesise founder-aligned reads, project
+them, and verify coordinate/CIGAR consistency invariants."""
 
 import io
 import pathlib
@@ -20,8 +21,7 @@ from panvc3_tpu.pipeline.project_alignments import (
     run_project_alignments,
 )
 
-WORKFLOW = pathlib.Path("/root/reference/test-workflow")
-pytestmark = pytest.mark.skipif(not WORKFLOW.exists(), reason="toy data absent")
+WORKFLOW = pathlib.Path(__file__).resolve().parent.parent / "workflows/test-workflow/data"
 
 
 @pytest.fixture(scope="module")

@@ -7,22 +7,23 @@ and /root/reference/bowtie2-workflow/Snakefile:28-220.  snakemake itself is
 not installed in this image, so this parses the rule structure with a
 minimal reader (no DAG execution) — enough to catch drift that no other
 test can (renamed rules, dropped flags, changed file roles).
+
+The reference side of the comparison is vendored as a derived-structure
+fixture (tests/data/ref_snakefile_structure.json: per rule, its named I/O
+entries, primary tool, flags and benchmark presence) so the parity checks
+run without the reference checkout; when the checkout IS mounted the live
+Snakefiles are re-parsed and must match the fixture (staleness guard).
 """
 
 from __future__ import annotations
 
+import json
 import pathlib
 import re
 
-import pytest
-
 REFERENCE = pathlib.Path("/root/reference")
 REPO = pathlib.Path(__file__).resolve().parent.parent / "workflows"
-
-pytestmark = pytest.mark.skipif(
-    not (REFERENCE / "test-workflow/Snakefile").exists(),
-    reason="reference Snakefiles absent",
-)
+STRUCTURE_FIXTURE = pathlib.Path(__file__).resolve().parent / "data/ref_snakefile_structure.json"
 
 _SECTION_KEYS = (
     "message", "conda", "threads", "benchmark", "input", "output",
@@ -82,11 +83,38 @@ def io_names(rule: dict[str, str], section: str) -> set[str]:
     return set(re.findall(r"^\s*(\w+)\s*=", rule.get(section, ""), re.M))
 
 
+def derive_structure(rules: dict[str, dict[str, str]]) -> dict[str, dict]:
+    """The per-rule facts the parity tests assert on, in the fixture's
+    JSON shape (tests/data/ref_snakefile_structure.json)."""
+    return {
+        name: {
+            "io": {s: sorted(io_names(rule, s)) for s in ("input", "output")},
+            "tool": shell_tool(rule),
+            "flags": sorted(shell_flags(rule)),
+            "input_raw": rule.get("input", ""),
+            "has_benchmark": "benchmark" in rule,
+        }
+        for name, rule in rules.items()
+    }
+
+
+def ref_structure(workflow: str) -> dict[str, dict]:
+    """Vendored reference structure; live-checked when the checkout exists."""
+    fixture = json.loads(STRUCTURE_FIXTURE.read_text())[workflow]
+    live_path = REFERENCE / workflow / "Snakefile"
+    if live_path.exists():
+        live = derive_structure(parse_snakefile(live_path))
+        assert live == fixture, (
+            f"tests/data/ref_snakefile_structure.json is stale for {workflow}"
+        )
+    return fixture
+
+
 # -- test-workflow: strict rule-by-rule parity --------------------------------
 
 def test_test_workflow_rule_parity():
-    ref = parse_snakefile(REFERENCE / "test-workflow/Snakefile")
-    ours = parse_snakefile(REPO / "test-workflow/Snakefile")
+    ref = ref_structure("test-workflow")
+    ours = derive_structure(parse_snakefile(REPO / "test-workflow/Snakefile"))
 
     assert set(ref) == set(ours), (
         "test-workflow rule names must match the reference DAG"
@@ -95,21 +123,18 @@ def test_test_workflow_rule_parity():
     for name, ref_rule in ref.items():
         our_rule = ours[name]
         # I/O roles: same named entries per section
-        for section in ("input", "output"):
-            assert io_names(ref_rule, section) == io_names(our_rule, section), (
-                name, section,
-            )
+        assert ref_rule["io"] == our_rule["io"], name
         # same primary tool (modulo the reference's open-file-limit wrapper)
-        ref_tool = shell_tool(ref_rule)
-        assert shell_tool(our_rule) == ref_tool, name
+        ref_tool = ref_rule["tool"]
+        assert our_rule["tool"] == ref_tool, name
         # panvc3 tool invocations carry at least the reference's flags
         if ref_tool and ref_tool.startswith("panvc3_"):
-            missing = shell_flags(ref_rule) - shell_flags(our_rule)
+            missing = set(ref_rule["flags"]) - set(our_rule["flags"])
             assert not missing, (name, missing)
 
     # the terminal target is the same artifact
-    assert "alignments.mapq-recalculated.sam.gz" in ref["all"].get("input", "")
-    assert "alignments.mapq-recalculated.sam.gz" in ours["all"].get("input", "")
+    assert "alignments.mapq-recalculated.sam.gz" in ref["all"]["input_raw"]
+    assert "alignments.mapq-recalculated.sam.gz" in ours["all"]["input_raw"]
 
 
 def test_test_workflow_tool_flag_values():
@@ -148,17 +173,17 @@ _EXTRA_FLAG_ALLOWLIST = {"--engine", "--pipe", "--data-parallel",
 
 
 def test_bowtie2_workflow_pipeline_rules():
-    ref = parse_snakefile(REFERENCE / "bowtie2-workflow/Snakefile")
-    ours = parse_snakefile(REPO / "bowtie2-workflow/Snakefile")
+    ref = ref_structure("bowtie2-workflow")
+    ours = derive_structure(parse_snakefile(REPO / "bowtie2-workflow/Snakefile"))
 
     for name in _PIPELINE_RULES:
         assert name in ref, name  # guards the parser itself
         assert name in ours, f"pipeline rule {name} missing from our Snakefile"
         ref_rule, our_rule = ref[name], ours[name]
-        ref_tool = shell_tool(ref_rule)
+        ref_tool = ref_rule["tool"]
         if ref_tool and ref_tool.startswith(("panvc3_", "bowtie2", "vcf2multialign")):
-            assert shell_tool(our_rule) == ref_tool, name
-            ref_f, our_f = shell_flags(ref_rule), shell_flags(our_rule)
+            assert our_rule["tool"] == ref_tool, name
+            ref_f, our_f = set(ref_rule["flags"]), set(our_rule["flags"])
             # --pipe-input / run-gzip.sh piping is environment plumbing;
             # everything else must be present
             missing = {
@@ -171,12 +196,12 @@ def test_bowtie2_workflow_pipeline_rules():
             assert not extra, (name, extra)
         # output roles match (reference .dat index vs our .npz is the one
         # sanctioned difference; names/keys must agree)
-        assert io_names(ref_rule, "output") == io_names(our_rule, "output"), name
+        assert ref_rule["io"]["output"] == our_rule["io"]["output"], name
 
     # every pipeline rule keeps its Snakemake benchmark directive, like the
     # reference (bowtie2-workflow/Snakefile:31-160)
     for name in _PIPELINE_RULES:
-        assert "benchmark" in ours[name], name
+        assert ours[name]["has_benchmark"], name
 
 
 def test_bowtie2_workflow_adapter_transforms():

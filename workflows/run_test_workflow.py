@@ -11,7 +11,7 @@ MSA when none is given), then
 Useful for smoke-testing the full stack on the bundled reference data:
 
     python workflows/run_test_workflow.py --workdir /tmp/wf \
-        --data /root/reference/test-workflow
+        --data workflows/test-workflow/data
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", required=True)
-    p.add_argument("--data", default="/root/reference/test-workflow")
+    p.add_argument("--data", default=str(pathlib.Path(__file__).resolve().parent / "test-workflow/data"))
     p.add_argument("--alignments", help="founder-aligned SAM/BAM input")
     p.add_argument("--n-reads", type=int, default=1000)
     p.add_argument("--engine", choices=("host", "device"), default="host")
