@@ -38,10 +38,10 @@ def _enable_compilation_cache() -> None:
         pass
 
 
-if "--cpu-lane" in sys.argv:
-    # subprocess mode (spawned by _cpu_lane_metric): measure the headline
-    # workload on the CPU backend — a tunnel-independent number that
-    # separates tunnel weather from code regressions.  The axon plugin
+if "--cpu-lane" in sys.argv or "--scaling" in sys.argv:
+    # subprocess modes (spawned by _cpu_lane_metric / _scaling_metrics):
+    # measured on the CPU backend — tunnel-independent numbers that
+    # separate tunnel weather from code regressions.  The axon plugin
     # ignores JAX_PLATFORMS; jax.config must be set before backend init.
     import jax
 
@@ -50,7 +50,7 @@ else:
     _enable_compilation_cache()
 
 BASELINE_READS_PER_S = 25_000.0
-WORKFLOW = pathlib.Path("/root/reference/test-workflow")
+WORKFLOW = pathlib.Path(__file__).resolve().parent / "workflows/test-workflow/data"
 
 
 def build_index_entries():
@@ -278,6 +278,95 @@ def _cpu_lane_metric() -> dict:
     return json.loads(out.stdout.splitlines()[-1])
 
 
+def _run_scaling() -> None:
+    """--scaling subprocess: the 1→N process full-tool scaling figure the
+    multi-host design targets (BASELINE.md ≥0.8; tracked per round per
+    VERDICT r3 #8).  Mirrors tests/test_multiprocess_tool.py: N
+    jax.distributed processes each run the whole tool over a chromosome
+    shard (chr-sharded index load + pre-routed input); efficiency is
+    t_single / (N * max_k t_k).  Prints one JSON line."""
+    import subprocess
+    import tempfile
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from tests.test_multiprocess_tool import (
+        WORKER,
+        _free_port,
+        _synth_reads,
+    )
+    from tests.test_seqbuf import _many_contig_setup
+
+    from panvc3_tpu.pipeline.project_alignments import split_ref_id
+
+    rows = {}
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td)
+        index_path, fa_path, founders = _many_contig_setup(tmp, 6)
+        lines = _synth_reads(founders, n_reads=64000)
+        header = [l for l in lines if l.startswith("@")]
+        records = [l for l in lines if not l.startswith("@")]
+        chr_ids = sorted(founders)
+        (tmp / "full.sam").write_text("\n".join(header + records) + "\n")
+
+        import os
+
+        env = {**os.environ, "PYTHONPATH": str(pathlib.Path(__file__).parent)}
+
+        def spawn(pid, n_procs, port, in_name, tag):
+            return subprocess.Popen(
+                [
+                    sys.executable, "-c", WORKER, str(pid), str(n_procs),
+                    str(port), str(index_path), str(fa_path),
+                    str(tmp / in_name), str(tmp / f"out_{tag}.sam"),
+                    str(tmp / f"ranges_{tag}.tsv"), str(tmp / f"t_{tag}.txt"),
+                ],
+                env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+
+        p = spawn(0, 1, 0, "full.sam", "single")
+        p.communicate(timeout=600)
+        assert p.returncode == 0
+        t1 = float((tmp / "t_single.txt").read_text().split("\t")[0])
+
+        for n_procs in (2, 3):
+            shards: list[list[str]] = [[] for _ in range(n_procs)]
+            for line in records:
+                chr_id, _ = split_ref_id(line.split("\t", 3)[2], "/")
+                shards[chr_ids.index(chr_id) % n_procs].append(line)
+            for k in range(n_procs):
+                (tmp / f"shard{k}_{n_procs}.sam").write_text(
+                    "\n".join(header + shards[k]) + "\n"
+                )
+            port = _free_port()
+            procs = [
+                spawn(k, n_procs, port, f"shard{k}_{n_procs}.sam", f"p{k}")
+                for k in range(n_procs)
+            ]
+            for p in procs:
+                p.communicate(timeout=600)
+            if not all(p.returncode == 0 for p in procs):
+                continue
+            tn = max(
+                float((tmp / f"t_p{k}.txt").read_text().split("\t")[0])
+                for k in range(n_procs)
+            )
+            rows[f"scaling_efficiency_{n_procs}proc"] = round(
+                t1 / (n_procs * tn), 3
+            )
+    print(json.dumps(rows))
+
+
+def _scaling_metrics() -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--scaling"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        timeout=1200, check=True, cwd=str(pathlib.Path(__file__).parent),
+    )
+    return json.loads(out.stdout.splitlines()[-1])
+
+
 def _run() -> None:
     """Tool-level measurement: SAM text in -> projected SAM out through the
     full panvc3_project_alignments pipeline (parse, device projection, tag
@@ -357,6 +446,15 @@ def _run() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] deep-table measurement failed: {exc}", file=sys.stderr)
 
+    # 1→2/3-process full-tool scaling efficiency (CPU-mesh subprocesses;
+    # VERDICT r3 #8 asked for this as a per-round artifact)
+    scaling = {}
+    try:
+        scaling = _scaling_metrics()
+        print(f"[bench] scaling: {scaling}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] scaling measurement failed: {exc}", file=sys.stderr)
+
     result = {
         "metric": "projected_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -371,6 +469,7 @@ def _run() -> None:
     result.update(cpu_lane)
     result.update(kernel)
     result.update(deep)
+    result.update(scaling)
     print(json.dumps(result))
 
 
@@ -861,5 +960,7 @@ def _kernel_metrics(
 if __name__ == "__main__":
     if "--cpu-lane" in sys.argv:
         _run_cpu_lane()
+    elif "--scaling" in sys.argv:
+        _run_scaling()
     else:
         main()
