@@ -3000,9 +3000,25 @@ static void rdp_align_one(
     /* quantised Malde quality scoring (align.malde_tables): 64x64 int32
        match/mismatch tables + per-base phreds; NULL = integer scheme */
     const int32_t *mtab, const int32_t *xtab,
-    const int32_t *rq, const int32_t *qq)
+    const int32_t *rq, const int32_t *qq,
+    float *srow)                    /* scratch, n (per-row scores) */
 {
     long stride = n + 1;
+
+    /* constant reference qualities (the production path ALWAYS pins them
+       to phred42 max, stage_realign_runs): the per-cell 64x64 table
+       gather collapses to two per-row scalars, making the quality inner
+       loop as vectorizable as the integer one */
+    int rq_const = 1;
+    int32_t rq0 = 0;
+    if (mtab && n > 0) {
+        rq0 = rq[0];
+        for (long j = 1; j < n; ++j)
+            if (rq[j] != rq0) {
+                rq_const = 0;
+                break;
+            }
+    }
 
     /* row 0: pure horizontal-gap border (kernel best0/tr0) */
     best_prev[0] = 0.0f;
@@ -3019,6 +3035,24 @@ static void rdp_align_one(
         uint8_t *trow = trace + i * stride;
         float border = go + ge * (float)i;
 
+        /* per-row substitution scores (separate pass so the main loop
+           vectorizes: no table gathers / double-pointer selects in it) */
+        if (!mtab) {
+            for (long j = 0; j < n; ++j)
+                srow[j] = (qc == ref[j]) ? 0.0f : -1.0f;
+        } else if (rq_const) {
+            float sm = (float)mtab[rq0 * 64 + qq[i - 1]];
+            float sx = (float)xtab[rq0 * 64 + qq[i - 1]];
+            for (long j = 0; j < n; ++j)
+                srow[j] = (qc == ref[j]) ? sm : sx;
+        } else {
+            int32_t qqi = qq[i - 1];
+            for (long j = 0; j < n; ++j) {
+                const int32_t *tab = (qc == ref[j]) ? mtab : xtab;
+                srow[j] = (float)tab[rq[j] * 64 + qqi];
+            }
+        }
+
         /* vertical candidates + a = max(diag, vert) with trace bits */
         for (long j = 0; j <= n; ++j) {
             float v_open = best_prev[j] + go + ge;
@@ -3032,14 +3066,7 @@ static void rdp_align_one(
                 v = border;
                 t = RDP_VERT;
             } else {
-                float s;
-                if (mtab) {
-                    const int32_t *tab =
-                        (qc == ref[j - 1]) ? mtab : xtab;
-                    s = (float)tab[rq[j - 1] * 64 + qq[i - 1]];
-                } else {
-                    s = (qc == ref[j - 1]) ? 0.0f : -1.0f;
-                }
+                float s = srow[j - 1];
                 float diag = best_prev[j - 1] + s;
                 if (diag >= v) {
                     a = diag;
@@ -3159,7 +3186,7 @@ PyObject *pv3_realign_runs_host(PyObject *self, PyObject *args)
     int8_t *ops = (int8_t *)PyBytes_AS_STRING(ops_o);
     int32_t *cnt = (int32_t *)PyBytes_AS_STRING(cnt_o);
 
-    fbuf = malloc(3 * (Rp + 1) * sizeof(float));
+    fbuf = malloc(4 * (Rp + 1) * sizeof(float));
     trace = malloc((size_t)(Qp + 1) * (Rp + 1));
     if (!fbuf || !trace)
         goto fail;
@@ -3181,7 +3208,8 @@ PyObject *pv3_realign_runs_host(PyObject *self, PyObject *args)
                       use_quality ? (const int32_t *)rq_b.buf + s * Rp
                                   : NULL,
                       use_quality ? (const int32_t *)qq_b.buf + s * Qp
-                                  : NULL);
+                                  : NULL,
+                      fbuf + 3 * (Rp + 1));
     }
     PyEval_RestoreThread(ts);
 

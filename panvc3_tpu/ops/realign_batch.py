@@ -306,14 +306,31 @@ def realign_device_kernel(
     R: int,
     Q: int,
 ):
-    # the quality path ships a precomputed (Q, R, TILE_B) f32 sub tile into
-    # VMEM; past 64x64 run pads that tile alone busts the ~16 MB scoped
-    # VMEM budget (measured OOM at 128x128), so big -q shapes stay on the
-    # XLA scans (bit-identical)
-    pallas_ok = _use_fused_pallas() and (not use_quality or R * Q <= 4096)
+    # quality with ref_qual=None (the production path: ref quals pinned to
+    # phred42 max) runs the fused kernel's qual-vector mode at ANY run pad;
+    # an EXPLICIT ref-quality array (tests only) still ships the
+    # precomputed (Q, R, TILE_B) f32 sub tile, which busts the ~16 MB
+    # scoped VMEM budget past 64x64 pads (measured OOM at 128x128) — big
+    # explicit-rq shapes stay on the XLA scans (bit-identical)
+    pallas_ok = _use_fused_pallas() and (
+        not use_quality or ref_qual is None or R * Q <= 4096
+    )
     if pallas_ok:
         from .realign_pallas_fused import realign_fused_pallas
 
+        if use_quality and ref_qual is None:
+            from ..align import malde_tables
+            from ..alphabet import PHRED42_MAX
+
+            mt, xt = malde_tables()
+            return realign_fused_pallas(
+                None, ref, query, query_len, ref_len, go, ge, R, Q,
+                qual=(
+                    query_qual.astype(jnp.int32),
+                    jnp.asarray(mt[PHRED42_MAX], jnp.float32),
+                    jnp.asarray(xt[PHRED42_MAX], jnp.float32),
+                ),
+            )
         sub = (
             _substitution_scores(ref, query, ref_qual, query_qual, True)
             if use_quality
@@ -446,15 +463,7 @@ def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
 
     p = packed_in
     half = Q // 2
-    packed_q = p[:, :half]
-    codes = jnp.empty((p.shape[0], Q), jnp.uint8)
-    codes = codes.at[:, 0::2].set(packed_q & 0xF)
-    codes = codes.at[:, 1::2].set(packed_q >> 4)
-    # code -> canonical byte, as elementwise selects (a table gather
-    # serializes per element on this backend)
-    query = jnp.uint8(0)
-    for code, byte in enumerate(QUERY_DECODE[:6]):
-        query = jnp.where(codes == jnp.uint8(code), jnp.uint8(byte), query)
+    query = _decode_query_codes(p[:, :half], Q)
     tail = p[:, half:].astype(jnp.int32)
     start = tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16) | (
         tail[:, 3] << 24
@@ -475,8 +484,12 @@ def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
         sub = _substitution_scores(ref, query, None, None, False)
         trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
         ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
-    # 2-bit encode: ops are in {=,X,I,D}; anything past count is padding
-    # and may encode arbitrarily (downstream never reads it)
+    return _pack_ops_2bit(ops, count)
+
+
+def _pack_ops_2bit(ops, count):
+    """2-bit encode: ops are in {=,X,I,D}; anything past count is padding
+    and may encode arbitrarily (downstream never reads it)."""
     o = ops.astype(jnp.uint8)
     code2 = (
         jnp.where(o == jnp.uint8(8), jnp.uint8(1), jnp.uint8(0))
@@ -494,8 +507,136 @@ def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
     )
 
 
+def _decode_query_codes(packed_q, Q):
+    """4-bit match-equivalence codes -> canonical query bytes (elementwise
+    selects; a table gather serializes per element on this backend)."""
+    codes = jnp.empty((packed_q.shape[0], Q), jnp.uint8)
+    codes = codes.at[:, 0::2].set(packed_q & 0xF)
+    codes = codes.at[:, 1::2].set(packed_q >> 4)
+    query = jnp.uint8(0)
+    for code, byte in enumerate(QUERY_DECODE[:6]):
+        query = jnp.where(codes == jnp.uint8(code), jnp.uint8(byte), query)
+    return query
+
+
+def _qual_dp(ref, query, qq, ql, rl, go, ge, R, Q):
+    """Quality-scored DP with pinned reference qualities: the fused Pallas
+    kernel's qual-vector mode on real TPUs, the XLA scans elsewhere —
+    bit-identical (gap costs arrive pre-scaled by MALDE_SCALE)."""
+    from ..align import malde_tables
+    from ..alphabet import PHRED42_MAX
+
+    if _use_fused_pallas():
+        from .realign_pallas_fused import realign_fused_pallas
+
+        mt, xt = malde_tables()
+        return realign_fused_pallas(
+            None, ref, query, ql, rl, go, ge, R, Q,
+            qual=(
+                qq.astype(jnp.int32),
+                jnp.asarray(mt[PHRED42_MAX], jnp.float32),
+                jnp.asarray(xt[PHRED42_MAX], jnp.float32),
+            ),
+        )
+    sub = _substitution_scores(ref, query, None, qq, True)
+    trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
+    return _traceback_batch(trace, ref, query, ql, rl, R, Q)
+
+
 realign_device_kernel_wire_refgather = jax.jit(
     _realign_wire_refgather, static_argnames=("R", "Q")
+)
+
+
+# ---------------------------------------------------------------------------
+# Quality (-q) wire variants: same layouts as their integer twins plus the
+# query phreds as u8 (ref qualities are pinned to phred42 max by the
+# reference's rule, so none ship).  Output is the 2-bit packed traceback
+# both ways (steps % 4 == 0 and steps < 256 required — the aggregate row
+# buckets guarantee both).  Gap costs arrive pre-scaled by MALDE_SCALE.
+# Input rows:
+#   classic    (R + 2Q + 4 B): [ref R | query Q | qq u8 Q | rl u16 | ql u16]
+#   ref-gather (Q/2 + Q + 8 B): [query codes | qq u8 | start u32 | rl | ql]
+# ---------------------------------------------------------------------------
+
+
+def pack_realign_wire_input_q(
+    ref: np.ndarray, query: np.ndarray, rl: np.ndarray, ql: np.ndarray,
+    qq: np.ndarray,
+) -> np.ndarray:
+    s, r = ref.shape
+    q = query.shape[1]
+    out = np.empty((s, r + 2 * q + 4), dtype=np.uint8)
+    out[:, :r] = ref
+    out[:, r:r + q] = query
+    out[:, r + q:r + 2 * q] = qq
+    out[:, r + 2 * q:r + 2 * q + 2] = (
+        rl.astype("<u2").view(np.uint8).reshape(s, 2)
+    )
+    out[:, r + 2 * q + 2:] = ql.astype("<u2").view(np.uint8).reshape(s, 2)
+    return out
+
+
+def _realign_wire_q(packed_in, go, ge, R, Q):
+    p = packed_in
+    ref = p[:, :R]
+    query = p[:, R:R + Q]
+    qq = p[:, R + Q:R + 2 * Q].astype(jnp.int32)
+    tail = p[:, R + 2 * Q:].astype(jnp.int32)
+    rl = tail[:, 0] | (tail[:, 1] << 8)
+    ql = tail[:, 2] | (tail[:, 3] << 8)
+    ops, count = _qual_dp(ref, query, qq, ql, rl, go, ge, R, Q)
+    return _pack_ops_2bit(ops, count)
+
+
+realign_device_kernel_wire_q = jax.jit(
+    _realign_wire_q, static_argnames=("R", "Q")
+)
+
+
+def pack_realign_refgather_input_q(
+    query: np.ndarray, start: np.ndarray, rl: np.ndarray, ql: np.ndarray,
+    qq: np.ndarray,
+) -> np.ndarray:
+    s, q = query.shape
+    codes = QUERY_CODE[query]
+    half = q // 2
+    out = np.empty((s, half + q + 8), dtype=np.uint8)
+    out[:, :half] = codes[:, 0::2] | (codes[:, 1::2] << 4)
+    out[:, half:half + q] = qq
+    out[:, half + q:half + q + 4] = (
+        start.astype("<u4").view(np.uint8).reshape(s, 4)
+    )
+    out[:, half + q + 4:half + q + 6] = (
+        rl.astype("<u2").view(np.uint8).reshape(s, 2)
+    )
+    out[:, half + q + 6:] = ql.astype("<u2").view(np.uint8).reshape(s, 2)
+    return out
+
+
+def _realign_wire_refgather_q(packed_in, ref_flat, go, ge, R, Q):
+    from ..alphabet import dna5_normalise_device
+
+    p = packed_in
+    half = Q // 2
+    query = _decode_query_codes(p[:, :half], Q)
+    qq = p[:, half:half + Q].astype(jnp.int32)
+    tail = p[:, half + Q:].astype(jnp.int32)
+    start = tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16) | (
+        tail[:, 3] << 24
+    )
+    rl = tail[:, 4] | (tail[:, 5] << 8)
+    ql = tail[:, 6] | (tail[:, 7] << 8)
+    lane = jnp.arange(R, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + lane, 0, ref_flat.shape[0] - 1)
+    ref = dna5_normalise_device(jnp.take(ref_flat, idx, axis=0))
+    ref = jnp.where(lane < rl[:, None], ref, jnp.uint8(0))
+    ops, count = _qual_dp(ref, query, qq, ql, rl, go, ge, R, Q)
+    return _pack_ops_2bit(ops, count)
+
+
+realign_device_kernel_wire_refgather_q = jax.jit(
+    _realign_wire_refgather_q, static_argnames=("R", "Q")
 )
 
 
@@ -623,6 +764,18 @@ def realign_batch_start(
                 f"quality-scored realignment run too long for the exact "
                 f"quantised path (R+Q={R + Q} > 5461)"
             )
+    # pinned reference qualities (the production rule — engine.py builds
+    # max_quality_array rows) ship as rq=None: the kernel then runs the
+    # fused qual-vector mode at any pad instead of the explicit-rq tile
+    rq_dev = rq
+    if use_quality:
+        from ..alphabet import PHRED42_MAX
+
+        pinned = all(
+            (np.asarray(a) == PHRED42_MAX).all() for a in ref_quals
+        )
+        if pinned:
+            rq_dev = None
     return realign_device_kernel(
         ref_arr,
         q_arr,
@@ -630,7 +783,7 @@ def realign_batch_start(
         ql,
         np.float32(gap_opening * gscale),
         np.float32(gap_extension * gscale),
-        rq,
+        rq_dev,
         qq,
         ref_quals is not None,
         R,

@@ -45,10 +45,22 @@ NEG = -1e30
 TILE_B = 256
 
 
-def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool):
+def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
+            has_qual: bool = False):
     if has_sub:
         (sub_ref, ref_ref, query_ref, m_ref, n_ref,
          ops_ref, count_ref, trace_ref) = refs
+        mrow_ref = xrow_ref = qq_ref = None
+    elif has_qual:
+        # pinned-ref-quality Malde scoring (the production -q path: the
+        # reference ALWAYS pins ref qualities to phred42 max) — the 64x64
+        # tables collapse to two 64-entry rows indexed by the query phred,
+        # so sub[i, j] = eq ? mrow[qq[i]] : xrow[qq[i]].  The per-position
+        # score vectors are built in-kernel from the SMEM rows (no (B,Q,R)
+        # sub tile, no VMEM blow-up at large run pads).
+        (mrow_ref, xrow_ref, qq_ref, ref_ref, query_ref, m_ref, n_ref,
+         ops_ref, count_ref, trace_ref) = refs
+        sub_ref = None
     else:
         # integer scoring: the substitution row is a single compare —
         # computed in-kernel, skipping the (B, Q, R) f32 materialisation,
@@ -56,6 +68,7 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool):
         (ref_ref, query_ref, m_ref, n_ref,
          ops_ref, count_ref, trace_ref) = refs
         sub_ref = None
+        mrow_ref = xrow_ref = qq_ref = None
     go = go_ref[0, 0]
     ge = ge_ref[0, 0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (R + 1, 1), 0)
@@ -104,6 +117,21 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool):
     query_if = query_ref[:, :].astype(jnp.int32)            # (Q, TB)
     ref_if = ref_ref[:, :].astype(jnp.int32)                # (R, TB)
 
+    if has_qual:
+        # per-query-position match/mismatch scores (Q, TB): one-hot decode
+        # of the two 64-entry pinned-row tables by the query phreds — pure
+        # VPU selects, no gathers (each table read is a static-index SMEM
+        # scalar)
+        qq_i = qq_ref[:, :]                                 # (Q, TB) int32
+        sm_all = jnp.zeros((Q, tb), jnp.float32)
+        sx_all = jnp.zeros((Q, tb), jnp.float32)
+        for v in range(64):
+            sel = qq_i == v
+            sm_all = jnp.where(sel, mrow_ref[v, 0], sm_all)
+            sx_all = jnp.where(sel, xrow_ref[v, 0], sx_all)
+    else:
+        sm_all = sx_all = None
+
     def fill_row(i, carry):
         best_prev, vert_prev = carry
         row_valid = i <= m_row                              # (1, TB)
@@ -116,12 +144,24 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool):
         if has_sub:
             srow = sub_ref[i - 1, :, :]                     # (R, TB)
         else:
+            onehot = q_iota_f == (i - 1)
             qch = jnp.sum(
-                jnp.where(q_iota_f == (i - 1), query_if, 0),
+                jnp.where(onehot, query_if, 0),
                 axis=0,
                 keepdims=True,
             )                                               # (1, TB)
-            srow = jnp.where(ref_if == qch, 0.0, -1.0).astype(jnp.float32)
+            if has_qual:
+                sm_row = jnp.sum(
+                    jnp.where(onehot, sm_all, 0.0), axis=0, keepdims=True
+                )
+                sx_row = jnp.sum(
+                    jnp.where(onehot, sx_all, 0.0), axis=0, keepdims=True
+                )
+                srow = jnp.where(ref_if == qch, sm_row, sx_row)
+            else:
+                srow = jnp.where(
+                    ref_if == qch, 0.0, -1.0
+                ).astype(jnp.float32)
         diag = jnp.concatenate([neg_row, best_prev[:-1, :] + srow], axis=0)
         diag = jnp.where(cols == 0, NEG, diag)
         a = jnp.maximum(diag, vert)
@@ -247,24 +287,38 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool):
 
 @partial(jax.jit, static_argnames=("R", "Q", "interpret"))
 def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, qual=None):
     """Run the fused kernel.  sub: (B, Q, R) f32 substitution scores
     (quantised-Malde — exact in f32), or None for the integer scoring
     scheme (the single compare is then done in-kernel, skipping the
     (B, Q, R) materialisation and its HBM round trip); ref/query:
     (B, R)/(B, Q) uint8; m/n: (B,) int32 query/ref lengths.  Returns
     (ops int8 (B, R+Q), count int32 (B,)), identical to
-    realign_batch._traceback_batch's output."""
+    realign_batch._traceback_batch's output.
+
+    ``qual=(qq, mrow, xrow)`` selects the pinned-ref-quality Malde mode
+    (mutually exclusive with ``sub``): qq (B, Q) int query phreds plus the
+    64-entry match/mismatch table rows at the pinned reference quality
+    (align.malde_tables()[...][PHRED42_MAX]).  Scores identical to
+    realign_batch._substitution_scores(ref_qual=None) — but built
+    in-kernel, so VMEM stays O(Q x TILE_B) at any run pad (the explicit
+    sub tile OOMs past 64x64)."""
     if interpret is None:
         # Mosaic only lowers on real TPUs; everywhere else (the CPU test
         # mesh) the interpreter executes the identical program
         interpret = jax.default_backend() != "tpu"
     has_sub = sub is not None
+    has_qual = qual is not None
+    assert not (has_sub and has_qual)
+    if has_qual:
+        qq, mrow, xrow = qual
     B = ref.shape[0]
     pad = (-B) % TILE_B
     if pad:
         if has_sub:
             sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
+        if has_qual:
+            qq = jnp.pad(qq, ((0, pad), (0, 0)))
         ref = jnp.pad(ref, ((0, pad), (0, 0)))
         query = jnp.pad(query, ((0, pad), (0, 0)))
         m = jnp.pad(m, (0, pad))
@@ -284,6 +338,20 @@ def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
     if has_sub:
         in_specs.append(pl.BlockSpec((Q, R, TILE_B), lambda b: (0, 0, b)))
         inputs.append(jnp.transpose(sub, (1, 2, 0)))        # (Q, R, BP)
+    if has_qual:
+        row_smem = pl.BlockSpec(
+            (64, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+        )
+        in_specs += [
+            row_smem,
+            row_smem,
+            pl.BlockSpec((Q, TILE_B), lambda b: (0, b)),
+        ]
+        inputs += [
+            jnp.asarray(mrow, jnp.float32).reshape(64, 1),
+            jnp.asarray(xrow, jnp.float32).reshape(64, 1),
+            jnp.transpose(qq.astype(jnp.int32), (1, 0)),    # (Q, BP)
+        ]
     in_specs += [
         pl.BlockSpec((R, TILE_B), lambda b: (0, b)),
         pl.BlockSpec((Q, TILE_B), lambda b: (0, b)),
@@ -293,7 +361,7 @@ def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
     inputs += [ref_t, query_t, m2, n2]
 
     grid = bp // TILE_B
-    kern = partial(_kernel, R=R, Q=Q, has_sub=has_sub)
+    kern = partial(_kernel, R=R, Q=Q, has_sub=has_sub, has_qual=has_qual)
     ops_t, count_t = pl.pallas_call(
         kern,
         grid=(grid,),

@@ -971,10 +971,14 @@ def run_fast(
             Returns (parts [(lo, hi)], fetch_future, steps)."""
             from ..ops.realign_batch import (
                 pack_realign_refgather_input as _pack_rg,
+                pack_realign_refgather_input_q as _pack_rg_q,
                 pack_realign_wire_input as _pack_wire,
+                pack_realign_wire_input_q as _pack_wire_q,
                 realign_device_kernel as _kern,
                 realign_device_kernel_wire as _kern_wire,
+                realign_device_kernel_wire_q as _kern_wire_q,
                 realign_device_kernel_wire_refgather as _kern_wire_rg,
+                realign_device_kernel_wire_refgather_q as _kern_wire_rg_q,
                 unpack_realign_refgather_wire as _unpack_rg,
                 unpack_realign_wire as _unpack_wire,
             )
@@ -985,7 +989,12 @@ def run_fast(
             S_tot = sum(c["agg"][6] for c in ctxs)
             S_b = _next_row_bucket(max(S_tot, 256))
             steps = Rmax + Qmax
-            wire_ok = not use_quality and steps % 2 == 0 and steps < 256
+            # the -q wires return the 2-bit-packed traceback, so they also
+            # need steps % 4 == 0 (the pow2 buckets guarantee it)
+            wire_ok = (
+                steps % 2 == 0 and steps < 256
+                and (not use_quality or steps % 4 == 0)
+            )
 
             # ref-gather eligibility: every run's dst contig must be in the
             # current flat-reference snapshot (taken under bp's ref lock —
@@ -1053,24 +1062,51 @@ def run_fast(
                 parts.append((off, off + S))
                 off += S
             if rg_starts is not None:
-                rh = _kern_wire_rg(
-                    _pack_rg(qb, rg_starts, rl, ql), rg_flat, go, ge,
-                    Rmax, Qmax,
-                )
+                if use_quality:
+                    from ..align import MALDE_SCALE
+
+                    rh = _kern_wire_rg_q(
+                        _pack_rg_q(qb, rg_starts, rl, ql, qq), rg_flat,
+                        go * MALDE_SCALE, ge * MALDE_SCALE, Rmax, Qmax,
+                    )
+                else:
+                    rh = _kern_wire_rg(
+                        _pack_rg(qb, rg_starts, rl, ql), rg_flat, go, ge,
+                        Rmax, Qmax,
+                    )
 
                 def _fetch():
                     w = jax.device_get(rh)
                     o, c2 = _unpack_rg(np.asarray(w)[:S_tot], steps)
                     return np.ascontiguousarray(o), np.ascontiguousarray(c2)
             elif wire_ok:
-                rh = _kern_wire(
-                    _pack_wire(ref, qb, rl, ql), go, ge, Rmax, Qmax
-                )
+                if use_quality:
+                    from ..align import MALDE_SCALE
 
-                def _fetch():
-                    w = jax.device_get(rh)
-                    o, c2 = _unpack_wire(np.asarray(w)[:S_tot], steps)
-                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+                    rh = _kern_wire_q(
+                        _pack_wire_q(ref, qb, rl, ql, qq),
+                        go * MALDE_SCALE, ge * MALDE_SCALE, Rmax, Qmax,
+                    )
+
+                    def _fetch():
+                        w = jax.device_get(rh)
+                        o, c2 = _unpack_rg(np.asarray(w)[:S_tot], steps)
+                        return (
+                            np.ascontiguousarray(o),
+                            np.ascontiguousarray(c2),
+                        )
+                else:
+                    rh = _kern_wire(
+                        _pack_wire(ref, qb, rl, ql), go, ge, Rmax, Qmax
+                    )
+
+                    def _fetch():
+                        w = jax.device_get(rh)
+                        o, c2 = _unpack_wire(np.asarray(w)[:S_tot], steps)
+                        return (
+                            np.ascontiguousarray(o),
+                            np.ascontiguousarray(c2),
+                        )
             else:
                 if use_quality:
                     from ..align import MALDE_SCALE

@@ -807,6 +807,120 @@ def test_fused_pallas_realign_matches_xla():
             assert np.array_equal(np.asarray(cnt_x), np.asarray(cnt_p2))
 
 
+def test_fused_pallas_qual_vector_mode_matches_xla():
+    """The fused kernel's pinned-ref-quality mode (qual=(qq, mrow, xrow):
+    per-position score vectors built in-kernel from the 64-entry pinned
+    table rows) must be bit-identical to the XLA quality path with an
+    explicit phred42-max ref-quality array — including at run pads past
+    the 64x64 limit where the explicit-sub Pallas path would VMEM-OOM."""
+    from panvc3_tpu.align import MALDE_SCALE, malde_tables
+    from panvc3_tpu.alphabet import PHRED42_MAX
+    from panvc3_tpu.ops.realign_batch import (
+        _substitution_scores,
+        _traceback_batch,
+        fill_dispatch,
+    )
+    from panvc3_tpu.ops.realign_pallas_fused import realign_fused_pallas
+
+    rng = np.random.default_rng(23)
+    mt, xt = malde_tables()
+    mrow = jnp.asarray(mt[PHRED42_MAX], jnp.float32)
+    xrow = jnp.asarray(xt[PHRED42_MAX], jnp.float32)
+    go = jnp.float32(-6.0 * MALDE_SCALE)
+    ge = jnp.float32(-1.0 * MALDE_SCALE)
+    for B, Q, R in ((300, 16, 16), (64, 24, 48), (96, 128, 128)):
+        ref = jnp.asarray(rng.integers(65, 69, (B, R)).astype(np.uint8))
+        qry = jnp.asarray(rng.integers(65, 69, (B, Q)).astype(np.uint8))
+        n = rng.integers(0, R + 1, B).astype(np.int32)
+        m = rng.integers(0, Q + 1, B).astype(np.int32)
+        n[:2] = [0, R]
+        m[:2] = [Q, 0]
+        n, m = jnp.asarray(n), jnp.asarray(m)
+        qq = jnp.asarray(rng.integers(0, 42, (B, Q)).astype(np.int32))
+        rq = jnp.full((B, R), PHRED42_MAX, jnp.int32)
+
+        sub = _substitution_scores(ref, qry, rq, qq, True)
+        trace = fill_dispatch(sub, m, n, go, ge, R, Q)
+        ops_x, cnt_x = _traceback_batch(trace, ref, qry, m, n, R, Q)
+        ops_p, cnt_p = realign_fused_pallas(
+            None, ref, qry, m, n, go, ge, R, Q, interpret=True,
+            qual=(qq, mrow, xrow),
+        )
+        assert np.array_equal(np.asarray(cnt_x), np.asarray(cnt_p)), (B, Q, R)
+        assert np.array_equal(np.asarray(ops_x), np.asarray(ops_p)), (B, Q, R)
+
+
+def test_realign_q_wire_kernels_match_host_dp():
+    """The -q wire kernels (classic + ref-gather: query phreds as u8, ref
+    quals pinned, 2-bit packed traceback out) must decode to the same
+    ops/counts as the host C DP with explicit pinned ref quals."""
+    from panvc3_tpu.align import MALDE_SCALE, malde_tables
+    from panvc3_tpu.alphabet import PHRED42_MAX
+    from panvc3_tpu.native import get_native
+    from panvc3_tpu.ops.realign_batch import (
+        pack_realign_refgather_input_q,
+        pack_realign_wire_input_q,
+        realign_device_kernel_wire_q,
+        realign_device_kernel_wire_refgather_q,
+        unpack_realign_refgather_wire,
+    )
+
+    nat = get_native()
+    if nat is None or not hasattr(nat, "realign_runs_host"):
+        pytest.skip("native extension not built")
+
+    rng = np.random.default_rng(41)
+    S, Rp, Qp = 300, 16, 16
+    steps = Rp + Qp
+    flat = rng.choice(
+        np.frombuffer(b"ACGTN", np.uint8), 4096
+    ).astype(np.uint8)
+    start = rng.integers(0, 4096 - Rp, S).astype(np.int64)
+    rl = rng.integers(1, Rp + 1, S).astype(np.int32)
+    ql = rng.integers(1, Qp + 1, S).astype(np.int32)
+    rl[0] = 0
+    ql[1] = 0
+    lane = np.arange(Rp)
+    # flat is already dna5 bytes, so the in-kernel normalisation is identity
+    ref = flat[start[:, None] + lane]
+    ref = np.where(lane[None, :] < rl[:, None], ref, 0).astype(np.uint8)
+    qry = rng.choice(np.frombuffer(b"ACGT", np.uint8), (S, Qp))
+    qry = np.where(lane[None, :Qp] < ql[:, None], qry, 0).astype(np.uint8)
+    qq = rng.integers(0, 42, (S, Qp)).astype(np.uint8)
+    go, ge = -6.0, -1.0
+    kgo = np.float32(go * MALDE_SCALE)
+    kge = np.float32(ge * MALDE_SCALE)
+
+    mt, xt = malde_tables()
+    rq_full = np.full((S, Rp), PHRED42_MAX, np.int32)
+    hops_b, hcnt_b = nat.realign_runs_host(
+        ref.tobytes(), qry.tobytes(), rl.tobytes(), ql.tobytes(), Rp, Qp,
+        float(kgo), float(kge),
+        rq_full.tobytes(), qq.astype(np.int32).tobytes(),
+        mt.tobytes(), xt.tobytes(),
+    )
+    hops = np.frombuffer(hops_b, np.int8).reshape(S, steps)
+    hcnt = np.frombuffer(hcnt_b, np.int32)
+
+    wires = {
+        "classic": realign_device_kernel_wire_q(
+            pack_realign_wire_input_q(ref, qry, rl, ql, qq),
+            kgo, kge, Rp, Qp,
+        ),
+        "refgather": realign_device_kernel_wire_refgather_q(
+            pack_realign_refgather_input_q(qry, start, rl, ql, qq),
+            jnp.asarray(flat), kgo, kge, Rp, Qp,
+        ),
+    }
+    for name, w in wires.items():
+        dops, dcnt = unpack_realign_refgather_wire(np.asarray(w), steps)
+        np.testing.assert_array_equal(hcnt, dcnt, err_msg=name)
+        for s in range(S):
+            np.testing.assert_array_equal(
+                hops[s, : hcnt[s]], dops[s, : dcnt[s]], err_msg=name
+            )
+
+
 def test_fused_pallas_wire_path_matches(monkeypatch):
     """PANVC3_PALLAS_FUSED=1 must leave the realign wire bytes unchanged
     (the fast lane's single-buffer format) — interpret mode on CPU."""

@@ -601,22 +601,26 @@ def test_fastlane_dp_aggregation_byte_identical(
     assert outs[("1", "2")] == outs[("0", "16")]
 
 
+@pytest.mark.parametrize("use_quality", [False, True])
 def test_fastlane_refgather_wire_byte_identical(
-    msa_files, founder_seqs, tmp_path, monkeypatch
+    msa_files, founder_seqs, tmp_path, monkeypatch, use_quality
 ):
     """The ref-gather aggregate wire (reference rows gathered on device
     from the resident flat reference instead of shipped) must not change a
-    single output byte vs the classic staged-row wire."""
+    single output byte vs the classic staged-row wire — on both scoring
+    schemes (-q rides the same wire plus u8 query phreds)."""
     index_path, _, _ = msa_files
     sam = _rich_sam(founder_seqs)
     monkeypatch.setenv("PANVC3_HOST_DP", "0")  # force the device lane
     monkeypatch.setenv("PANVC3_DP_AGGREGATE", "1")
+    kw = dict(use_read_base_qualities=use_quality)
 
     outs = {}
     for rg in ("0", "1"):
         monkeypatch.setenv("PANVC3_DP_REFGATHER", rg)
         out, stats, ranges = _run(
-            sam, index_path, tmp_path, fastlane=True, name=f"rg{rg}"
+            sam, index_path, tmp_path, fastlane=True,
+            name=f"rg{rg}_{use_quality}", **kw
         )
         assert stats.realigned_range_count > 0
         outs[rg] = (out, ranges)
