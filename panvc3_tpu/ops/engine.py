@@ -22,6 +22,7 @@ from ..projector import ProjectionResult
 from .rank_select import DeviceGapIndex
 from .realign_batch import realign_batch_finish, realign_batch_start
 from .rewrite_batch import (
+    CODE_NONE,
     expand_cigars,
     fetch_gap_outputs,
     reconstruct_main_code,
@@ -29,6 +30,7 @@ from .rewrite_batch import (
 )
 
 import jax
+import os
 
 
 def _next_pow2(n: int) -> int:
@@ -258,9 +260,26 @@ class BatchProjector:
         use_fused = (
             bool(getattr(cfg, "fused_kernel", False))
             and not use_quality
-            and self.mesh is None
             and get_native() is not None
         )
+        # the v4 event-geometry variant is the default fused kernel: no
+        # per-unit rank/select gathers, run detection in segment space
+        # (ops/fused_event.py); the gap-math v3 kernel remains the
+        # event-slot-overflow fallback and the PANVC3_FUSED_EVENT=0 path.
+        # The u8 wire needs R <= 255; the boundary-rank matrix is O(ops^2)
+        # per record; the compaction packs record ids / query coords into
+        # 16-bit scatter-lane fields.  Under a device mesh only the event
+        # variant runs fused (it shards its batch inputs below); the v3
+        # fallback is single-device.
+        use_event = use_fused and (
+            batch.pad_ref_units <= 255
+            and batch.ops.shape[1] <= 32
+            and len(records) < 65536
+            and batch.query.shape[1] < 65536
+            and os.environ.get("PANVC3_FUSED_EVENT") != "0"
+        )
+        if self.mesh is not None and use_fused and not use_event:
+            use_fused = False
 
         # Bucket the batch dimension so a short final batch reuses the
         # steady-state compiled kernel instead of triggering a fresh
@@ -286,43 +305,57 @@ class BatchProjector:
                 kernel_inputs = shard_batch_arrays(self.mesh, kernel_inputs)
 
         if use_fused:
-            import os
-
-            # the v4 event-geometry variant is the default: no per-unit
-            # rank/select gathers, run detection in segment space
-            # (ops/fused_event.py); the gap-math v3 kernel remains the
-            # event-slot-overflow fallback and the PANVC3_FUSED_EVENT=0 path.
-            # The u8 wire needs R <= 255; the boundary-rank matrix is
-            # O(ops^2) per record, so pathological op counts use v3 too.
-            # u8 wire needs R <= 255; the boundary-rank matrix is O(ops^2)
-            # per record; the compaction packs record ids / query coords
-            # into 16-bit scatter-lane fields
-            use_event = (
-                batch.pad_ref_units <= 255
-                and batch.ops.shape[1] <= 32
-                and len(records) < 65536
-                and batch.query.shape[1] < 65536
-                and os.environ.get("PANVC3_FUSED_EVENT") != "0"
-            )
             if use_event:
                 ref_ids = np.asarray(
                     [rec.ref_id for rec in records], dtype=np.int32
                 )
+                fkin = dict(
+                    ref_ids=ref_ids,
+                    rec_src_pos=batch.rec_src_pos,
+                    n_ref_units=batch.n_ref_units,
+                    ref_off=batch.ref_off,
+                    ops=batch.ops,
+                    counts=batch.counts,
+                    query=batch.query,
+                )
+                ref_flat_dev = self.ref_flat_dev
+                bk = b
+                if self.mesh is not None:
+                    # pad to mesh divisibility with EMPTY records (zero
+                    # units, zero-count ops): they emit no tokens and no
+                    # runs, so the global run compaction and the defensive
+                    # total_runs check see only the real records
+                    fpad = (-b) % self.mesh.devices.size
+                    if fpad:
+                        for k, arr in fkin.items():
+                            pad = np.zeros(
+                                (fpad,) + arr.shape[1:], dtype=arr.dtype
+                            )
+                            if k == "ops":
+                                pad[:] = CODE_NONE
+                            fkin[k] = np.concatenate(
+                                [np.asarray(arr), pad], axis=0
+                            )
+                    bk = b + fpad
+                    from ..parallel.mesh import replicate, shard_batch_arrays
+
+                    fkin = shard_batch_arrays(self.mesh, fkin)
+                    ref_flat_dev = replicate(self.mesh, self.ref_flat_dev)
                 out = self.fused_event_kernel(
-                    self.ref_flat_dev,
-                    ref_ids,
-                    batch.rec_src_pos,
-                    batch.n_ref_units,
-                    batch.ref_off,
-                    batch.ops,
-                    batch.counts,
-                    batch.query,
+                    ref_flat_dev,
+                    fkin["ref_ids"],
+                    fkin["rec_src_pos"],
+                    fkin["n_ref_units"],
+                    fkin["ref_off"],
+                    fkin["ops"],
+                    fkin["counts"],
+                    fkin["query"],
                     np.float32(self.gap_opening_cost),
                     np.float32(self.gap_extension_cost),
                     R=batch.pad_ref_units,
                     run_r=self.FUSED_RUN_PAD,
                     run_q=self.FUSED_RUN_PAD,
-                    slot_pool=max(256, len(records) // 2),
+                    slot_pool=max(256, bk // 2),
                 )
                 return ("fusedev", records, queries, dst_ref_ids, batch, out,
                         ref_seqs, cfg, self._ref_flat_host)
@@ -542,6 +575,11 @@ class BatchProjector:
         b = len(records)
         (dst_pos_a, gapbits, d_vals, d_pos, d_n, realign_ops, realign_counts,
          flags) = jax.device_get(out)
+        # under a mesh the batch was padded to device divisibility with
+        # empty records (zero units -> no tokens, no runs); drop their rows
+        dst_pos_a, gapbits, d_vals, d_pos, d_n = (
+            dst_pos_a[:b], gapbits[:b], d_vals[:b], d_pos[:b], d_n[:b],
+        )
         if int(flags[1]):
             # event slots/widths overflowed: the rewrite outputs themselves
             # are invalid, so this batch RE-DISPATCHES through the gap-math
