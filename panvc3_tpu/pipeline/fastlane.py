@@ -323,6 +323,10 @@ def run_fast(
     )
     agg_target_runs = int(os.environ.get("PANVC3_DP_AGG_RUNS", "131072"))
     agg_max_batches = int(os.environ.get("PANVC3_DP_AGG_BATCHES", "16"))
+    # flush-on-idle floor: a window this large dispatches as soon as the
+    # writer has nothing staged to drain, pipelining device compute + wire
+    # with the staging of later batches (PANVC3_DP_AGG_MIN_RUNS)
+    agg_min_runs = int(os.environ.get("PANVC3_DP_AGG_MIN_RUNS", "16384"))
     # Ref-gather wire (integer path): ship [query | ref start | lens] rows
     # (Q+8 B) and gather + dna5-normalise the reference rows in-kernel from
     # the resident flat reference — R bytes/run less wire, the dominant
@@ -984,8 +988,21 @@ def run_fast(
             )
 
             t0 = _time.perf_counter_ns()
-            Rmax = _next_pow2(max(c["agg"][4] for c in ctxs))
-            Qmax = _next_pow2(max(c["agg"][5] for c in ctxs))
+            tp0 = _time.perf_counter()
+            # pad to the {p, 1.5p} ladder of the ACTUAL max run lengths —
+            # the per-batch blocks are pow2-padded (stage_realign_runs),
+            # but their columns beyond each row's length are zeros, so
+            # narrower aggregate pads just slice them (48x48 runs: 64x64
+            # pow2 pads -> 48x48, 1.78x fewer padded DP cells and R wire
+            # bytes)
+            Rmax = _next_rq_bucket(max(
+                int(np.max(np.frombuffer(c["agg"][2], np.int32), initial=1))
+                for c in ctxs
+            ))
+            Qmax = _next_rq_bucket(max(
+                int(np.max(np.frombuffer(c["agg"][3], np.int32), initial=1))
+                for c in ctxs
+            ))
             S_tot = sum(c["agg"][6] for c in ctxs)
             S_b = _next_row_bucket(max(S_tot, 256))
             steps = Rmax + Qmax
@@ -1048,17 +1065,24 @@ def run_fast(
             off = 0
             for c in ctxs:
                 ref_b, q_b, rl_b, ql_b, Rp, Qp, S, rq_b, qq_b = c["agg"]
+                # blocks may be padded WIDER than the aggregate buckets
+                # (pow2 vs the 1.5p ladder); columns past each row's real
+                # length are zeros, so slicing them off is exact
+                rc = min(Rp, Rmax)
+                qc = min(Qp, Qmax)
                 if ref is not None:
-                    ref[off:off + S, :Rp] = np.frombuffer(
+                    ref[off:off + S, :rc] = np.frombuffer(
                         ref_b, np.uint8
-                    ).reshape(S, Rp)
-                qb[off:off + S, :Qp] = np.frombuffer(q_b, np.uint8).reshape(S, Qp)
+                    ).reshape(S, Rp)[:, :rc]
+                qb[off:off + S, :qc] = np.frombuffer(
+                    q_b, np.uint8
+                ).reshape(S, Qp)[:, :qc]
                 rl[off:off + S] = np.frombuffer(rl_b, np.int32)
                 ql[off:off + S] = np.frombuffer(ql_b, np.int32)
                 if use_quality:
-                    qq[off:off + S, :Qp] = np.frombuffer(
+                    qq[off:off + S, :qc] = np.frombuffer(
                         qq_b, np.int32
-                    ).reshape(S, Qp).astype(np.uint8)
+                    ).reshape(S, Qp)[:, :qc].astype(np.uint8)
                 parts.append((off, off + S))
                 off += S
             if rg_starts is not None:
@@ -1132,6 +1156,20 @@ def run_fast(
             share = (_time.perf_counter_ns() - t0) // len(ctxs)
             for c in ctxs:
                 c["stage_ns"] = c.get("stage_ns", 0) + share
+            if _PROF:
+                _tick("agg_pack_dispatch", tp0)
+                with _prof_lock:
+                    prof["agg_dispatches"] = prof.get("agg_dispatches", 0) + 1
+                    prof["agg_runs"] = prof.get("agg_runs", 0) + S_tot
+
+                inner = _fetch
+
+                def _fetch():
+                    tf0 = _time.perf_counter()
+                    res = inner()
+                    _tick("agg_fetch_wall", tf0)
+                    return res
+
             return parts, fetch_pool.submit(_fetch), steps
 
         def _finish_deferred(ctx, agg_fut, lo, hi, steps):
@@ -1213,6 +1251,21 @@ def run_fast(
                     else:
                         out_q.append(["done", res])
                     drain(block=False)
+                    # flush-on-idle: if no further staged batch is ready
+                    # and the window already holds a worthwhile dispatch,
+                    # send it NOW — the device computes and the wire moves
+                    # while later batches stage, instead of one big
+                    # serialized dispatch+fetch tail at the end of the
+                    # stream (measured: the tail was ~75% of the forced-
+                    # device realign-heavy wall).  agg_min_runs keeps the
+                    # fixed per-dispatch cost (~30-60 ms tunnel RTT +
+                    # launch) amortized.
+                    if (
+                        window_runs >= agg_min_runs
+                        and job_q.empty()
+                    ):
+                        flush()
+                        drain(block=False)
                     # a deferred head must not dam up completed payloads
                     # behind it indefinitely (memory): force the window out
                     # once a queue's worth of batches is waiting on it
@@ -1374,6 +1427,23 @@ def _next_row_bucket(n: int) -> int:
     step bounds the waste at 33% while keeping the compiled shape set
     small (two per octave)."""
     p = 1
+    while p < n:
+        if p + (p >> 1) >= n:
+            return p + (p >> 1)
+        p <<= 1
+    return p
+
+
+def _next_rq_bucket(n: int) -> int:
+    """R/Q pad bucket for the aggregate dispatch: the {p, 1.5p} ladder
+    from 8 up.  Every value is divisible by 4 (p pow2 >= 8, and 1.5p with
+    p >= 8), so the wire constraints (4-bit query packing needs even Q,
+    2-bit op packing needs steps % 4 == 0) hold for any R/Q combination.
+    A pow2-only ladder wasted up to 2x DP compute AND wire per axis (the
+    bench's 48x48 runs padded to 64x64 = 1.78x padded cells)."""
+    if n <= 8:
+        return 8
+    p = 8
     while p < n:
         if p + (p >> 1) >= n:
             return p + (p >> 1)
