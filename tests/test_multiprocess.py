@@ -1,7 +1,10 @@
 """Two-process jax.distributed smoke test (SURVEY §4: fake multi-host mesh
 on CPU).  Each process owns 4 virtual CPU devices; the global 8-device dp
-mesh runs one fused projection step with the batch sharded across both
-processes and verifies the global statistics all-reduce."""
+mesh runs one fused-v4 projection step (the production wire: event-table
+searches + segment-space run detection + realignment DP in one dispatch)
+with the batch sharded across both processes, then byte-compares every
+locally addressable output shard against a process-local single-device
+replay of the same inputs."""
 
 import os
 import pathlib
@@ -26,29 +29,36 @@ assert len(jax.devices()) == 8, jax.devices()
 
 sys.path.insert(0, "/root/repo")
 import numpy as np
-from __graft_entry__ import _example_inputs
-from panvc3_tpu.ops.forward import projection_step
+from __graft_entry__ import _example_inputs, _kernel_fn
 from panvc3_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
 
 mesh = make_mesh()
-b = 16
-r, o, run = 32, 4, 8
-inputs = _example_inputs(b=b, r=r, o=o, lq=32, run_r=run, run_q=run)
-index = replicate(mesh, inputs.pop("index"))
-ref_flat = replicate(mesh, inputs.pop("ref_flat"))
-go = inputs.pop("go")
-ge = inputs.pop("ge")
-sharded = shard_batch_arrays(mesh, inputs)
-out = projection_step(
-    index, ref_flat,
-    sharded["src_seq"], sharded["dst_seq"], sharded["rec_src_pos"],
-    sharded["ref_off"], sharded["ops"], sharded["counts"], sharded["query"],
-    sharded["run_ref"], sharded["run_query"], sharded["run_ref_len"],
-    sharded["run_query_len"], go, ge, R=r, run_r=run, run_q=run,
-)
+b, r = 16, 32
+# deterministic seed: both processes build identical global inputs
+geo, ref_flat, batch = _example_inputs(b=b, r=r, lq_pad=r, seed=3)
+fn = _kernel_fn(geo, b, r)
+
+sharded = shard_batch_arrays(mesh, dict(batch))
+out = fn(replicate(mesh, ref_flat), *sharded.values())
 jax.block_until_ready(out)
-stats = np.asarray(out[-1])
-assert stats[0] == b * r, stats
+
+# process-local single-device replay of the SAME global inputs
+ref_out = fn(ref_flat, *batch.values())
+jax.block_until_ready(ref_out)
+flags = np.asarray(ref_out[-1])
+assert int(flags[1]) == 0, "event-slot overflow: v4 wire not exercised"
+assert int(flags[0]) == 0, "run-pool overflow: v4 wire not exercised"
+assert int(flags[2]) >= b, flags
+
+names = ("dst_pos", "gapbits", "d_vals", "d_pos", "d_n",
+         "realign_ops", "realign_counts", "flags")
+for name, a, e in zip(names, out, ref_out):
+    expect = np.asarray(e)
+    for shard in a.addressable_shards:
+        got = np.asarray(shard.data)
+        assert np.array_equal(got, expect[shard.index]), (
+            f"proc{pid} shard of {name} differs from local replay"
+        )
 print(f"proc{pid} ok", flush=True)
 """
 
