@@ -481,9 +481,24 @@ def _run() -> None:
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
-        # the reference cannot be built in this image (BASELINE.md): the
-        # vs_baseline denominator is a documented estimate, not a measurement
-        "baseline": {"reads_per_s": BASELINE_READS_PER_S, "kind": "estimate"},
+        # the reference cannot be built in this image (all six lib/
+        # submodules are empty snapshots; BASELINE.md "Provenance"): the
+        # vs_baseline denominator is a documented estimate bracketed by a
+        # measured bound — tools/baseline_ref_loop.c re-creates the
+        # reference's per-record hot loop (select0+rank0+bit read per
+        # ref-consuming base, indel-run pass, affine DP on the realigned
+        # third) and measures 1.64-1.71 us/record single-thread on this
+        # host = 584-612k reads/s as a hard UPPER bound on the reference;
+        # the 40 us/record estimate allows ~38 us for seqan3 parse/format
+        # + record machinery the recreation deliberately omits.
+        "baseline": {
+            "reads_per_s": BASELINE_READS_PER_S,
+            "kind": "documented-estimate",
+            "provenance": "BASELINE.md#provenance; reference unbuildable "
+            "(empty lib/ submodules); core-loop upper bound measured by "
+            "tools/baseline_ref_loop.c",
+            "core_loop_upper_bound_reads_per_s": 600000.0,
+        },
         "tool_dp_cell_updates_per_s": round(tool_cells_per_s, 1),
         "tool_q_reads_per_s": round(q_rps, 1),
     }
