@@ -1,6 +1,6 @@
 PYTHON ?= python
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench dist clean
 
 all: native
 
@@ -14,5 +14,14 @@ test:
 bench:
 	$(PYTHON) bench.py
 
+# distributable artifacts (reference parity: conda package + `make dist`
+# tarball, /root/reference/Makefile:108-119): a binary wheel with the
+# native extension built in, plus a source tarball.  Set PANVC3_MARCH
+# (e.g. x86-64-v3) for a portable wheel; default is -march=native.
+dist:
+	$(PYTHON) -m pip wheel --no-deps --no-build-isolation -w dist .
+	$(PYTHON) setup.py -q sdist -d dist
+	@ls -l dist
+
 clean:
-	rm -rf native/build panvc3_tpu/native_build
+	rm -rf native/build panvc3_tpu/native_build build dist *.egg-info
