@@ -14,13 +14,16 @@ from __future__ import annotations
 import numpy as np
 
 from ..alphabet import decode_phred42, normalise_dna5
-from ..align import max_quality_array
 from ..cigar import CODE_TO_OP, Cigar, collapse_cigar
 from ..indel_runs import IndelRun, find_indel_runs
 from ..native import get_native
 from ..projector import ProjectionResult
 from .rank_select import DeviceGapIndex
-from .realign_batch import realign_batch_finish, realign_batch_start
+from .realign_batch import (
+    PINNED_REF_QUALS,
+    realign_batch_finish,
+    realign_batch_start,
+)
 from .rewrite_batch import (
     CODE_NONE,
     expand_cigars,
@@ -470,7 +473,10 @@ class BatchProjector:
         use_quality = bool(getattr(cfg, "use_read_base_qualities", False))
         run_refs: list[bytes] = []
         run_queries: list[bytes] = []
-        run_ref_quals: list[np.ndarray] | None = [] if use_quality else None
+        # reference qualities are ALWAYS pinned to phred42 max (the
+        # reference's rule) — signal that with the sentinel instead of
+        # materialising + re-scanning per-run arrays on every dispatch
+        run_ref_quals = PINNED_REF_QUALS if use_quality else None
         run_query_quals: list[np.ndarray] | None = [] if use_quality else None
         for i, rec in enumerate(records):
             ref_seq = ref_seqs[dst_ref_ids[i]]
@@ -482,7 +488,6 @@ class BatchProjector:
                 run_refs.append(ref_part)
                 run_queries.append(query_part)
                 if use_quality:
-                    run_ref_quals.append(max_quality_array(len(ref_part)))
                     q = decode_phred42(rec.qual) if rec.qual != "*" else None
                     if q is None:
                         run_query_quals.append(np.zeros(len(query_part), np.int32))

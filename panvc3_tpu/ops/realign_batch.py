@@ -307,30 +307,20 @@ def realign_device_kernel(
     Q: int,
 ):
     # quality with ref_qual=None (the production path: ref quals pinned to
-    # phred42 max) runs the fused kernel's qual-vector mode at ANY run pad;
-    # an EXPLICIT ref-quality array (tests only) still ships the
-    # precomputed (Q, R, TILE_B) f32 sub tile, which busts the ~16 MB
-    # scoped VMEM budget past 64x64 pads (measured OOM at 128x128) — big
-    # explicit-rq shapes stay on the XLA scans (bit-identical)
-    pallas_ok = _use_fused_pallas() and (
-        not use_quality or ref_qual is None or R * Q <= 4096
-    )
+    # phred42 max) shares _qual_dp with the -q wire kernels (fused Pallas
+    # qual-vector mode on real TPUs, XLA scans elsewhere, ANY run pad)
+    if use_quality and ref_qual is None:
+        return _qual_dp(
+            ref, query, query_qual, query_len, ref_len, go, ge, R, Q
+        )
+    # an EXPLICIT ref-quality array (tests only) ships the precomputed
+    # (Q, R, TILE_B) f32 sub tile, which busts the ~16 MB scoped VMEM
+    # budget past 64x64 pads (measured OOM at 128x128) — big explicit-rq
+    # shapes stay on the XLA scans (bit-identical)
+    pallas_ok = _use_fused_pallas() and (not use_quality or R * Q <= 4096)
     if pallas_ok:
         from .realign_pallas_fused import realign_fused_pallas
 
-        if use_quality and ref_qual is None:
-            from ..align import malde_tables
-            from ..alphabet import PHRED42_MAX
-
-            mt, xt = malde_tables()
-            return realign_fused_pallas(
-                None, ref, query, query_len, ref_len, go, ge, R, Q,
-                qual=(
-                    query_qual.astype(jnp.int32),
-                    jnp.asarray(mt[PHRED42_MAX], jnp.float32),
-                    jnp.asarray(xt[PHRED42_MAX], jnp.float32),
-                ),
-            )
         sub = (
             _substitution_scores(ref, query, ref_qual, query_qual, True)
             if use_quality
@@ -672,6 +662,12 @@ def realign_batch(
     )
 
 
+#: Sentinel for ``ref_quals``: reference qualities pinned to phred42 max
+#: (the production rule, /root/reference/libpanvc3/alignment_projector.cc:108)
+#: without materialising or re-scanning per-run arrays on every dispatch.
+PINNED_REF_QUALS = object()
+
+
 def realign_batch_start(
     refs: list[bytes],
     queries: list[bytes],
@@ -696,7 +692,10 @@ def realign_batch_start(
     # quality arrays are dead at trace time when quality scoring is off —
     # ship 4-byte dummies over the latency-bound link instead of zeros
     use_quality = ref_quals is not None
-    rq = np.zeros((b, R) if use_quality else (1, 1), dtype=np.int32)
+    rq_pinned = ref_quals is PINNED_REF_QUALS
+    rq = np.zeros(
+        (b, R) if use_quality and not rq_pinned else (1, 1), dtype=np.int32
+    )
     qq = np.zeros((b, Q) if use_quality else (1, 1), dtype=np.int32)
     rl = np.zeros(b, dtype=np.int32)
     ql = np.zeros(b, dtype=np.int32)
@@ -706,7 +705,8 @@ def realign_batch_start(
         rl[i] = len(r)
         ql[i] = len(q)
         if use_quality:
-            rq[i, :len(r)] = ref_quals[i]
+            if not rq_pinned:
+                rq[i, :len(r)] = ref_quals[i]
             if query_quals is not None:
                 qq[i, :len(q)] = query_quals[i]
     # Adaptive dispatch: a typical batch's runs are a few hundred thousand
@@ -731,6 +731,12 @@ def realign_batch_start(
                         f"exact quantised path (R+Q={R + Q} > 5461)"
                     )
                 mt, xt = malde_tables()
+                if rq_pinned:
+                    from ..alphabet import PHRED42_MAX
+
+                    # in-row positions beyond each run's length are never
+                    # read by the DP, so a full-constant array is exact
+                    rq = np.full((b, R), PHRED42_MAX, dtype=np.int32)
                 ops_b, cnt_b = nat.realign_runs_host(
                     ref_arr.tobytes(), q_arr.tobytes(),
                     rl.tobytes(), ql.tobytes(),
@@ -764,17 +770,18 @@ def realign_batch_start(
                 f"quality-scored realignment run too long for the exact "
                 f"quantised path (R+Q={R + Q} > 5461)"
             )
-    # pinned reference qualities (the production rule — engine.py builds
-    # max_quality_array rows) ship as rq=None: the kernel then runs the
-    # fused qual-vector mode at any pad instead of the explicit-rq tile
+    # pinned reference qualities (the production rule — engine.py passes
+    # PINNED_REF_QUALS) ship as rq=None: the kernel then runs the fused
+    # qual-vector mode at any pad instead of the explicit-rq tile.
+    # Explicit arrays (tests) that happen to be all-max collapse the same
+    # way; that scan never runs on the production dispatch path.
     rq_dev = rq
     if use_quality:
         from ..alphabet import PHRED42_MAX
 
-        pinned = all(
+        if rq_pinned or all(
             (np.asarray(a) == PHRED42_MAX).all() for a in ref_quals
-        )
-        if pinned:
+        ):
             rq_dev = None
     return realign_device_kernel(
         ref_arr,

@@ -1420,32 +1420,29 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _next_row_bucket(n: int) -> int:
-    """Smallest {p, 1.5p} ladder value >= n (p a power of two).  Row
-    buckets for the aggregate realign dispatch: a pure pow2 ladder wastes
-    up to 2x wire in padding rows just above a boundary; the half-octave
-    step bounds the waste at 33% while keeping the compiled shape set
-    small (two per octave)."""
-    p = 1
+def _next_bucket(n: int, floor: int) -> int:
+    """Smallest {p, 1.5p} ladder value >= max(n, floor) (p a power of
+    two).  A pure pow2 ladder wastes up to 2x padding just above a
+    boundary; the half-octave step bounds the waste at 33% while keeping
+    the compiled shape set small (two per octave)."""
+    p = floor
     while p < n:
         if p + (p >> 1) >= n:
             return p + (p >> 1)
         p <<= 1
     return p
+
+
+def _next_row_bucket(n: int) -> int:
+    """Row (run-count) bucket for the aggregate realign dispatch."""
+    return _next_bucket(n, 1)
 
 
 def _next_rq_bucket(n: int) -> int:
-    """R/Q pad bucket for the aggregate dispatch: the {p, 1.5p} ladder
-    from 8 up.  Every value is divisible by 4 (p pow2 >= 8, and 1.5p with
-    p >= 8), so the wire constraints (4-bit query packing needs even Q,
-    2-bit op packing needs steps % 4 == 0) hold for any R/Q combination.
-    A pow2-only ladder wasted up to 2x DP compute AND wire per axis (the
+    """R/Q pad bucket for the aggregate dispatch: the ladder from 8 up.
+    Every value is divisible by 4 (p pow2 >= 8, and 1.5p with p >= 8), so
+    the wire constraints (4-bit query packing needs even Q, 2-bit op
+    packing needs steps % 4 == 0) hold for any R/Q combination.  A
+    pow2-only ladder wasted up to 2x DP compute AND wire per axis (the
     bench's 48x48 runs padded to 64x64 = 1.78x padded cells)."""
-    if n <= 8:
-        return 8
-    p = 8
-    while p < n:
-        if p + (p >> 1) >= n:
-            return p + (p >> 1)
-        p <<= 1
-    return p
+    return _next_bucket(n, 8)

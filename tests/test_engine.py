@@ -138,15 +138,35 @@ def test_engine_data_parallel_mesh(msa_files, founder_seqs):
     assert outs[0] == outs[-1]
 
 
-def test_engine_data_parallel_mesh_fused_v4(msa_files, founder_seqs):
+def test_engine_data_parallel_mesh_fused_v4(msa_files, founder_seqs, monkeypatch):
     """The fused-v4 (event-geometry) kernel sharded over the virtual
     8-device CPU mesh must be byte-identical to single-device execution —
     both fused and split.  Covers the mesh padding with empty records
     (90 reads is not divisible by 8) and the replicated event tables /
     flat reference (VERDICT r3 #3: the multichip path must exercise the
-    production fused-v4 wire, not just the legacy split kernel)."""
+    production fused-v4 wire, not just the legacy split kernel).  Spies
+    assert the fused runs really used the device DP — without them a
+    broken mesh path could silently divert to the host realign fallback
+    (or the gap-math redispatch) and still byte-match."""
+    import panvc3_tpu.ops.engine as eng
+
     index_path, _, _ = msa_files
     sam = _synthesise_indel_sam(founder_seqs, n_reads=90)
+    # toy MSA-expanded runs exceed the production run pad of 16; raise it
+    # so the fused runs engage the device DP, not the host fallback
+    monkeypatch.setattr(eng.BatchProjector, "FUSED_RUN_PAD", 64)
+
+    calls = {"host_realign": 0, "gap_redispatch": 0}
+    orig_rs = eng.BatchProjector._realign_and_splice
+    orig_fg = eng.BatchProjector._dispatch_fused_gap
+
+    def spy_rs(self, *a, **kw):
+        calls["host_realign"] += 1
+        return orig_rs(self, *a, **kw)
+
+    def spy_fg(self, *a, **kw):
+        calls["gap_redispatch"] += 1
+        return orig_fg(self, *a, **kw)
 
     outs = {}
     for name, dp, fused in (
@@ -154,6 +174,13 @@ def test_engine_data_parallel_mesh_fused_v4(msa_files, founder_seqs):
         ("single_fused", 0, True),
         ("mesh_fused", -1, True),
     ):
+        if fused:
+            monkeypatch.setattr(
+                eng.BatchProjector, "_realign_and_splice", spy_rs
+            )
+            monkeypatch.setattr(
+                eng.BatchProjector, "_dispatch_fused_gap", spy_fg
+            )
         cfg = ProjectConfig(
             msa_index_path=str(index_path),
             reference_path=str(WORKFLOW / "genome/genome.fa.gz"),
@@ -167,6 +194,7 @@ def test_engine_data_parallel_mesh_fused_v4(msa_files, founder_seqs):
         out = io.BytesIO()
         run_project_alignments(io.BytesIO(sam), out, cfg)
         outs[name] = out.getvalue()
+    assert calls == {"host_realign": 0, "gap_redispatch": 0}
     assert outs["mesh_fused"] == outs["single_fused"] == outs["single_split"]
 
 

@@ -55,6 +55,28 @@ def test_wheel_contents(wheel):
     assert sum(n.endswith(".py") for n in names) >= 40
 
 
+def test_sdist_contains_native_sources(tmp_path):
+    """The source tarball must carry everything needed to compile the
+    extension — all four .c files AND panvc3_common.h (a missing header
+    makes `pip install <sdist>` fail at build time)."""
+    import tarfile
+
+    subprocess.run(
+        [sys.executable, "setup.py", "-q", "sdist", "-d", str(tmp_path)],
+        check=True, capture_output=True, timeout=120, cwd=str(REPO),
+    )
+    sdists = list(tmp_path.glob("panvc3_tpu-*.tar.gz"))
+    assert len(sdists) == 1, sdists
+    names = tarfile.open(sdists[0]).getnames()
+    base = {n.split("/", 1)[1] for n in names if "/" in n}
+    for req in (
+        "native/panvc3_native.c", "native/fastpath.c", "native/bgzf.c",
+        "native/csr.c", "native/als.c", "native/panvc3_common.h",
+        "setup.py", "pyproject.toml",
+    ):
+        assert req in base, req
+
+
 def test_wheel_native_loads(wheel, tmp_path):
     """Unpack the wheel layout and verify the native loader finds the
     bundled extension there (no in-repo native_build on the path)."""

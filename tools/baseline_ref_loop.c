@@ -51,6 +51,7 @@ typedef struct {
     uint64_t *words;
     int64_t n_bits;
     int64_t n_words;
+    int64_t n_zeros;  /* total zeros (avoids rank0 at pos == n_bits) */
     int64_t *super;   /* cumulative ZEROS per 8-word superblock */
     uint16_t *rel;    /* zeros within superblock up to each word */
     int64_t *sel;     /* word index of every 512th zero (select samples) */
@@ -82,6 +83,7 @@ static void bv_build(bv_t *bv, int64_t n_bits, double gap_frac)
         zeros = nz;
     }
     bv->super[n_super] = zeros;
+    bv->n_zeros = zeros;
 }
 
 static inline int64_t bv_rank0(const bv_t *bv, int64_t pos)
@@ -207,7 +209,9 @@ int main(void)
     bv_t src, dst;
     bv_build(&src, n_cols, 0.02);
     bv_build(&dst, n_cols, 0.02);
-    int64_t src_units = bv_rank0(&src, n_cols);
+    /* total zero count from the build (rank0 at pos == n_bits would index
+       one word past the directory when n_bits is a multiple of 64) */
+    int64_t src_units = src.n_zeros;
 
     /* query/dst sequences: random ACGT (compared per matched base) */
     int64_t seq_n = 1 << 22;
