@@ -317,11 +317,17 @@ def run_fast(
     # 131k (ROADMAP kernel notes).  Output order is unchanged (the FIFO
     # already restores it).  PANVC3_DP_AGGREGATE=0 disables;
     # PANVC3_DP_AGG_RUNS sets the target runs per aggregate dispatch.
+    # Default 16384: tool-level the smaller windows PIPELINE — dispatch k
+    # computes + moves wire while k+1 stages — and that beats the higher
+    # per-dispatch kernel rate of big windows (same-window A/B on the
+    # tunnelled chip: 145k reads/s at 16384 vs 105-120k at 32k-131k
+    # targets on the realign-heavy row, host C lane 130-146k).  Attached
+    # TPUs (cheap launches, fast link) may prefer larger targets.
     defer_dp = (
         cfg.threaded_pipeline
         and os.environ.get("PANVC3_DP_AGGREGATE", "1") != "0"
     )
-    agg_target_runs = int(os.environ.get("PANVC3_DP_AGG_RUNS", "131072"))
+    agg_target_runs = int(os.environ.get("PANVC3_DP_AGG_RUNS", "16384"))
     agg_max_batches = int(os.environ.get("PANVC3_DP_AGG_BATCHES", "16"))
     # flush-on-idle floor: a window this large dispatches as soon as the
     # writer has nothing staged to drain, pipelining device compute + wire
