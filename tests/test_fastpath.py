@@ -588,17 +588,29 @@ def test_fastlane_dp_aggregation_byte_identical(
     kw = dict(use_read_base_qualities=use_quality)
 
     outs = {}
-    for agg, batches in (("0", "16"), ("1", "16"), ("1", "2")):
+    # (aggregate, window cap, flush-on-idle floor): the min_runs=1 case
+    # forces flush-on-idle dispatches mid-stream (the writer flushes the
+    # window whenever the job queue momentarily drains)
+    for agg, batches, min_runs in (
+        ("0", "16", None), ("1", "16", None), ("1", "2", None),
+        ("1", "16", "1"),
+    ):
         monkeypatch.setenv("PANVC3_DP_AGGREGATE", agg)
         monkeypatch.setenv("PANVC3_DP_AGG_BATCHES", batches)
+        if min_runs is None:
+            monkeypatch.delenv("PANVC3_DP_AGG_MIN_RUNS", raising=False)
+        else:
+            monkeypatch.setenv("PANVC3_DP_AGG_MIN_RUNS", min_runs)
         out, stats, ranges = _run(
             sam, index_path, tmp_path, fastlane=True,
-            name=f"agg{agg}_{batches}_{use_quality}", **kw
+            name=f"agg{agg}_{batches}_{min_runs}_{use_quality}", **kw
         )
         assert stats.realigned_range_count > 0
-        outs[(agg, batches)] = (out, ranges)
-    assert outs[("1", "16")] == outs[("0", "16")]
-    assert outs[("1", "2")] == outs[("0", "16")]
+        outs[(agg, batches, min_runs)] = (out, ranges)
+    base = outs[("0", "16", None)]
+    assert outs[("1", "16", None)] == base
+    assert outs[("1", "2", None)] == base
+    assert outs[("1", "16", "1")] == base
 
 
 @pytest.mark.parametrize("use_quality", [False, True])
