@@ -132,6 +132,14 @@ CONFIGS = [
                         "PANVC3_DP_AGGREGATE": "0"}, True, "device", False),
     ("fastlane-hostdp", {"PANVC3_HOST_DP_CELLS": str(10**15)}, True,
      "device", False),
+    # fused single-dispatch kernels (ADVICE r3's high-severity bug lived
+    # in the v4 segment decode — keep them under the randomized
+    # differential; FUSED_RUN_PAD is raised in run_config so the device
+    # DP path engages instead of the host fallback)
+    ("fused-v4", {"PANVC3_FUSED_EVENT": "1", "_FUSED": "1"}, False,
+     "device", False),
+    ("fused-v3-gapmath", {"PANVC3_FUSED_EVENT": "0", "_FUSED": "1"}, False,
+     "device", False),
 ]
 
 Q_CONFIGS = [
@@ -148,10 +156,17 @@ def run_config(d, sam, label, env, fastlane, engine, use_quality):
         run_project_alignments,
     )
 
+    import panvc3_tpu.ops.engine as eng
+
+    env = dict(env)
+    fused = env.pop("_FUSED", None) is not None
     saved = {}
     for k, v in env.items():
         saved[k] = os.environ.get(k)
         os.environ[k] = v
+    saved_pad = eng.BatchProjector.FUSED_RUN_PAD
+    if fused:
+        eng.BatchProjector.FUSED_RUN_PAD = 64
     try:
         cfg = ProjectConfig(
             msa_index_path=os.path.join(d, "msa.npz"),
@@ -161,6 +176,7 @@ def run_config(d, sam, label, env, fastlane, engine, use_quality):
             tags=TagSpec(rec_idx="XI"),
             engine=engine,
             fastlane=fastlane,
+            fused_kernel=fused,
             device_batch_size=64,
             use_read_base_qualities=use_quality,
             status_output_interval=0,
@@ -169,6 +185,7 @@ def run_config(d, sam, label, env, fastlane, engine, use_quality):
         run_project_alignments(io.BytesIO(sam), out, cfg)
         return out.getvalue()
     finally:
+        eng.BatchProjector.FUSED_RUN_PAD = saved_pad
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)
