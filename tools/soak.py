@@ -140,6 +140,11 @@ CONFIGS = [
      "device", False),
     ("fused-v3-gapmath", {"PANVC3_FUSED_EVENT": "0", "_FUSED": "1"}, False,
      "device", False),
+    # event-geometry variants of the fast lane's rewrite stage
+    ("fastlane-devgeo", {"PANVC3_EVENT_GEOMETRY": "device"}, True,
+     "device", False),
+    ("fastlane-gapkernel", {"PANVC3_EVENT_GEOMETRY": "0"}, True,
+     "device", False),
 ]
 
 Q_CONFIGS = [
