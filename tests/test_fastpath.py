@@ -742,3 +742,29 @@ def test_lane_controller_probe_and_hysteresis():
     assert c2.mode == "host" and c2.backoff >= 8
     c2.tick = 0
     assert not any(not c2.decide(8_000_000) for _ in range(c2.PROBE_PERIOD))
+
+
+def test_aggregate_pad_ladder_invariants():
+    """The {p,1.5p} pad ladders must satisfy the aggregate wire's
+    constraints for every reachable value: R/Q buckets divisible by 4
+    (4-bit query packing needs even Q; 2-bit op packing needs
+    (R+Q) % 4 == 0 for ANY R/Q combination), monotone, >= n, and within
+    1.5x of n (the padding-waste bound the ladder exists to provide)."""
+    from panvc3_tpu.pipeline.fastlane import _next_row_bucket, _next_rq_bucket
+
+    prev = 0
+    for n in range(1, 4097):
+        b = _next_rq_bucket(n)
+        assert b >= max(n, 8)
+        assert b % 4 == 0, (n, b)
+        assert b <= max(8, ((n * 3) + 1) // 2), (n, b)  # <=1.5x waste
+        assert b >= prev
+        prev = b
+        r = _next_row_bucket(n)
+        assert r >= n
+        assert r <= max(1, (n * 3 + 1) // 2)
+    # any two ladder values sum to a multiple of 4 (steps = R + Q)
+    vals = sorted({_next_rq_bucket(n) for n in range(1, 4097)})
+    for a in vals:
+        for c in vals:
+            assert (a + c) % 4 == 0, (a, c)
