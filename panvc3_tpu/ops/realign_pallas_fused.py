@@ -23,6 +23,14 @@ tests/test_device_ops.py (interpret mode on CPU, compiled on TPU).
 Integer and quality scoring are both supported: the substitution scores
 arrive precomputed, transposed to (Q, R, B).
 
+Kernel-internal trace encoding (VMEM only, never leaves the kernel): the
+2-bit move code uses the spare value 3 for a MISMATCHING diagonal
+(0 = diag match, 3 = diag mismatch, 1/2 = vert/horiz as in
+realign_batch).  That lets the traceback emit =/X straight from the code
+instead of re-reading query/ref characters with two more one-hot sums
+per step, and its packed-word read is one flattened-iota masked sum.
+The OUTPUT (ops/count) stays bit-identical to the XLA kernel.
+
 Reference semantics: align_global
 (/root/reference/include/panvc3/align.hh:59-112).
 """
@@ -141,27 +149,27 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
         vopen_bit = v_open >= v_ext
         vert = jnp.maximum(v_open, v_ext)
 
+        # the =/X decision rides in the trace code (0 diag-match vs
+        # 3 diag-mismatch), so every mode needs the row's equality vector
+        onehot = q_iota_f == (i - 1)
+        qch = jnp.sum(
+            jnp.where(onehot, query_if, 0),
+            axis=0,
+            keepdims=True,
+        )                                                   # (1, TB)
+        eqrow = ref_if == qch                               # (R, TB)
         if has_sub:
             srow = sub_ref[i - 1, :, :]                     # (R, TB)
+        elif has_qual:
+            sm_row = jnp.sum(
+                jnp.where(onehot, sm_all, 0.0), axis=0, keepdims=True
+            )
+            sx_row = jnp.sum(
+                jnp.where(onehot, sx_all, 0.0), axis=0, keepdims=True
+            )
+            srow = jnp.where(eqrow, sm_row, sx_row)
         else:
-            onehot = q_iota_f == (i - 1)
-            qch = jnp.sum(
-                jnp.where(onehot, query_if, 0),
-                axis=0,
-                keepdims=True,
-            )                                               # (1, TB)
-            if has_qual:
-                sm_row = jnp.sum(
-                    jnp.where(onehot, sm_all, 0.0), axis=0, keepdims=True
-                )
-                sx_row = jnp.sum(
-                    jnp.where(onehot, sx_all, 0.0), axis=0, keepdims=True
-                )
-                srow = jnp.where(ref_if == qch, sm_row, sx_row)
-            else:
-                srow = jnp.where(
-                    ref_if == qch, 0.0, -1.0
-                ).astype(jnp.float32)
+            srow = jnp.where(eqrow, 0.0, -1.0).astype(jnp.float32)
         diag = jnp.concatenate([neg_row, best_prev[:-1, :] + srow], axis=0)
         diag = jnp.where(cols == 0, NEG, diag)
         a = jnp.maximum(diag, vert)
@@ -190,7 +198,15 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
         b_prev = jnp.concatenate([neg_row, best[:-1, :]], axis=0)
         hopen_bit = b_prev + go >= h_prev
 
-        tr = jnp.where(diag >= vert, _TR_DIAG, _TR_VERT)
+        # diag at col c consumed ref[c-1]: shift the row's equality vector
+        # into the (R+1)-column frame (col 0 is the border, never diag).
+        # int32, not bool: Mosaic cannot concatenate i1 vectors.
+        eq_col = jnp.concatenate(
+            [jnp.zeros((1, tb), jnp.int32), eqrow.astype(jnp.int32)], axis=0
+        )
+        tr = jnp.where(
+            diag >= vert, jnp.where(eq_col != 0, _TR_DIAG, 3), _TR_VERT
+        )
         tr = jnp.where(horiz > a, _TR_HORIZ, tr)
         tr = jnp.where(cols == 0, _TR_VERT, tr)
         packed = tr | jnp.where(vopen_bit, 4, 0) | jnp.where(hopen_bit, 8, 0)
@@ -206,13 +222,14 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
     jax.lax.fori_loop(1, max_m + 1, fill_row, (best, vert))
 
     # -- traceback: dynamic-bound loop over <= R+Q steps -----------------
+    # flat-index one-hot: ONE iota compare selects the (row, word) pair
+    # (was two compares + AND over the same (Q+1)*n_words sublanes), and
+    # the =/X decision comes from the trace code itself (no per-step
+    # query/ref character one-hot sums).  flat3 folds to a constant.
     row_iota3 = jax.lax.broadcasted_iota(jnp.int32, (Q + 1, n_words, 1), 0)
     word_iota3 = jax.lax.broadcasted_iota(jnp.int32, (Q + 1, n_words, 1), 1)
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    flat3 = row_iota3 * n_words + word_iota3
     trace = trace_ref[:, :, :]                          # (Q+1, n_words, TB)
-    query_i = query_if
-    ref_i = ref_if
 
     from ..cigar import D, EQ, I, X
 
@@ -224,14 +241,14 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
     def tb_step(step, carry):
         i, j, state, k = carry
         done = (i == 0) & (j == 0)
-        mask3 = (row_iota3 == i[None, :, :]) & (
-            word_iota3 == (j >> 3)[None, :, :]
-        )
+        idx = i * n_words + (j >> 3)                        # (1, TB)
         word = jnp.sum(
-            jnp.where(mask3, trace, 0), axis=(0, 1), keepdims=False
+            jnp.where(flat3 == idx[None, :, :], trace, 0),
+            axis=(0, 1),
+            keepdims=False,
         )[None, :]                                          # (1, TB)
         cell = (word >> (4 * (j & 7))) & 15
-        tr = cell & 3
+        tr = cell & 3          # 0 diag-match, 3 diag-mismatch, 1/2 V/H
         vopen = (cell >> 2) & 1
         hopen = (cell >> 3) & 1
 
@@ -240,19 +257,13 @@ def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
         eff = jnp.where(in_m & (i == 0) & (j > 0), _TR_HORIZ, eff)
         eff = jnp.where(in_m & (j == 0) & (i > 0), _TR_VERT, eff)
 
-        is_diag = (eff == _TR_DIAG) & ~done
+        is_diag = ((eff == _TR_DIAG) | (eff == 3)) & ~done
         is_vert = (eff == _TR_VERT) & ~done
         is_horiz = (eff == _TR_HORIZ) & ~done
 
-        qc = jnp.sum(
-            jnp.where(q_iota == (i - 1), query_i, 0), axis=0, keepdims=True
-        )
-        rc = jnp.sum(
-            jnp.where(r_iota == (j - 1), ref_i, 0), axis=0, keepdims=True
-        )
         op = jnp.where(
             is_diag,
-            jnp.where(qc == rc, EQ, X),
+            jnp.where(eff == _TR_DIAG, EQ, X),
             jnp.where(is_vert, I, D),
         )
         emit = jnp.where(done, 127, op)
