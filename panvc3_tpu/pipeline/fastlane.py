@@ -70,6 +70,13 @@ class LaneController:
     OVERRIDE_HOST = 8.0  # cheap side: cost-ratio that forces the host lane
     OVERRIDE_DEV = 64.0  # expensive side: ratio that forces the device lane
     BACKOFF_MAX = 16     # probe-period multiplier when the probe keeps losing
+    # close + restart a long same-lane span every N batches: spans
+    # otherwise only close on lane TRANSITIONS, so a controller locked on
+    # one lane would never refresh that lane's ns/read EMA and couldn't
+    # see the active lane degrade (measured: a tunnel-weather dip left
+    # the device lane chosen at 97k reads/s while the host lane ran 162k
+    # in the same window, because the open dev span never closed)
+    SPAN_CLOSE_BATCHES = 12
 
     def __init__(self):
         import threading
@@ -87,11 +94,13 @@ class LaneController:
         self.span_start_ns = 0
         self.span_last_ns = 0
         self.span_reads = 0
+        self.span_batches = 0
 
     def begin_run(self):
         with self.lock:
             self.span_lane = None
             self.span_reads = 0
+            self.span_batches = 0
 
     def decide(self, real_cells: int) -> bool:
         """True -> host C DP; False -> device lane."""
@@ -164,9 +173,21 @@ class LaneController:
                 self.span_start_ns = now_ns
                 self.span_last_ns = now_ns
                 self.span_reads = 0  # first batch only starts the clock
+                self.span_batches = 0
             else:
                 self.span_reads += reads
                 self.span_last_ns = now_ns
+                self.span_batches += 1
+                if self.span_batches >= self.SPAN_CLOSE_BATCHES:
+                    # periodic refresh: record the chunk and restart the
+                    # span on the same lane (this emit is the new clock
+                    # start) so active-lane degradation surfaces and the
+                    # cross-lane switch check runs without a probe
+                    self._close_span()
+                    self.span_start_ns = now_ns
+                    self.span_last_ns = now_ns
+                    self.span_reads = 0
+                    self.span_batches = 0
 
 
 _ADAPT = LaneController()

@@ -744,6 +744,40 @@ def test_lane_controller_probe_and_hysteresis():
     assert not any(not c2.decide(8_000_000) for _ in range(c2.PROBE_PERIOD))
 
 
+def test_lane_controller_active_lane_degradation():
+    """A controller locked on one lane must notice that lane DEGRADING
+    without waiting for a (possibly backed-off) probe of the other lane:
+    long same-lane spans periodically close + restart so the active
+    lane's ns/read EMA stays fresh and the cross-lane switch check runs.
+    Regression: a tunnel-weather dip left the device lane chosen at 97k
+    reads/s while the host lane ran 162k in the same bench window."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    c = LaneController()
+    t = [0]
+
+    def span(dev, n, ns_per_batch):
+        t[0] += 30_000_000
+        c.observe_emit(dev, reads=1000, now_ns=t[0])
+        for _ in range(n - 1):
+            t[0] += ns_per_batch
+            c.observe_emit(dev, reads=1000, now_ns=t[0])
+
+    # converge to the device lane (2x faster), with a measured host EMA
+    for _ in range(8):
+        span(False, 14, 2_000_000)
+        span(True, 14, 1_000_000)
+    assert c.mode == "dev"
+    # probes back off hard (simulate: the probe schedule is not the test)
+    c.backoff = c.BACKOFF_MAX
+    # the device lane degrades 4x while it stays the only emitting lane —
+    # ONE long span, no host probes, no lane transitions
+    span(True, 100, 4_000_000)
+    assert c.mode == "host", (
+        "active-lane degradation must flip the mode without a probe"
+    )
+
+
 def test_aggregate_pad_ladder_invariants():
     """The {p,1.5p} pad ladders must satisfy the aggregate wire's
     constraints for every reachable value: R/Q buckets divisible by 4
