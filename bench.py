@@ -50,6 +50,9 @@ else:
     _enable_compilation_cache()
 
 BASELINE_READS_PER_S = 25_000.0
+# measured hard upper bound on the reference's single-thread core loop
+# (tools/baseline_ref_loop.c; BASELINE.md "Provenance")
+CORE_LOOP_CEILING_READS_PER_S = 550_000.0
 WORKFLOW = pathlib.Path(__file__).resolve().parent / "workflows/test-workflow/data"
 
 
@@ -484,6 +487,14 @@ def _run() -> None:
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        # honest bracket (VERDICT r4 weak #5): the 25k/s denominator is a
+        # documented ESTIMATE; the measured 550k/s single-thread core-loop
+        # ceiling (tools/baseline_ref_loop.c) is the conservative bound —
+        # report the multiple against BOTH ends explicitly
+        "vs_baseline_estimate": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "vs_baseline_core_ceiling": round(
+            reads_per_s / CORE_LOOP_CEILING_READS_PER_S, 3
+        ),
         # the reference cannot be built in this image (all six lib/
         # submodules are empty snapshots; BASELINE.md "Provenance"): the
         # vs_baseline denominator is a documented estimate bracketed by a
@@ -505,8 +516,16 @@ def _run() -> None:
         "tool_dp_cell_updates_per_s": round(tool_cells_per_s, 1),
     }
     if q_rps is not None:
-        result["tool_q_reads_per_s"] = round(q_rps, 1)
+        # fresh key (ADVICE r4): r3's tool_q_reads_per_s reported the
+        # realign-heavy -q row (now tool_q_realign_heavy_reads_per_s);
+        # this is the MIXED-workload -q headline — new name so stored
+        # bench lines never compare different workloads under one key
+        result["tool_q_mixed_reads_per_s"] = round(q_rps, 1)
     result.update(lanes)
+    # tool_reads_per_s_cpu_lane is the DESIGNATED round-over-round
+    # regression gate: tunnel-independent, so it separates code
+    # regressions from tunnel weather (the headline row swings ±15%+
+    # with link health; BASELINE.md "Regression gate")
     result.update(cpu_lane)
     result.update(kernel)
     result.update(deep)

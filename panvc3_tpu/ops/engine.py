@@ -274,10 +274,18 @@ class BatchProjector:
         # 16-bit scatter-lane fields.  Under a device mesh only the event
         # variant runs fused (it shards its batch inputs below); the v3
         # fallback is single-device.
+        # the 16-bit gate must count the mesh-divisibility pad rows added
+        # below (bk = b + fpad): for b within devices-1 of 65536 the padded
+        # batch can reach 65536+ rows and overflow the scatter-lane fields
+        mesh_pad = (
+            (-len(records)) % self.mesh.devices.size
+            if self.mesh is not None
+            else 0
+        )
         use_event = use_fused and (
             batch.pad_ref_units <= 255
             and batch.ops.shape[1] <= 32
-            and len(records) < 65536
+            and len(records) + mesh_pad < 65536
             and batch.query.shape[1] < 65536
             and os.environ.get("PANVC3_FUSED_EVENT") != "0"
         )
