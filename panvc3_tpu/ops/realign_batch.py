@@ -477,6 +477,168 @@ def _realign_wire_refgather(packed_in, ref_flat, go, ge, R, Q):
     return _pack_ops_2bit(ops, count)
 
 
+# ---------------------------------------------------------------------------
+# 2-bit ref-gather wire: when every in-length query byte is A/C/G/T (the
+# overwhelmingly common case — N-free windows), the query ships as 2-bit
+# codes and the lens as single bytes.  Input row (Q/4 + 6 B):
+# [query 2-bit packed Q/4 | ref start u32 LE | ref_len u8 | query_len u8].
+# Output row identical to the 4-bit ref-gather wire (2-bit packed ops +
+# count).  Positions >= query_len decode arbitrarily and are masked to the
+# staged rows' zero padding in-kernel, so the DP sees byte-identical
+# inputs to the 4-bit wire.  Requires Q % 4 == 0 and rl/ql <= 255 (the
+# aggregate {p,1.5p} buckets guarantee both).
+# ---------------------------------------------------------------------------
+
+QUERY_CODE2 = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    QUERY_CODE2[_c] = _i
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8).copy()
+
+
+def query_wire2_eligible(query: np.ndarray, ql: np.ndarray) -> bool:
+    """True iff every in-length byte of every row is one of A/C/G/T (rows
+    are zero-padded past ql by construction, so padding never disqualifies)."""
+    if query.shape[1] % 4:
+        return False
+    codes = QUERY_CODE2[query]
+    in_len = np.arange(query.shape[1], dtype=np.int32)[None, :] < ql[:, None]
+    return bool(np.all(codes[in_len] <= 3)) if in_len.any() else True
+
+
+def pack_realign_refgather2_input(
+    query: np.ndarray, start: np.ndarray, rl: np.ndarray, ql: np.ndarray
+) -> np.ndarray:
+    s, q = query.shape
+    codes = QUERY_CODE2[query] & 3  # pad bytes (0) encode as 'A'; masked in-kernel
+    quarter = q // 4
+    out = np.empty((s, quarter + 6), dtype=np.uint8)
+    out[:, :quarter] = (
+        codes[:, 0::4]
+        | (codes[:, 1::4] << 2)
+        | (codes[:, 2::4] << 4)
+        | (codes[:, 3::4] << 6)
+    )
+    out[:, quarter:quarter + 4] = (
+        start.astype("<u4").view(np.uint8).reshape(s, 4)
+    )
+    out[:, quarter + 4] = rl.astype(np.uint8)
+    out[:, quarter + 5] = ql.astype(np.uint8)
+    return out
+
+
+def _decode_query_codes2(packed_q, Q, ql):
+    """2-bit codes -> canonical A/C/G/T bytes, zero past ql (reproducing
+    the staged rows' padding exactly)."""
+    codes = jnp.empty((packed_q.shape[0], Q), jnp.uint8)
+    codes = codes.at[:, 0::4].set(packed_q & 3)
+    codes = codes.at[:, 1::4].set((packed_q >> 2) & 3)
+    codes = codes.at[:, 2::4].set((packed_q >> 4) & 3)
+    codes = codes.at[:, 3::4].set(packed_q >> 6)
+    query = jnp.uint8(0)
+    for code, byte in enumerate(_ACGT):
+        query = jnp.where(codes == jnp.uint8(code), jnp.uint8(byte), query)
+    lane = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    return jnp.where(lane < ql[:, None], query, jnp.uint8(0))
+
+
+def _realign_wire_refgather2(packed_in, ref_flat, go, ge, R, Q):
+    from ..alphabet import dna5_normalise_device
+
+    p = packed_in
+    quarter = Q // 4
+    tail = p[:, quarter:].astype(jnp.int32)
+    start = tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16) | (
+        tail[:, 3] << 24
+    )
+    rl = tail[:, 4]
+    ql = tail[:, 5]
+    query = _decode_query_codes2(p[:, :quarter], Q, ql)
+    lane = jnp.arange(R, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + lane, 0, ref_flat.shape[0] - 1)
+    ref = dna5_normalise_device(jnp.take(ref_flat, idx, axis=0))
+    ref = jnp.where(lane < rl[:, None], ref, jnp.uint8(0))
+    if _use_fused_pallas():
+        from .realign_pallas_fused import realign_fused_pallas
+
+        ops, count = realign_fused_pallas(
+            None, ref, query, ql, rl, go, ge, R, Q
+        )
+    else:
+        sub = _substitution_scores(ref, query, None, None, False)
+        trace = fill_dispatch(sub, ql, rl, go, ge, R, Q)
+        ops, count = _traceback_batch(trace, ref, query, ql, rl, R, Q)
+    return _pack_ops_2bit(ops, count)
+
+
+realign_device_kernel_wire_refgather2 = jax.jit(
+    _realign_wire_refgather2, static_argnames=("R", "Q")
+)
+
+
+def pack_realign_refgather2_input_q(
+    query: np.ndarray, start: np.ndarray, rl: np.ndarray, ql: np.ndarray,
+    qq: np.ndarray,
+) -> np.ndarray:
+    """-q variant: query phreds are 6-bit (Malde tables have 64 rows), so
+    four pack into three bytes.  Row (Q/4 + 3Q/4 + 6 B) =
+    [codes 2-bit | qq 6-bit packed | start u32 | rl u8 | ql u8]."""
+    s, q = query.shape
+    codes = QUERY_CODE2[query] & 3
+    quarter = q // 4
+    out = np.empty((s, quarter + 3 * quarter + 6), dtype=np.uint8)
+    out[:, :quarter] = (
+        codes[:, 0::4]
+        | (codes[:, 1::4] << 2)
+        | (codes[:, 2::4] << 4)
+        | (codes[:, 3::4] << 6)
+    )
+    v = qq.astype(np.uint8)
+    v0, v1, v2, v3 = v[:, 0::4], v[:, 1::4], v[:, 2::4], v[:, 3::4]
+    out[:, quarter + 0:quarter + 3 * quarter:3] = v0 | (v1 << 6)
+    out[:, quarter + 1:quarter + 3 * quarter:3] = (v1 >> 2) | (v2 << 4)
+    out[:, quarter + 2:quarter + 3 * quarter:3] = (v2 >> 4) | (v3 << 2)
+    out[:, 4 * quarter:4 * quarter + 4] = (
+        start.astype("<u4").view(np.uint8).reshape(s, 4)
+    )
+    out[:, 4 * quarter + 4] = rl.astype(np.uint8)
+    out[:, 4 * quarter + 5] = ql.astype(np.uint8)
+    return out
+
+
+def _realign_wire_refgather2_q(packed_in, ref_flat, go, ge, R, Q):
+    from ..alphabet import dna5_normalise_device
+
+    p = packed_in
+    quarter = Q // 4
+    tail = p[:, 4 * quarter:].astype(jnp.int32)
+    start = tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16) | (
+        tail[:, 3] << 24
+    )
+    rl = tail[:, 4]
+    ql = tail[:, 5]
+    query = _decode_query_codes2(p[:, :quarter], Q, ql)
+    qb = p[:, quarter:4 * quarter].astype(jnp.int32)
+    b0, b1, b2 = qb[:, 0::3], qb[:, 1::3], qb[:, 2::3]
+    qq = jnp.empty((p.shape[0], Q), jnp.int32)
+    qq = qq.at[:, 0::4].set(b0 & 63)
+    qq = qq.at[:, 1::4].set((b0 >> 6) | ((b1 & 15) << 2))
+    qq = qq.at[:, 2::4].set((b1 >> 4) | ((b2 & 3) << 4))
+    qq = qq.at[:, 3::4].set(b2 >> 2)
+    lane_q = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    qq = jnp.where(lane_q < ql[:, None], qq, 0)
+    lane = jnp.arange(R, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + lane, 0, ref_flat.shape[0] - 1)
+    ref = dna5_normalise_device(jnp.take(ref_flat, idx, axis=0))
+    ref = jnp.where(lane < rl[:, None], ref, jnp.uint8(0))
+    ops, count = _qual_dp(ref, query, qq, ql, rl, go, ge, R, Q)
+    return _pack_ops_2bit(ops, count)
+
+
+realign_device_kernel_wire_refgather2_q = jax.jit(
+    _realign_wire_refgather2_q, static_argnames=("R", "Q")
+)
+
+
 def _pack_ops_2bit(ops, count):
     """2-bit encode: ops are in {=,X,I,D}; anything past count is padding
     and may encode arbitrarily (downstream never reads it)."""

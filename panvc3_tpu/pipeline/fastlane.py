@@ -32,6 +32,11 @@ FLAG_SKIP = 0x4 | 0x200 | 0x400  # unmapped | QC fail | duplicate
 # fetch, splice+format, write)
 _PROF = os.environ.get("PANVC3_FASTLANE_PROF") == "1"
 
+# Aggregate-dispatch diagnostics (mutated only on the writer thread; read
+# by tests and PANVC3_FASTLANE_PROF reporting): counts of dispatches and
+# which wire/layout variants engaged.
+AGG_DIAG = {"dispatches": 0, "wire2": 0, "sorted": 0, "refgather": 0}
+
 # PANVC3_D2H_PREFETCH=1: issue copy_to_host_async right after each device
 # dispatch (helps on directly attached TPUs; blocks on the axon tunnel)
 _D2H_PREFETCH = os.environ.get("PANVC3_D2H_PREFETCH") == "1"
@@ -365,6 +370,11 @@ def run_fast(
     refgather_max_h2d = int(
         os.environ.get("PANVC3_REFGATHER_MAX_H2D", str(256 << 20))
     )
+    # sort aggregate windows by run length (tile-homogeneous dynamic DP
+    # bounds; order restored at fetch) — PANVC3_DP_AGG_SORT=0 reverts
+    agg_sort = os.environ.get("PANVC3_DP_AGG_SORT", "1") != "0"
+    # diagnostic counters (writer-thread-only mutation; read by tests)
+    diag = AGG_DIAG
 
     # shard-aware check data: dev id -1 == entry outside this index shard
     shard_check = cfg.chr_shard is not None
@@ -414,6 +424,46 @@ def run_fast(
 
         fetch_pool = ThreadPoolExecutor(max_workers=4)
 
+    # Flat-reference ingestion for the ref-gather aggregate wire: the
+    # event-geometry path (the default) never ran the gap-kernel branch's
+    # _ensure_refs, so BatchProjector's flat reference stayed empty and
+    # the slim refgather wires silently never engaged — every aggregate
+    # dispatch shipped full staged reference rows (R extra bytes/run of
+    # H2D).  Grow-only accumulation with batched rebuilds: contigs are
+    # added as batches reference them, the flat buffer rebuilds when the
+    # pending growth reaches 25% (amortized O(n log n) total copying),
+    # and ingestion stops permanently once the total would exceed the
+    # refgather H2D cap (the wire could never engage there anyway).
+    import threading as _threading
+
+    _rg_accum: dict[int, bytes] = {}
+    _rg_state = {"flat": 0, "pending": 0, "disabled": not refgather_ok}
+    _rg_lock = _threading.Lock()
+
+    def _ingest_refs(snap):
+        if _rg_state["disabled"]:
+            return
+        with _rg_lock:
+            if _rg_state["disabled"]:
+                return
+            new = 0
+            for rid, seq in snap.items():
+                if rid not in _rg_accum:
+                    _rg_accum[rid] = seq
+                    new += len(seq)
+            if not new:
+                return
+            _rg_state["pending"] += new
+            total = _rg_state["flat"] + _rg_state["pending"]
+            if total > refgather_max_h2d:
+                _rg_state["disabled"] = True
+                return
+            if _rg_state["flat"] and _rg_state["pending"] * 4 < _rg_state["flat"]:
+                return  # defer the rebuild until it is worthwhile
+            bp._ensure_refs(_rg_accum)
+            _rg_state["flat"] = total
+            _rg_state["pending"] = 0
+
     def start_batch(lines, rec_base, expect_nrec=None):
         """Parse + stage + dispatch the rewrite kernel; returns a context
         dict (kept == 0 when the whole block was filtered out — the parse
@@ -455,6 +505,7 @@ def run_fast(
                 )
         dst_rids = rim[ref_id]
         snap = ref_seqs.require(int(r) for r in np.unique(dst_rids))
+        _ingest_refs(snap)
 
         O, R, Lq = staged["O"], staged["R"], staged["Lq"]
 
@@ -484,7 +535,6 @@ def run_fast(
                 else None
             )
         elif event_geo is None:
-            bp._ensure_refs(snap)
             # gap-geometry kernel input: one packed u8 array (10 B/record
             # on the wire); the query/reference stay host-side for the
             # C/numpy comparison
@@ -1001,14 +1051,19 @@ def run_fast(
             bounded set of variants); results come back as row slices.
             Returns (parts [(lo, hi)], fetch_future, steps)."""
             from ..ops.realign_batch import (
+                pack_realign_refgather2_input as _pack_rg2,
+                pack_realign_refgather2_input_q as _pack_rg2_q,
                 pack_realign_refgather_input as _pack_rg,
                 pack_realign_refgather_input_q as _pack_rg_q,
                 pack_realign_wire_input as _pack_wire,
                 pack_realign_wire_input_q as _pack_wire_q,
+                query_wire2_eligible as _wire2_eligible,
                 realign_device_kernel as _kern,
                 realign_device_kernel_wire as _kern_wire,
                 realign_device_kernel_wire_q as _kern_wire_q,
                 realign_device_kernel_wire_refgather as _kern_wire_rg,
+                realign_device_kernel_wire_refgather2 as _kern_wire_rg2,
+                realign_device_kernel_wire_refgather2_q as _kern_wire_rg2_q,
                 realign_device_kernel_wire_refgather_q as _kern_wire_rg_q,
                 unpack_realign_refgather_wire as _unpack_rg,
                 unpack_realign_wire as _unpack_wire,
@@ -1112,13 +1167,74 @@ def run_fast(
                     ).reshape(S, Qp)[:, :qc].astype(np.uint8)
                 parts.append((off, off + S))
                 off += S
+
+            # sort the window's runs by total length so each 256-lane
+            # kernel tile is length-homogeneous: the fused DP's dynamic
+            # fill/traceback bounds are per-tile maxima, so mixed windows
+            # stop paying every tile at the longest run's depth (measured
+            # +15-30% on heterogeneous mixtures, tools/probe_dp_fixed2.py).
+            # Output order is restored by inverse permutation at fetch —
+            # bit-identical.  PANVC3_DP_AGG_SORT=0 reverts.
+            diag["dispatches"] += 1
+            inv_order = None
+            if agg_sort and S_tot > 1:
+                key = rl[:S_tot] + ql[:S_tot]
+                if np.any(key[:-1] > key[1:]):
+                    diag["sorted"] += 1
+                    order = np.argsort(key, kind="stable")
+                    inv_order = np.empty_like(order)
+                    inv_order[order] = np.arange(len(order), dtype=order.dtype)
+                    rl[:S_tot] = rl[:S_tot][order]
+                    ql[:S_tot] = ql[:S_tot][order]
+                    qb[:S_tot] = qb[:S_tot][order]
+                    if ref is not None:
+                        ref[:S_tot] = ref[:S_tot][order]
+                    if qq is not None:
+                        qq[:S_tot] = qq[:S_tot][order]
+                    if rg_starts is not None:
+                        rg_starts[:S_tot] = rg_starts[:S_tot][order]
+
+            def _restore(o, c2):
+                if inv_order is None:
+                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+                return (
+                    np.ascontiguousarray(o[inv_order]),
+                    np.ascontiguousarray(c2[inv_order]),
+                )
+
+            # 2-bit query wire: N-free windows ship 2-bit base codes and
+            # u8 lens (Q/4+6 B/run vs Q/2+8) — the H2D leg is the tunnel's
+            # dominant cost for realign-heavy streams.  PANVC3_DP_WIRE2=0
+            # reverts to the 4-bit wire.
+            wire2 = (
+                rg_starts is not None
+                and Qmax % 4 == 0
+                and os.environ.get("PANVC3_DP_WIRE2") != "0"
+                and _wire2_eligible(qb, ql)
+                and (not use_quality or int(qq.max(initial=0)) < 64)
+            )
+            if rg_starts is not None:
+                diag["refgather"] += 1
+            if wire2:
+                diag["wire2"] += 1
             if rg_starts is not None:
                 if use_quality:
                     from ..align import MALDE_SCALE
 
-                    rh = _kern_wire_rg_q(
-                        _pack_rg_q(qb, rg_starts, rl, ql, qq), rg_flat,
-                        go * MALDE_SCALE, ge * MALDE_SCALE, Rmax, Qmax,
+                    if wire2:
+                        rh = _kern_wire_rg2_q(
+                            _pack_rg2_q(qb, rg_starts, rl, ql, qq), rg_flat,
+                            go * MALDE_SCALE, ge * MALDE_SCALE, Rmax, Qmax,
+                        )
+                    else:
+                        rh = _kern_wire_rg_q(
+                            _pack_rg_q(qb, rg_starts, rl, ql, qq), rg_flat,
+                            go * MALDE_SCALE, ge * MALDE_SCALE, Rmax, Qmax,
+                        )
+                elif wire2:
+                    rh = _kern_wire_rg2(
+                        _pack_rg2(qb, rg_starts, rl, ql), rg_flat, go, ge,
+                        Rmax, Qmax,
                     )
                 else:
                     rh = _kern_wire_rg(
@@ -1129,7 +1245,7 @@ def run_fast(
                 def _fetch():
                     w = jax.device_get(rh)
                     o, c2 = _unpack_rg(np.asarray(w)[:S_tot], steps)
-                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+                    return _restore(o, c2)
             elif wire_ok:
                 if use_quality:
                     from ..align import MALDE_SCALE
@@ -1142,10 +1258,7 @@ def run_fast(
                     def _fetch():
                         w = jax.device_get(rh)
                         o, c2 = _unpack_rg(np.asarray(w)[:S_tot], steps)
-                        return (
-                            np.ascontiguousarray(o),
-                            np.ascontiguousarray(c2),
-                        )
+                        return _restore(o, c2)
                 else:
                     rh = _kern_wire(
                         _pack_wire(ref, qb, rl, ql), go, ge, Rmax, Qmax
@@ -1154,10 +1267,7 @@ def run_fast(
                     def _fetch():
                         w = jax.device_get(rh)
                         o, c2 = _unpack_wire(np.asarray(w)[:S_tot], steps)
-                        return (
-                            np.ascontiguousarray(o),
-                            np.ascontiguousarray(c2),
-                        )
+                        return _restore(o, c2)
             else:
                 if use_quality:
                     from ..align import MALDE_SCALE
@@ -1175,7 +1285,9 @@ def run_fast(
 
                 def _fetch():
                     o, c2 = jax.device_get(rh)
-                    return np.ascontiguousarray(o), np.ascontiguousarray(c2)
+                    return _restore(
+                        np.asarray(o)[:S_tot], np.asarray(c2)[:S_tot]
+                    )
 
             # spread the shared dispatch cost across the window's batches
             # so per-batch stage_ns (and the dev_ns_batch EMA fed from it)

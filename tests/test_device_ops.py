@@ -529,6 +529,88 @@ class TestWireFormats:
                 ops_g[i, : cnt_g[i]], ops_c[i, : cnt_c[i]]
             )
 
+    def test_realign_refgather2_wire_matches_wire(self):
+        """The 2-bit query wire (A/C/G/T-only windows, u8 lens) must be
+        byte-identical to the classic wire on eligible inputs — including
+        zero-length padding rows, starts at the buffer edges, and N/junk
+        bytes in the REFERENCE (only the query must be clean)."""
+        from panvc3_tpu.alphabet import DNA5_NORMALISE
+        from panvc3_tpu.ops.realign_batch import (
+            pack_realign_refgather2_input,
+            pack_realign_wire_input,
+            query_wire2_eligible,
+            realign_device_kernel_wire,
+            realign_device_kernel_wire_refgather2,
+            unpack_realign_refgather_wire,
+            unpack_realign_wire,
+        )
+
+        rng = np.random.default_rng(23)
+        S, R, Q = 64, 8, 8
+        flat = rng.choice(
+            np.frombuffer(b"ACGTacgtNnUuXx-\x00", dtype=np.uint8), 4096
+        ).astype(np.uint8)
+        start = rng.integers(0, len(flat) - R, S).astype(np.int64)
+        start[0] = 0
+        start[1] = len(flat) - R
+        rl = rng.integers(1, R + 1, S).astype(np.int32)
+        ql = rng.integers(1, Q + 1, S).astype(np.int32)
+        rl[-4:] = 0
+        ql[-4:] = 0
+        start[-4:] = 0
+        q = rng.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), (S, Q)
+        ).astype(np.uint8)
+        q[np.arange(Q)[None, :] >= ql[:, None]] = 0
+        assert query_wire2_eligible(q, ql)
+
+        ref = np.zeros((S, R), np.uint8)
+        for i in range(S):
+            ref[i, : rl[i]] = DNA5_NORMALISE[
+                flat[start[i]: start[i] + rl[i]]
+            ]
+        go, ge = np.float32(0), np.float32(-1)
+
+        classic = np.asarray(
+            realign_device_kernel_wire(
+                pack_realign_wire_input(ref, q, rl, ql), go, ge, R, Q
+            )
+        )
+        ops_c, cnt_c = unpack_realign_wire(classic, R + Q)
+        w2 = np.asarray(
+            realign_device_kernel_wire_refgather2(
+                pack_realign_refgather2_input(q, start, rl, ql),
+                jnp.asarray(flat), go, ge, R, Q,
+            )
+        )
+        ops_2, cnt_2 = unpack_realign_refgather_wire(w2, R + Q)
+        np.testing.assert_array_equal(cnt_2, cnt_c)
+        for i in range(S):
+            np.testing.assert_array_equal(
+                ops_2[i, : cnt_2[i]], ops_c[i, : cnt_c[i]]
+            )
+
+    def test_query_wire2_eligibility(self):
+        from panvc3_tpu.ops.realign_batch import query_wire2_eligible
+
+        q = np.frombuffer(b"ACGTACGT", dtype=np.uint8).reshape(1, 8).copy()
+        ql = np.asarray([8], np.int32)
+        assert query_wire2_eligible(q, ql)
+        # an N inside the length disqualifies the window
+        qn = q.copy()
+        qn[0, 3] = ord("N")
+        assert not query_wire2_eligible(qn, ql)
+        # zero padding past ql never disqualifies
+        qp = q.copy()
+        qp[0, 6:] = 0
+        assert query_wire2_eligible(qp, np.asarray([6], np.int32))
+        # a zero byte INSIDE the length is not representable -> ineligible
+        qz = q.copy()
+        qz[0, 2] = 0
+        assert not query_wire2_eligible(qz, ql)
+        # Q not divisible by 4
+        assert not query_wire2_eligible(q[:, :6], np.asarray([6], np.int32))
+
     def test_event_geometry_matches_gap_kernel(self):
         """Host event-based geometry == device gap kernel on random MSAs
         (the fast lane substitutes the former for the latter)."""
@@ -902,6 +984,13 @@ def test_realign_q_wire_kernels_match_host_dp():
     hops = np.frombuffer(hops_b, np.int8).reshape(S, steps)
     hcnt = np.frombuffer(hcnt_b, np.int32)
 
+    from panvc3_tpu.ops.realign_batch import (
+        pack_realign_refgather2_input_q,
+        query_wire2_eligible,
+        realign_device_kernel_wire_refgather2_q,
+    )
+
+    assert query_wire2_eligible(qry, ql)
     wires = {
         "classic": realign_device_kernel_wire_q(
             pack_realign_wire_input_q(ref, qry, rl, ql, qq),
@@ -909,6 +998,10 @@ def test_realign_q_wire_kernels_match_host_dp():
         ),
         "refgather": realign_device_kernel_wire_refgather_q(
             pack_realign_refgather_input_q(qry, start, rl, ql, qq),
+            jnp.asarray(flat), kgo, kge, Rp, Qp,
+        ),
+        "refgather2": realign_device_kernel_wire_refgather2_q(
+            pack_realign_refgather2_input_q(qry, start, rl, ql, qq),
             jnp.asarray(flat), kgo, kge, Rp, Qp,
         ),
     }

@@ -627,15 +627,105 @@ def test_fastlane_refgather_wire_byte_identical(
     monkeypatch.setenv("PANVC3_DP_AGGREGATE", "1")
     kw = dict(use_read_base_qualities=use_quality)
 
+    from panvc3_tpu.pipeline.fastlane import AGG_DIAG
+
     outs = {}
     for rg in ("0", "1"):
         monkeypatch.setenv("PANVC3_DP_REFGATHER", rg)
+        before = dict(AGG_DIAG)
         out, stats, ranges = _run(
             sam, index_path, tmp_path, fastlane=True,
             name=f"rg{rg}_{use_quality}", **kw
         )
         assert stats.realigned_range_count > 0
+        # the mode under test must actually engage (regression guard: the
+        # event-geometry path once skipped flat-ref ingestion and the
+        # refgather wire silently never ran)
+        if rg == "1":
+            assert AGG_DIAG["refgather"] > before["refgather"]
+        else:
+            assert AGG_DIAG["refgather"] == before["refgather"]
         outs[rg] = (out, ranges)
+    assert outs["1"] == outs["0"]
+
+
+@pytest.mark.parametrize("use_quality", [False, True])
+def test_fastlane_wire2_and_sort_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch, use_quality
+):
+    """The 2-bit query aggregate wire and the length-sorted window layout
+    (order restored by inverse permutation at fetch) must not change a
+    single output byte vs the 4-bit unsorted dispatch, in any
+    combination."""
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+    monkeypatch.setenv("PANVC3_HOST_DP", "0")  # force the device lane
+    monkeypatch.setenv("PANVC3_DP_AGGREGATE", "1")
+    monkeypatch.setenv("PANVC3_DP_REFGATHER", "1")
+    kw = dict(use_read_base_qualities=use_quality)
+
+    from panvc3_tpu.pipeline.fastlane import AGG_DIAG
+
+    outs = {}
+    for w2, srt in (("0", "0"), ("1", "0"), ("0", "1"), ("1", "1")):
+        monkeypatch.setenv("PANVC3_DP_WIRE2", w2)
+        monkeypatch.setenv("PANVC3_DP_AGG_SORT", srt)
+        before = dict(AGG_DIAG)
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True,
+            name=f"w2{w2}_s{srt}_{use_quality}", **kw
+        )
+        assert stats.realigned_range_count > 0
+        assert AGG_DIAG["dispatches"] > before["dispatches"]
+        if w2 == "1":  # the variant under test must actually engage
+            assert AGG_DIAG["wire2"] > before["wire2"]
+        else:
+            assert AGG_DIAG["wire2"] == before["wire2"]
+        if srt == "1":
+            assert AGG_DIAG["sorted"] > before["sorted"]
+        else:
+            assert AGG_DIAG["sorted"] == before["sorted"]
+        outs[(w2, srt)] = (out, ranges)
+    base = outs[("0", "0")]
+    for k, v in outs.items():
+        assert v == base, k
+
+
+def test_fastlane_wire2_ineligible_window_falls_back(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """A window containing an N inside a realigned run's query slice is
+    wire2-ineligible; the dispatch must fall back to the 4-bit wire and
+    still produce identical bytes."""
+    index_path, _, _ = msa_files
+    sam_lines = _rich_sam(founder_seqs).decode().splitlines()
+    # plant an N inside the inserted bases of every indel read so some
+    # realigned query slice carries it
+    patched = []
+    for line in sam_lines:
+        if line.startswith("@") or "I" not in line.split("\t")[5]:
+            patched.append(line)
+            continue
+        f = line.split("\t")
+        mid = len(f[9]) // 2
+        f[9] = f[9][:mid] + "N" + f[9][mid + 1:]
+        patched.append("\t".join(f))
+    sam = ("\n".join(patched) + "\n").encode()
+    monkeypatch.setenv("PANVC3_HOST_DP", "0")
+    monkeypatch.setenv("PANVC3_DP_AGGREGATE", "1")
+    from panvc3_tpu.pipeline.fastlane import AGG_DIAG
+
+    outs = {}
+    for w2 in ("0", "1"):
+        monkeypatch.setenv("PANVC3_DP_WIRE2", w2)
+        before = dict(AGG_DIAG)
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"w2N{w2}"
+        )
+        assert stats.realigned_range_count > 0
+        # every window carries an N run -> the 4-bit fallback must engage
+        assert AGG_DIAG["wire2"] == before["wire2"]
+        outs[w2] = (out, ranges)
     assert outs["1"] == outs["0"]
 
 
