@@ -71,6 +71,14 @@ class LaneController:
 
     PROBE_PERIOD = 48    # decisions between probe windows
     PROBE_LEN = 6        # consecutive probe decisions (one measurable span)
+    # an unmeasured (or once-measured, possibly compile-polluted) lane is
+    # probed at this short period instead: the r4 controller waited a full
+    # PROBE_PERIOD (~42 batches = 344k reads) before first measuring the
+    # other lane, so a bench-length adaptive run could finish entirely on
+    # the slow initial mode (measured 66k reads/s run 1 vs 256k run 2,
+    # tools/probe_adaptive.py)
+    BOOTSTRAP_PERIOD = 24
+    BOOTSTRAP_SPANS = 2  # spans a lane needs before normal cadence applies
     HYSTERESIS = 0.9     # switch only on a >=10% measured win
     OVERRIDE_HOST = 8.0  # cheap side: cost-ratio that forces the host lane
     OVERRIDE_DEV = 64.0  # expensive side: ratio that forces the device lane
@@ -91,6 +99,7 @@ class LaneController:
         self.host_ns_cell = 4.0
         self.dev_ns_batch = 16e6
         self.ns_read = {"host": None, "dev": None}
+        self.span_count = {"host": 0, "dev": 0}
         self.mode = "host"
         self.tick = 0
         self.backoff = 1
@@ -120,6 +129,14 @@ class LaneController:
             # would penalize short streams, whose first batches all land
             # in it), with exponential back-off while probes keep losing
             period = self.PROBE_PERIOD * self.backoff
+            other = "dev" if self.mode == "host" else "host"
+            if self.span_count[other] < self.BOOTSTRAP_SPANS:
+                # bootstrap cadence; the first PROBE_LEN batches stay on
+                # the current mode so the pipeline settles before a span
+                # is worth measuring
+                if self.tick <= self.PROBE_LEN:
+                    return self.mode == "host"
+                period = self.BOOTSTRAP_PERIOD
             if self.tick % period >= period - self.PROBE_LEN:
                 return self.mode != "host"  # probe the other lane
             return self.mode == "host"
@@ -143,6 +160,7 @@ class LaneController:
             self.ns_read[self.span_lane] = (
                 ns_read if cur is None else 0.7 * cur + 0.3 * ns_read
             )
+            self.span_count[self.span_lane] += 1
             h, d = self.ns_read["host"], self.ns_read["dev"]
             if h is not None and d is not None:
                 if self.mode == "host" and d < self.HYSTERESIS * h:
@@ -154,7 +172,16 @@ class LaneController:
                     other = h if self.span_lane == "dev" else d
                     if self.span_lane == self.mode:
                         self.backoff = 1  # probe won: watch closely again
-                    elif mine > 2 * other:
+                    elif (
+                        mine > 2 * other
+                        and self.span_count[self.span_lane]
+                        >= self.BOOTSTRAP_SPANS
+                    ):
+                        # never back off on a lane's first spans: the
+                        # very first device window may carry a fresh
+                        # kernel compile, and parking the probe for
+                        # BACKOFF_MAX periods on that evidence would
+                        # freeze a wrong verdict
                         self.backoff = min(self.backoff * 2, self.BACKOFF_MAX)
                     else:
                         self.backoff = 1
@@ -1019,9 +1046,13 @@ def run_fast(
         # floor and falls out of the same formula; wider hosts get
         # proportionally more workers since the batch jobs are GIL-free C
         # slab loops.  PANVC3_BATCH_WORKERS overrides.
+        try:  # respect CPU affinity (fair-share scaling runs pin cores)
+            avail = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            avail = os.cpu_count() or 4
         n_pool = int(
             os.environ.get("PANVC3_BATCH_WORKERS", "0")
-        ) or max(2, (os.cpu_count() or 4) - 1)
+        ) or max(2, avail - 1)
         # per-call slab fan-out inside splice/finalize would just
         # oversubscribe the cores the pool already fills
         if hasattr(nat, "set_slab_threads"):

@@ -767,6 +767,54 @@ def test_lane_controller_probe_and_hysteresis():
     assert c.decide(200_000_000) is True   # 800 ms host DP < 64x16 ms: mode
     assert c.decide(1_000_000_000) is False  # 4 s host DP: force device
 
+
+def test_lane_controller_bootstrap_probe():
+    """An unmeasured lane must be probed within BOOTSTRAP_PERIOD
+    decisions (r4 waited a full PROBE_PERIOD = ~42 batches, so a
+    bench-length run could finish entirely on the slow initial mode), and
+    a lane's first spans must not grow the probe back-off (the first
+    device window may carry a fresh kernel compile)."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    c = LaneController()
+    cells = 10_000_000  # mid-band: neither override fires on the priors
+    decisions = [c.decide(cells) for _ in range(c.BOOTSTRAP_PERIOD)]
+    assert all(decisions[: c.PROBE_LEN])  # settle on the initial mode
+    assert False in decisions             # ...then probe dev early
+
+    t = [0]
+
+    def emit(dev_lane, reads, dt_ns):
+        t[0] += dt_ns
+        c.observe_emit(dev_lane, reads, t[0])
+
+    # host span, then a catastrophically slow dev probe span (compile)
+    for _ in range(8):
+        emit(False, 100, 1_000_000)
+    for _ in range(7):
+        emit(True, 100, 50_000_000)
+    emit(False, 100, 1_000_000)  # transition closes the dev span
+    assert c.span_count["dev"] == 1
+    assert c.backoff == 1  # first dev span: no back-off growth
+    # a second slow dev span IS allowed to grow the back-off
+    for _ in range(7):
+        emit(True, 100, 50_000_000)
+    emit(False, 100, 1_000_000)
+    assert c.span_count["dev"] == 2
+    assert c.backoff == 2
+
+
+def test_lane_controller_schedule_and_switching():
+    """Settled-controller behavior (both lanes measured at least
+    BOOTSTRAP_SPANS times): periodic probe cadence, span-level lane
+    switching with hysteresis, lane-neutral emits, exponential probe
+    back-off."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    c = LaneController()
+    # settle past the bootstrap cadence: both lanes already measured
+    c.span_count = {"host": c.BOOTSTRAP_SPANS, "dev": c.BOOTSTRAP_SPANS}
+
     # mid-range: starts on host, probes the device lane in consecutive
     # windows of PROBE_LEN
     mid = 8_000_000

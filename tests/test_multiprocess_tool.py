@@ -65,6 +65,13 @@ n_procs = int(sys.argv[2])
 port = sys.argv[3]
 index_path, fa_path, in_path, out_path, ranges_path, t_path = sys.argv[4:10]
 import os
+# Fair-share CPU affinity (argv[10], comma-separated core list): without
+# it every process autoscales its pool to the WHOLE box, so an n-process
+# "scaling" run measures n oversubscribed processes racing one another —
+# r4's superlinear 1.267/1.413 efficiencies came from exactly that plus
+# an understated small-workload baseline (VERDICT r4 weak #2).
+if len(sys.argv) > 10 and sys.argv[10]:
+    os.sched_setaffinity(0, {int(c) for c in sys.argv[10].split(",")})
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
