@@ -284,10 +284,18 @@ def _cpu_lane_metric() -> dict:
 def _run_scaling() -> None:
     """--scaling subprocess: the 1→N process full-tool scaling figure the
     multi-host design targets (BASELINE.md ≥0.8; tracked per round per
-    VERDICT r3 #8).  Mirrors tests/test_multiprocess_tool.py: N
-    jax.distributed processes each run the whole tool over a chromosome
-    shard (chr-sharded index load + pre-routed input); efficiency is
-    t_single / (N * max_k t_k).  Prints one JSON line."""
+    VERDICT r3 #8).  N jax.distributed processes each run the whole tool
+    over a chromosome shard (chr-sharded index load + pre-routed input);
+    efficiency is t_single / (N * max_k t_k).
+
+    Measurement hygiene (VERDICT r4 weak #2 — r4's 1.267/1.413 were
+    physically impossible): ≥512k reads so steady state dominates the
+    per-process fixed costs, warmup pass excluded by the worker, and
+    FAIR-SHARE CPU AFFINITY — each of the N processes gets a disjoint
+    per-core slice and the 1-process baseline is limited to the same
+    N*per total, so the ratio compares equal resources instead of N
+    oversubscribed processes racing one another.  Raw t1/tn are emitted
+    alongside each ratio.  Prints one JSON line."""
     import subprocess
     import tempfile
 
@@ -305,7 +313,7 @@ def _run_scaling() -> None:
     with tempfile.TemporaryDirectory() as td:
         tmp = pathlib.Path(td)
         index_path, fa_path, founders = _many_contig_setup(tmp, 6)
-        lines = _synth_reads(founders, n_reads=64000)
+        lines = _synth_reads(founders, n_reads=524288)
         header = [l for l in lines if l.startswith("@")]
         records = [l for l in lines if not l.startswith("@")]
         chr_ids = sorted(founders)
@@ -314,24 +322,31 @@ def _run_scaling() -> None:
         import os
 
         env = {**os.environ, "PYTHONPATH": str(pathlib.Path(__file__).parent)}
+        n_cores = os.cpu_count() or 4
 
-        def spawn(pid, n_procs, port, in_name, tag):
+        def spawn(pid, n_procs, port, in_name, tag, cpus):
             return subprocess.Popen(
                 [
                     sys.executable, "-c", WORKER, str(pid), str(n_procs),
                     str(port), str(index_path), str(fa_path),
                     str(tmp / in_name), str(tmp / f"out_{tag}.sam"),
                     str(tmp / f"ranges_{tag}.tsv"), str(tmp / f"t_{tag}.txt"),
+                    cpus,
                 ],
                 env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
 
-        p = spawn(0, 1, 0, "full.sam", "single")
-        p.communicate(timeout=600)
-        assert p.returncode == 0
-        t1 = float((tmp / "t_single.txt").read_text().split("\t")[0])
-
         for n_procs in (2, 3):
+            per = max(1, n_cores // n_procs)
+            base_cpus = ",".join(str(c) for c in range(n_procs * per))
+            # per-N baseline on the SAME total cores the shards get
+            p = spawn(0, 1, 0, "full.sam", f"single{n_procs}", base_cpus)
+            p.communicate(timeout=1200)
+            if p.returncode != 0:
+                continue
+            t1 = float(
+                (tmp / f"t_single{n_procs}.txt").read_text().split("\t")[0]
+            )
             shards: list[list[str]] = [[] for _ in range(n_procs)]
             for line in records:
                 chr_id, _ = split_ref_id(line.split("\t", 3)[2], "/")
@@ -342,11 +357,14 @@ def _run_scaling() -> None:
                 )
             port = _free_port()
             procs = [
-                spawn(k, n_procs, port, f"shard{k}_{n_procs}.sam", f"p{k}")
+                spawn(
+                    k, n_procs, port, f"shard{k}_{n_procs}.sam", f"p{k}",
+                    ",".join(str(c) for c in range(k * per, (k + 1) * per)),
+                )
                 for k in range(n_procs)
             ]
             for p in procs:
-                p.communicate(timeout=600)
+                p.communicate(timeout=1200)
             if not all(p.returncode == 0 for p in procs):
                 continue
             tn = max(
@@ -356,6 +374,8 @@ def _run_scaling() -> None:
             rows[f"scaling_efficiency_{n_procs}proc"] = round(
                 t1 / (n_procs * tn), 3
             )
+            rows[f"scaling_t1_{n_procs}proc_s"] = round(t1, 3)
+            rows[f"scaling_tn_{n_procs}proc_s"] = round(tn, 3)
     print(json.dumps(rows))
 
 

@@ -144,7 +144,7 @@ def test_multi_process_tool_scaling(tmp_path, n_procs):
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo"
 
-    def spawn(pid, n_procs, port, in_name, tag):
+    def spawn(pid, n_procs, port, in_name, tag, cpus=""):
         return subprocess.Popen(
             [
                 sys.executable, "-c", WORKER, str(pid), str(n_procs), str(port),
@@ -152,21 +152,34 @@ def test_multi_process_tool_scaling(tmp_path, n_procs):
                 str(tmp_path / f"out_{tag}.sam"),
                 str(tmp_path / f"ranges_{tag}.tsv"),
                 str(tmp_path / f"t_{tag}.txt"),
+                cpus,
             ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
 
+    # fair-share core partition: each of the n processes gets a disjoint
+    # per-core slice, and the single-process baseline is limited to the
+    # same n*per total so the efficiency compares EQUAL resources (without
+    # this every process autoscaled to the whole box and the "efficiency"
+    # measured oversubscription artifacts — superlinear 1.267/1.413 in r4)
+    per = max(1, (os.cpu_count() or 4) // n_procs)
+    base_cpus = ",".join(str(c) for c in range(n_procs * per))
+    shard_cpus = [
+        ",".join(str(c) for c in range(k * per, (k + 1) * per))
+        for k in range(n_procs)
+    ]
+
     # single-process baseline
-    p = spawn(0, 1, 0, "full.sam", "single")
+    p = spawn(0, 1, 0, "full.sam", "single", cpus=base_cpus)
     out, _ = p.communicate(timeout=600)
     assert p.returncode == 0, out.decode()
 
     # n distributed processes over the chromosome shards
     port = _free_port()
     procs = [
-        spawn(k, n_procs, port, f"shard{k}.sam", f"p{k}")
+        spawn(k, n_procs, port, f"shard{k}.sam", f"p{k}", cpus=shard_cpus[k])
         for k in range(n_procs)
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
@@ -209,5 +222,8 @@ def test_multi_process_tool_scaling(tmp_path, n_procs):
         f"efficiency {eff:.2f}"
     )
     if n_procs == 2:
-        # CPU-mesh smoke bound; ≥0.8 target applies to real multi-host runs
-        assert eff > 0.35, (t1, tn)
+        # fair-share affinity bounds (≥0.8 target applies to real
+        # multi-host runs; the CPU-mesh figure gates regressions): a
+        # physically plausible band — below 0.5 the sharded path
+        # regressed, above 1.15 the yardstick itself broke again
+        assert 0.5 < eff < 1.15, (t1, tn)
