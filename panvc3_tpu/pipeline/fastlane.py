@@ -1061,8 +1061,32 @@ def run_fast(
         MAX_IN_FLIGHT = max(cfg.pipeline_depth, n_pool + 1)
         job_q = _queue.Queue(maxsize=MAX_IN_FLIGHT)
 
+        # PANVC3_FASTLANE_CHAOS=<seed>: adversarial scheduling jitter —
+        # random sub-ms sleeps at every cross-thread handoff (pool job
+        # start, writer drain, aggregate dispatch, fetch) so the ordering
+        # invariants documented in CLAUDE.md are machine-checked by the
+        # byte-equality suites instead of prose-checked (VERDICT r4 #7).
+        # The jitter permutes thread interleavings; output bytes must not
+        # change.
+        _chaos_env = os.environ.get("PANVC3_FASTLANE_CHAOS")
+        if _chaos_env:
+            import random as _random
+
+            _chaos_rng = _random.Random(int(_chaos_env))
+            _chaos_lock = threading.Lock()
+
+            def _jitter():
+                with _chaos_lock:
+                    d = _chaos_rng.random() * 0.002
+                _time.sleep(d)
+        else:
+            def _jitter():
+                pass
+
         def _job(ctx):
+            _jitter()
             ctx = finish_rewrite(ctx)
+            _jitter()
             if ctx is not None and ctx.get("deferred"):
                 return ("defer", ctx)
             return finish_realign(ctx)
@@ -1100,6 +1124,7 @@ def run_fast(
                 unpack_realign_wire as _unpack_wire,
             )
 
+            _jitter()
             t0 = _time.perf_counter_ns()
             tp0 = _time.perf_counter()
             # pad to the {p, 1.5p} ladder of the ACTUAL max run lengths —
@@ -1226,6 +1251,7 @@ def run_fast(
                         rg_starts[:S_tot] = rg_starts[:S_tot][order]
 
             def _restore(o, c2):
+                _jitter()  # fetch-thread completion timing
                 if inv_order is None:
                     return np.ascontiguousarray(o), np.ascontiguousarray(c2)
                 return (
@@ -1343,6 +1369,7 @@ def run_fast(
             return parts, fetch_pool.submit(_fetch), steps
 
         def _finish_deferred(ctx, agg_fut, lo, hi, steps):
+            _jitter()
             t0 = _time.perf_counter_ns()
             ops_all, cnt_all = agg_fut.result()
             ctx["agg_fetch_ns"] = _time.perf_counter_ns() - t0
@@ -1397,6 +1424,7 @@ def run_fast(
 
             while True:
                 fut = job_q.get()
+                _jitter()
                 if fut is None:
                     try:
                         flush()

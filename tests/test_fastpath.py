@@ -752,6 +752,47 @@ def test_fastlane_adaptive_lane_byte_identical(
     assert outs["adaptive"] == outs["host"] == outs["device"]
 
 
+def test_fastlane_chaos_scheduling_byte_identical(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """Adversarial scheduling soak (VERDICT r4 #7): PANVC3_FASTLANE_CHAOS
+    injects random sub-ms sleeps at every cross-thread handoff (pool job
+    start/mid, writer drain, aggregate dispatch, fetch completion),
+    permuting thread interleavings.  The writer-thread/emit ordering
+    invariants must hold under every schedule: output bytes identical to
+    the undisturbed run across >=10 seeds, on both the adaptive default
+    and the forced-device aggregate path."""
+    index_path, _, _ = msa_files
+    # 30 batches at the test batch size: enough in-flight concurrency for
+    # the jitter to actually permute job completion orders
+    sam = _rich_sam(founder_seqs, n_reads=960, seed=29)
+
+    base = {}
+    for lane_env in (None, "0"):  # adaptive and forced-device
+        if lane_env is None:
+            monkeypatch.delenv("PANVC3_HOST_DP_CELLS", raising=False)
+        else:
+            monkeypatch.setenv("PANVC3_HOST_DP_CELLS", lane_env)
+        monkeypatch.delenv("PANVC3_FASTLANE_CHAOS", raising=False)
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"chaos_base_{lane_env}"
+        )
+        assert stats.realigned_range_count > 0
+        base[lane_env] = (out, ranges)
+
+    for seed in range(1, 11):
+        lane_env = None if seed % 2 else "0"
+        if lane_env is None:
+            monkeypatch.delenv("PANVC3_HOST_DP_CELLS", raising=False)
+        else:
+            monkeypatch.setenv("PANVC3_HOST_DP_CELLS", lane_env)
+        monkeypatch.setenv("PANVC3_FASTLANE_CHAOS", str(seed))
+        out, stats, ranges = _run(
+            sam, index_path, tmp_path, fastlane=True, name=f"chaos_{seed}"
+        )
+        assert (out, ranges) == base[lane_env], seed
+
+
 def test_lane_controller_probe_and_hysteresis():
     """The adaptive LaneController converges to the measured-faster lane
     using span-level throughput (robust to the ordered drain's damming
