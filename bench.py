@@ -376,6 +376,68 @@ def _run_scaling() -> None:
             )
             rows[f"scaling_t1_{n_procs}proc_s"] = round(t1, 3)
             rows[f"scaling_tn_{n_procs}proc_s"] = round(tn, 3)
+
+        # whole-tool sharded recalculate_mapq (VERDICT r4 #5): QNAME-hash
+        # shards through the unmodified tool under the same fair-share
+        # affinity scheme; merged-output equality is enforced by
+        # tests/test_multiprocess_mapq.py
+        from tests.test_multiprocess_mapq import (
+            MAPQ_WORKER,
+            shard_lines,
+            synth_grouped_sam,
+        )
+
+        n_procs = 2
+        per = max(1, n_cores // n_procs)
+        mlines = synth_grouped_sam(n_groups=120000)
+        mheader, mshards = shard_lines(mlines, n_procs)
+        (tmp / "mq_full.sam").write_text("\n".join(mlines) + "\n")
+        for k in range(n_procs):
+            (tmp / f"mq_shard{k}.sam").write_text(
+                "\n".join(mheader + mshards[k]) + "\n"
+            )
+
+        def spawn_mq(pid, n, port, in_name, tag, cpus):
+            return subprocess.Popen(
+                [
+                    sys.executable, "-c", MAPQ_WORKER, str(pid), str(n),
+                    str(port), str(tmp / in_name),
+                    str(tmp / f"mq_out_{tag}.sam"),
+                    str(tmp / f"mq_t_{tag}.txt"), cpus,
+                ],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+
+        p = spawn_mq(
+            0, 1, 0, "mq_full.sam", "single",
+            ",".join(str(c) for c in range(n_procs * per)),
+        )
+        p.communicate(timeout=1200)
+        if p.returncode == 0:
+            t1 = float((tmp / "mq_t_single.txt").read_text().split("\t")[0])
+            port = _free_port()
+            procs = [
+                spawn_mq(
+                    k, n_procs, port, f"mq_shard{k}.sam", f"p{k}",
+                    ",".join(str(c) for c in range(k * per, (k + 1) * per)),
+                )
+                for k in range(n_procs)
+            ]
+            for p in procs:
+                p.communicate(timeout=1200)
+            if all(p.returncode == 0 for p in procs):
+                tn = max(
+                    float(
+                        (tmp / f"mq_t_p{k}.txt").read_text().split("\t")[0]
+                    )
+                    for k in range(n_procs)
+                )
+                rows["scaling_efficiency_mapq_2proc"] = round(
+                    t1 / (n_procs * tn), 3
+                )
+                rows["scaling_mapq_t1_s"] = round(t1, 3)
+                rows["scaling_mapq_tn_s"] = round(tn, 3)
     print(json.dumps(rows))
 
 
