@@ -564,6 +564,32 @@ def _run() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] scaling measurement failed: {exc}", file=sys.stderr)
 
+    # engine-lane arbitration rows (VERDICT r4 #4): the decision the
+    # runtime makes on THIS box/link, plus the host-scarce decision under
+    # the measured link and under forced-healthy/degraded links (shows
+    # the arbiter selecting fused when it would win and split when the
+    # D2H leg can't feed it)
+    lane_rows = {}
+    try:
+        from panvc3_tpu.ops.engine import choose_engine_lane, probe_d2h_mbps
+
+        mbps = probe_d2h_mbps()
+        lane_rows = {
+            "engine_lane_d2h_mbps": round(mbps, 1),
+            "engine_lane_auto": choose_engine_lane(d2h_mbps=mbps),
+            "engine_lane_hostscarce_measured_link": choose_engine_lane(
+                host_cores=1, d2h_mbps=mbps
+            ),
+            "engine_lane_hostscarce_healthy_link": choose_engine_lane(
+                host_cores=1, d2h_mbps=1000.0
+            ),
+            "engine_lane_hostscarce_degraded_link": choose_engine_lane(
+                host_cores=1, d2h_mbps=1.0
+            ),
+        }
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] engine-lane rows failed: {exc}", file=sys.stderr)
+
     result = {
         "metric": "projected_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -603,6 +629,7 @@ def _run() -> None:
         # this is the MIXED-workload -q headline — new name so stored
         # bench lines never compare different workloads under one key
         result["tool_q_mixed_reads_per_s"] = round(q_rps, 1)
+    result.update(lane_rows)
     result.update(lanes)
     # tool_reads_per_s_cpu_lane is the DESIGNATED round-over-round
     # regression gate: tunnel-independent, so it separates code

@@ -28,6 +28,7 @@ pluggable: the scalar host oracle, or the batched JAX/Pallas device engine
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -485,6 +486,23 @@ def run_project_alignments(
             from ..parallel.mesh import make_mesh
 
             mesh = make_mesh(cfg.data_parallel if cfg.data_parallel > 0 else None)
+        # runtime engine-lane arbitration (in place of the manual
+        # --fused-kernel switch): the fused v4 single-dispatch engine
+        # engages when host CPU is scarce and the D2H leg is healthy;
+        # everywhere else the split fast lane wins.  choose_engine_lane
+        # is free unless the core count alone can't decide.
+        # PANVC3_ENGINE_LANE / PANVC3_ENGINE_AUTO=0 override.
+        if (
+            not cfg.fused_kernel
+            and mesh is None
+            and os.environ.get("PANVC3_ENGINE_AUTO", "1") != "0"
+        ):
+            from ..ops.engine import choose_engine_lane
+
+            if choose_engine_lane() == "fused":
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, fused_kernel=True)
         batch_engine = BatchProjector(
             src_entries,
             dst_entries,

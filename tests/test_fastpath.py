@@ -752,6 +752,34 @@ def test_fastlane_adaptive_lane_byte_identical(
     assert outs["adaptive"] == outs["host"] == outs["device"]
 
 
+def test_engine_lane_arbiter(msa_files, founder_seqs, tmp_path, monkeypatch):
+    """Runtime fused/split engine arbitration (VERDICT r4 #4): the split
+    fast lane whenever the host has cores; the fused single-dispatch
+    engine only when host CPU is scarce AND the D2H leg is healthy.
+    Forcing fused through the arbiter must not change a byte."""
+    from panvc3_tpu.ops.engine import choose_engine_lane
+
+    monkeypatch.delenv("PANVC3_ENGINE_LANE", raising=False)
+    assert choose_engine_lane(host_cores=4) == "split"
+    assert choose_engine_lane(host_cores=2, d2h_mbps=1000.0) == "fused"
+    assert choose_engine_lane(host_cores=2, d2h_mbps=10.0) == "split"
+    monkeypatch.setenv("PANVC3_ENGINE_LANE", "fused")
+    assert choose_engine_lane(host_cores=16) == "fused"
+    monkeypatch.delenv("PANVC3_ENGINE_LANE")
+
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+    out_s, stats_s, rng_s = _run(
+        sam, index_path, tmp_path, fastlane=True, name="arb_split"
+    )
+    assert stats_s.realigned_range_count > 0
+    monkeypatch.setenv("PANVC3_ENGINE_LANE", "fused")
+    out_f, stats_f, rng_f = _run(
+        sam, index_path, tmp_path, fastlane=True, name="arb_fused"
+    )
+    assert (out_f, rng_f) == (out_s, rng_s)
+
+
 def test_fastlane_chaos_scheduling_byte_identical(
     msa_files, founder_seqs, tmp_path, monkeypatch
 ):
