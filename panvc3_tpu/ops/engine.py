@@ -86,6 +86,12 @@ def choose_engine_lane(
     forced = os.environ.get("PANVC3_ENGINE_LANE")
     if forced in ("split", "fused"):
         return forced
+    # the fused engine is a real-TPU path — on any other backend the
+    # Pallas kernel runs interpreted (a CPU-mesh worker pinned to few
+    # cores would otherwise "win" the D2H probe against local memory and
+    # route itself onto an interpreter)
+    if jax.default_backend() != "tpu":
+        return "split"
     if host_cores is None:
         try:
             host_cores = len(os.sched_getaffinity(0))

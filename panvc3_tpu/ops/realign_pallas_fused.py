@@ -37,6 +37,7 @@ Reference semantics: align_global
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -50,7 +51,19 @@ from .realign_batch import _TR_DIAG, _TR_HORIZ, _TR_VERT
 # which pallas kernels cannot close over)
 NEG = -1e30
 
-TILE_B = 256
+# lanes per kernel tile (batch-in-lanes layout; must be a multiple of
+# 128).  Read once at import; PANVC3_DP_TILE_B overrides for tuning.
+TILE_B = int(os.environ.get("PANVC3_DP_TILE_B", "256"))
+
+
+def _pick_tile(R: int, Q: int) -> int:
+    """Shape-dependent lane count: 512 amortises the per-row-step VPU op
+    overhead on small column counts (+32% at the 16-pad production shape,
+    tools/probe_tile.py), but loses at 48-pad where the wider working set
+    pressures VMEM; PANVC3_DP_TILE_B forces one width."""
+    if "PANVC3_DP_TILE_B" in os.environ:
+        return int(os.environ["PANVC3_DP_TILE_B"])
+    return 512 if R + Q <= 48 else 256
 
 
 def _kernel(go_ref, ge_ref, *refs, R: int, Q: int, has_sub: bool,
@@ -324,7 +337,8 @@ def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
     if has_qual:
         qq, mrow, xrow = qual
     B = ref.shape[0]
-    pad = (-B) % TILE_B
+    tile = _pick_tile(R, Q)
+    pad = (-B) % tile
     if pad:
         if has_sub:
             sub = jnp.pad(sub, ((0, pad), (0, 0), (0, 0)))
@@ -347,7 +361,7 @@ def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
     in_specs = [smem, smem]
     inputs = [go2, ge2]
     if has_sub:
-        in_specs.append(pl.BlockSpec((Q, R, TILE_B), lambda b: (0, 0, b)))
+        in_specs.append(pl.BlockSpec((Q, R, tile), lambda b: (0, 0, b)))
         inputs.append(jnp.transpose(sub, (1, 2, 0)))        # (Q, R, BP)
     if has_qual:
         row_smem = pl.BlockSpec(
@@ -356,7 +370,7 @@ def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
         in_specs += [
             row_smem,
             row_smem,
-            pl.BlockSpec((Q, TILE_B), lambda b: (0, b)),
+            pl.BlockSpec((Q, tile), lambda b: (0, b)),
         ]
         inputs += [
             jnp.asarray(mrow, jnp.float32).reshape(64, 1),
@@ -364,29 +378,29 @@ def realign_fused_pallas(sub, ref, query, m, n, go, ge, R: int, Q: int,
             jnp.transpose(qq.astype(jnp.int32), (1, 0)),    # (Q, BP)
         ]
     in_specs += [
-        pl.BlockSpec((R, TILE_B), lambda b: (0, b)),
-        pl.BlockSpec((Q, TILE_B), lambda b: (0, b)),
-        pl.BlockSpec((1, TILE_B), lambda b: (0, b)),
-        pl.BlockSpec((1, TILE_B), lambda b: (0, b)),
+        pl.BlockSpec((R, tile), lambda b: (0, b)),
+        pl.BlockSpec((Q, tile), lambda b: (0, b)),
+        pl.BlockSpec((1, tile), lambda b: (0, b)),
+        pl.BlockSpec((1, tile), lambda b: (0, b)),
     ]
     inputs += [ref_t, query_t, m2, n2]
 
-    grid = bp // TILE_B
+    grid = bp // tile
     kern = partial(_kernel, R=R, Q=Q, has_sub=has_sub, has_qual=has_qual)
     ops_t, count_t = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((R + Q, 1, TILE_B), lambda b: (0, 0, b)),
-            pl.BlockSpec((1, TILE_B), lambda b: (0, b)),
+            pl.BlockSpec((R + Q, 1, tile), lambda b: (0, 0, b)),
+            pl.BlockSpec((1, tile), lambda b: (0, b)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R + Q, 1, bp), jnp.int32),
             jax.ShapeDtypeStruct((1, bp), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Q + 1, (R + 1 + 7) // 8, TILE_B), jnp.int32),
+            pltpu.VMEM((Q + 1, (R + 1 + 7) // 8, tile), jnp.int32),
         ],
         interpret=interpret,
     )(*inputs)

@@ -137,6 +137,26 @@ class LaneController:
                 if self.tick <= self.PROBE_LEN:
                     return self.mode == "host"
                 period = self.BOOTSTRAP_PERIOD
+            elif self.backoff == 1 and os.environ.get(
+                "PANVC3_LANE_MIX", "0"
+            ) == "1":
+                # graduated duty (OPT-IN, default off): when the lanes
+                # measure close, send the "losing" lane real work at a
+                # higher duty cycle.  The lanes do load disjoint
+                # resources, but two reversed-order tunnel A/Bs measured
+                # the rare-probe cadence consistently better end to end
+                # (adaptive/best-forced 1.23 and 1.35 with mixing off vs
+                # 1.05 and 1.19 with it on) — higher duty fragments the
+                # aggregate windows and loads the writer thread more
+                # than the overlap repays.  Kept as PANVC3_LANE_MIX=1
+                # for wider-host experiments.
+                h, d = self.ns_read["host"], self.ns_read["dev"]
+                if h is not None and d is not None:
+                    ratio = max(h, d) / max(min(h, d), 1e-9)
+                    if ratio <= 1.15:
+                        period = 2 * self.PROBE_LEN  # alternate 50/50
+                    elif ratio <= 1.5:
+                        period = 4 * self.PROBE_LEN
             if self.tick % period >= period - self.PROBE_LEN:
                 return self.mode != "host"  # probe the other lane
             return self.mode == "host"

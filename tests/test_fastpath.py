@@ -757,12 +757,20 @@ def test_engine_lane_arbiter(msa_files, founder_seqs, tmp_path, monkeypatch):
     fast lane whenever the host has cores; the fused single-dispatch
     engine only when host CPU is scarce AND the D2H leg is healthy.
     Forcing fused through the arbiter must not change a byte."""
+    import panvc3_tpu.ops.engine as eng
     from panvc3_tpu.ops.engine import choose_engine_lane
 
     monkeypatch.delenv("PANVC3_ENGINE_LANE", raising=False)
-    assert choose_engine_lane(host_cores=4) == "split"
-    assert choose_engine_lane(host_cores=2, d2h_mbps=1000.0) == "fused"
-    assert choose_engine_lane(host_cores=2, d2h_mbps=10.0) == "split"
+    # off-TPU backends always take the split lane (the fused kernel
+    # would run interpreted) — this is the CPU test mesh's own backend
+    assert choose_engine_lane(host_cores=1, d2h_mbps=1000.0) == "split"
+    # decision logic proper, with the backend pinned to a real TPU
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(eng.jax, "default_backend", lambda: "tpu")
+        assert choose_engine_lane(host_cores=4) == "split"
+        assert choose_engine_lane(host_cores=2, d2h_mbps=1000.0) == "fused"
+        assert choose_engine_lane(host_cores=2, d2h_mbps=10.0) == "split"
+    # the env override short-circuits before the backend check
     monkeypatch.setenv("PANVC3_ENGINE_LANE", "fused")
     assert choose_engine_lane(host_cores=16) == "fused"
     monkeypatch.delenv("PANVC3_ENGINE_LANE")
@@ -949,6 +957,34 @@ def test_lane_controller_schedule_and_switching():
     assert c2.mode == "host" and c2.backoff >= 8
     c2.tick = 0
     assert not any(not c2.decide(8_000_000) for _ in range(c2.PROBE_PERIOD))
+
+
+def test_lane_controller_graduated_duty(monkeypatch):
+    """PANVC3_LANE_MIX=1 (opt-in; reversed-order tunnel A/Bs measured
+    the default rare-probe cadence better end to end): near-parity lanes
+    alternate PROBE_LEN spans 50/50, a clear winner (>1.5x) keeps the
+    rare-probe cadence, and the default leaves mixing off."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    def settled(h_ns, d_ns):
+        c = LaneController()
+        c.span_count = {"host": 2, "dev": 2}
+        c.ns_read = {"host": h_ns, "dev": d_ns}
+        return c
+
+    mid = 8_000_000
+    monkeypatch.setenv("PANVC3_LANE_MIX", "1")  # opt-in
+    c = settled(1000.0, 950.0)  # near parity
+    dec = [c.decide(mid) for _ in range(48)]
+    assert dec.count(False) == 24  # 50/50 alternation
+    c = settled(1000.0, 500.0)  # clear winner
+    c.mode = "dev"
+    dec = [c.decide(mid) for _ in range(c.PROBE_PERIOD)]
+    assert dec.count(True) == c.PROBE_LEN  # rare probes only
+    monkeypatch.delenv("PANVC3_LANE_MIX", raising=False)
+    c = settled(1000.0, 950.0)
+    dec = [c.decide(mid) for _ in range(c.PROBE_PERIOD)]
+    assert dec.count(False) == c.PROBE_LEN  # default: rare probes only
 
 
 def test_lane_controller_active_lane_degradation():
