@@ -48,24 +48,35 @@ def probe_d2h_mbps(size: int = 1 << 18) -> float:
 
     Staged: a 16 KB fetch first (so a pathologically degraded link — the
     axon tunnel has measured ~0.1 MB/s hours — costs ~0.2 s, not tens of
-    seconds), and the full-size fetch only when the small one was fast."""
+    seconds), and the full-size fetch only when the small one was fast.
+    Every timed fetch pulls a FRESH device array (computed on device from
+    a varying operand): jax caches an array's host copy after its first
+    device_get, so re-fetching the same buffer measures nothing."""
     import time
 
-    small = jax.device_put(np.zeros(1 << 14, np.uint8))
-    jax.device_get(small)  # warm the path
-    t0 = time.perf_counter()
-    jax.device_get(small)
-    t_small = time.perf_counter() - t0
-    small_mbps = (1 << 14) / max(t_small, 1e-9) / 1e6
-    if small_mbps < 50.0:
-        return small_mbps  # degraded: don't pay a big fetch to confirm
+    bump = jax.jit(lambda a, b: a + b)
+
+    def fetch_seconds(base, salt):
+        y = bump(base, np.uint8(salt))
+        t0 = time.perf_counter()
+        jax.device_get(y)  # includes one dispatch RTT; compensated below
+        return time.perf_counter() - t0
+
+    small_n = 1 << 14
+    small = jax.device_put(np.zeros(small_n, np.uint8))
+    fetch_seconds(small, 1)  # warm (compile + path)
+    t_small = min(fetch_seconds(small, 2), fetch_seconds(small, 3))
+    # a small fetch is RTT-dominated on ANY link (16 KB / 25 ms RTT reads
+    # as 0.6 MB/s on a healthy tunnel), so it can only detect the truly
+    # pathological case; bandwidth needs the differential below
+    if t_small > 1.0:
+        return small_n / t_small / 1e6  # degraded: skip the big fetch
     big = jax.device_put(np.zeros(size, np.uint8))
-    jax.device_get(big)
-    t0 = time.perf_counter()
-    jax.device_get(big)
-    dt = time.perf_counter() - t0
-    # subtract the RTT measured by the small fetch
-    return size / max(dt - t_small, 1e-9) / 1e6
+    fetch_seconds(big, 1)
+    dt = min(fetch_seconds(big, 2), fetch_seconds(big, 3))
+    # differential: (size - small) extra bytes took (dt - t_small) extra
+    # seconds — RTT and dispatch overhead cancel
+    return (size - small_n) / max(dt - t_small, 1e-9) / 1e6
 
 
 def choose_engine_lane(

@@ -145,11 +145,23 @@ CONFIGS = [
      "device", False),
     ("fastlane-gapkernel", {"PANVC3_EVENT_GEOMETRY": "0"}, True,
      "device", False),
+    # r5 aggregate-dispatch variants: 2-bit query wire and length-sorted
+    # windows off (defaults are on), and chaos scheduling jitter
+    ("fastlane-devlane-nowire2", {"PANVC3_HOST_DP": "0",
+                                  "PANVC3_DP_WIRE2": "0"}, True,
+     "device", False),
+    ("fastlane-devlane-nosort", {"PANVC3_HOST_DP": "0",
+                                 "PANVC3_DP_AGG_SORT": "0"}, True,
+     "device", False),
+    ("fastlane-chaos", {"PANVC3_FASTLANE_CHAOS": "7"}, True,
+     "device", False),
 ]
 
 Q_CONFIGS = [
     ("q-fastlane", {}, True, "device", True),
     ("q-devlane", {"PANVC3_HOST_DP": "0"}, True, "device", True),
+    ("q-devlane-nowire2", {"PANVC3_HOST_DP": "0",
+                           "PANVC3_DP_WIRE2": "0"}, True, "device", True),
     ("q-hostdp", {"PANVC3_HOST_DP_CELLS": str(10**15)}, True, "device", True),
 ]
 
