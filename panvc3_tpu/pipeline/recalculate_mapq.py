@@ -204,6 +204,9 @@ class CigarScorer:
                 if rec.qual != "*"
                 else np.zeros(len(query), np.int64)
             )
+            # sub-'!' QUAL bytes floor at zero (the C engine clamps; a raw
+            # negative index would wrap around the penalty table)
+            np.clip(quals_a, 0, 255, out=quals_a)
             mismatch_tab = np.asarray(self.mismatch_penalties, dtype=np.int64)
             is_n = (q == ord("N")) | (q == ord("n"))
             score = 0
@@ -223,10 +226,14 @@ class CigarScorer:
                     qpos += count
                     prev_op = op
                 elif op == "=":
+                    if qpos + count > len(query):
+                        raise ValueError("CIGAR overruns the sequence")
                     score -= int(is_n[qpos:qpos + count].sum()) * s.n_penalty
                     qpos += count
                     prev_op = op
                 elif op == "X":
+                    if qpos + count > len(query) or qpos + count > len(quals_a):
+                        raise ValueError("CIGAR overruns the sequence")
                     sl = slice(qpos, qpos + count)
                     nmask = is_n[sl]
                     pen = np.where(
@@ -245,7 +252,12 @@ class CigarScorer:
     def _calculate_scalar(self, rec: SamRecord, ref_n_positions: list[int]) -> int:
         s = self.scoring
         query = rec.seq
-        quals = [ord(c) - 33 for c in rec.qual] if rec.qual != "*" else [0] * len(query)
+        # clamp like the C engine: sub-'!' bytes floor at 0, >255 capped
+        quals = (
+            [min(max(ord(c) - 33, 0), 255) for c in rec.qual]
+            if rec.qual != "*"
+            else [0] * len(query)
+        )
         score = 0
         qpos = rpos = 0
         prev_op = ""
@@ -270,13 +282,19 @@ class CigarScorer:
                 qpos += count
                 prev_op = op
             elif op == "=":
+                if qpos + count > len(query):
+                    raise ValueError("CIGAR overruns the sequence")
                 for i in range(count):
                     if query[qpos + i] in "Nn":
-                        score -= self.n_penalties[quals[qpos + i]]
+                        # the C engine charges n_penalty without reading
+                        # QUAL on '=' — keep that exactly
+                        score -= s.n_penalty
                 qpos += count
                 rpos += count
                 prev_op = op
             elif op == "X":
+                if qpos + count > len(query) or qpos + count > len(quals):
+                    raise ValueError("CIGAR overruns the sequence")
                 for i in range(count):
                     qp = qpos + i
                     rp = rpos + i

@@ -425,6 +425,11 @@ def test_long_read_equality(msa_files, founder_seqs):
     assert outs["host"] == outs["device"]
 
 
+@pytest.mark.skipif(
+    __import__("panvc3_tpu.native", fromlist=["get_native"]).get_native() is None,
+    reason="event fast lane needs the native extension (without it the "
+    "classic engine legitimately uses the gap-kernel tables)",
+)
 def test_device_gap_tables_lazy(msa_files, founder_seqs):
     """The default event-geometry run must never build the HBM gap-index
     tables (O(columns) build time + memory — genome-scale cold-start
@@ -531,6 +536,10 @@ def test_fused_event_matches_gap_variant(msa_files, founder_seqs, monkeypatch):
     assert outs["1"] == outs["0"]
 
 
+@pytest.mark.skipif(
+    __import__("panvc3_tpu.native", fromlist=["get_native"]).get_native() is None,
+    reason="the fused engine requires the native extension (use_fused gate)",
+)
 def test_fused_event_overflow_redispatches_gap_variant(tmp_path, monkeypatch):
     """A record overlapping more gap events than the event kernel's slots
     must re-dispatch through the gap-math fused variant (the rewrite

@@ -504,17 +504,23 @@ def test_mapq_rescore_overrun_and_lowqual_parity(monkeypatch):
         "b\t0\tc\t5\t40\t30X\t*\t0\t0\t" + "A" * 30 + "\t" + chr(30) * 30 +
         "\tAS:i:-3\tXR:i:0\tXP:i:5\n"
     ).encode()
+    import panvc3_tpu.pipeline.recalculate_mapq as rm
+
     for sam, should_raise in ((overrun, True), (lowq, False)):
         res = {}
-        for fast in ("0", "1"):
-            monkeypatch.setenv("PANVC3_MAPQ_FAST", fast)
+        # fast=0/1 toggles the C group engine; "py" forces the pure-Python
+        # scorer fallback (no native built) — all three must agree
+        for mode in ("0", "1", "py"):
+            monkeypatch.setenv("PANVC3_MAPQ_FAST", "0" if mode == "py" else mode)
+            if mode == "py":
+                monkeypatch.setattr(rm, "get_native", lambda: None)
             try:
                 out = io.BytesIO()
                 run_recalculate_mapq(io.BytesIO(sam), out, rescore=True)
-                res[fast] = ("ok", out.getvalue())
+                res[mode] = ("ok", out.getvalue())
             except ValueError as e:
-                res[fast] = ("err", str(e))
-        assert res["0"] == res["1"]
+                res[mode] = ("err", str(e))
+        assert res["0"] == res["1"] == res["py"]
         assert (res["0"][0] == "err") == should_raise
 
 
