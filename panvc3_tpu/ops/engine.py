@@ -43,12 +43,22 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def probe_d2h_mbps(size: int = 1 << 18) -> float:
+def probe_d2h_mbps(size: int = 1 << 22) -> float:
     """Measured device->host bandwidth (MB/s), RTT-compensated.
 
-    Staged: a 16 KB fetch first (so a pathologically degraded link — the
-    axon tunnel has measured ~0.1 MB/s hours — costs ~0.2 s, not tens of
-    seconds), and the full-size fetch only when the small one was fast.
+    Three stages so no link class overpays or under-measures:
+    - 16 KB first: a pathologically degraded link (the axon tunnel has
+      measured ~0.1 MB/s hours) costs ~0.2 s, not tens of seconds;
+    - 256 KB next: its differential vs the small fetch decides whether
+      the link is plainly slow (< 100 MB/s — no need for the big fetch,
+      the arbitration threshold is 200);
+    - 4 MB last: the decision-grade measurement.  At the 200 MB/s
+      threshold the ~3.75 MB differential takes ~19 ms — an order of
+      magnitude above tunnel timing jitter, where the old single 256 KB
+      differential (~1.2 ms at threshold) was jitter-dominated and could
+      arbitrate 'fused' onto a link that cannot feed it.
+    A non-positive differential is unmeasurable, not infinite — report
+    0.0 so the arbiter conservatively picks 'split'.
     Every timed fetch pulls a FRESH device array (computed on device from
     a varying operand): jax caches an array's host copy after its first
     device_get, so re-fetching the same buffer measures nothing."""
@@ -68,15 +78,28 @@ def probe_d2h_mbps(size: int = 1 << 18) -> float:
     t_small = min(fetch_seconds(small, 2), fetch_seconds(small, 3))
     # a small fetch is RTT-dominated on ANY link (16 KB / 25 ms RTT reads
     # as 0.6 MB/s on a healthy tunnel), so it can only detect the truly
-    # pathological case; bandwidth needs the differential below
+    # pathological case; bandwidth needs the differentials below
     if t_small > 1.0:
-        return small_n / t_small / 1e6  # degraded: skip the big fetch
-    big = jax.device_put(np.zeros(size, np.uint8))
-    fetch_seconds(big, 1)
-    dt = min(fetch_seconds(big, 2), fetch_seconds(big, 3))
-    # differential: (size - small) extra bytes took (dt - t_small) extra
-    # seconds — RTT and dispatch overhead cancel
-    return (size - small_n) / max(dt - t_small, 1e-9) / 1e6
+        return small_n / t_small / 1e6  # degraded: skip the bigger fetches
+
+    def differential_mbps(n_lo, t_lo, n_hi):
+        arr = jax.device_put(np.zeros(n_hi, np.uint8))
+        fetch_seconds(arr, 1)
+        t_hi = min(fetch_seconds(arr, 2), fetch_seconds(arr, 3))
+        # (n_hi - n_lo) extra bytes took (t_hi - t_lo) extra seconds —
+        # RTT and dispatch overhead cancel
+        if t_hi <= t_lo:
+            return 0.0, t_hi  # unmeasurable differential -> conservative
+        return (n_hi - n_lo) / (t_hi - t_lo) / 1e6, t_hi
+
+    mid_n = 1 << 18
+    mid_mbps, t_mid = differential_mbps(small_n, t_small, mid_n)
+    if mid_mbps < 100.0:
+        # plainly below the 200 MB/s arbitration threshold; skip the big
+        # fetch (it would cost seconds on a slow tunnel)
+        return mid_mbps
+    big_mbps, _ = differential_mbps(mid_n, t_mid, max(size, mid_n * 2))
+    return big_mbps
 
 
 def choose_engine_lane(

@@ -484,7 +484,7 @@ def run_fast(
     import threading as _threading
 
     _rg_accum: dict[int, bytes] = {}
-    _rg_state = {"flat": 0, "pending": 0, "disabled": not refgather_ok}
+    _rg_state = {"flat": 0, "pending": 0, "idle": 0, "disabled": not refgather_ok}
     _rg_lock = _threading.Lock()
 
     def _ingest_refs(snap):
@@ -498,18 +498,31 @@ def run_fast(
                 if rid not in _rg_accum:
                     _rg_accum[rid] = seq
                     new += len(seq)
-            if not new:
+            if new:
+                _rg_state["pending"] += new
+                _rg_state["idle"] = 0
+            elif _rg_state["pending"]:
+                # a deferred rebuild must not starve: without this, a
+                # contig deferred by the 25% rule is never ingested unless
+                # a LATER batch introduces yet another new contig
+                _rg_state["idle"] += 1
+            if not _rg_state["pending"]:
                 return
-            _rg_state["pending"] += new
             total = _rg_state["flat"] + _rg_state["pending"]
             if total > refgather_max_h2d:
                 _rg_state["disabled"] = True
+                _rg_accum.clear()  # never rebuilt again — free the copies
                 return
-            if _rg_state["flat"] and _rg_state["pending"] * 4 < _rg_state["flat"]:
-                return  # defer the rebuild until it is worthwhile
+            if (
+                _rg_state["flat"]
+                and _rg_state["pending"] * 4 < _rg_state["flat"]
+                and _rg_state["idle"] < 4
+            ):
+                return  # defer the rebuild while new contigs keep arriving
             bp._ensure_refs(_rg_accum)
             _rg_state["flat"] = total
             _rg_state["pending"] = 0
+            _rg_state["idle"] = 0
 
     def start_batch(lines, rec_base, expect_nrec=None):
         """Parse + stage + dispatch the rewrite kernel; returns a context

@@ -38,6 +38,7 @@ from ..cigar import cigar_query_length
 from ..io.fasta import FastaReader
 from ..io.sam import SamHeader, SamReader, SamRecord, SamWriter
 from ..msa_index import MsaIndex, SequenceEntry
+from ..native import get_native
 from ..projector import project_alignment
 
 CHUNK_SIZE = 4
@@ -495,8 +496,14 @@ def run_project_alignments(
         if (
             not cfg.fused_kernel
             and mesh is None
+            and not cfg.use_read_base_qualities
+            and get_native() is not None
             and os.environ.get("PANVC3_ENGINE_AUTO", "1") != "0"
         ):
+            # the fused engine itself gates off under -q and without the
+            # native extension (engine.use_fused); selecting it in those
+            # configurations would only disable the fast lane and fall
+            # through to the slow object path
             from ..ops.engine import choose_engine_lane
 
             if choose_engine_lane() == "fused":

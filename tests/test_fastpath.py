@@ -788,6 +788,30 @@ def test_engine_lane_arbiter(msa_files, founder_seqs, tmp_path, monkeypatch):
     assert (out_f, rng_f) == (out_s, rng_s)
 
 
+def test_engine_arbiter_not_consulted_when_fused_cannot_engage(
+    msa_files, founder_seqs, tmp_path, monkeypatch
+):
+    """Under -q (and without native) the fused engine gates itself off
+    (engine.use_fused), so arbitrating 'fused' there would only disable
+    the fast lane and fall through to the slow object path.  The
+    arbitration block must not even consult choose_engine_lane in those
+    configurations."""
+    import panvc3_tpu.ops.engine as eng
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("choose_engine_lane consulted under -q")
+
+    monkeypatch.delenv("PANVC3_ENGINE_LANE", raising=False)
+    monkeypatch.setattr(eng, "choose_engine_lane", boom)
+    index_path, _, _ = msa_files
+    sam = _rich_sam(founder_seqs)
+    out_q, stats_q, _ = _run(
+        sam, index_path, tmp_path, fastlane=True, name="arb_q",
+        use_read_base_qualities=True,
+    )
+    assert stats_q.matched_reads > 0
+
+
 def test_fastlane_chaos_scheduling_byte_identical(
     msa_files, founder_seqs, tmp_path, monkeypatch
 ):

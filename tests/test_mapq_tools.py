@@ -2,6 +2,8 @@
 
 import io
 
+import pytest
+
 from panvc3_tpu.cigar import parse_cigar
 from panvc3_tpu.io.sam import SamReader
 from panvc3_tpu.pipeline.recalculate_mapq import (
@@ -511,15 +513,19 @@ def test_mapq_rescore_overrun_and_lowqual_parity(monkeypatch):
         # fast=0/1 toggles the C group engine; "py" forces the pure-Python
         # scorer fallback (no native built) — all three must agree
         for mode in ("0", "1", "py"):
-            monkeypatch.setenv("PANVC3_MAPQ_FAST", "0" if mode == "py" else mode)
-            if mode == "py":
-                monkeypatch.setattr(rm, "get_native", lambda: None)
-            try:
-                out = io.BytesIO()
-                run_recalculate_mapq(io.BytesIO(sam), out, rescore=True)
-                res[mode] = ("ok", out.getvalue())
-            except ValueError as e:
-                res[mode] = ("err", str(e))
+            # a scoped MonkeyPatch per mode: a leaked get_native=None patch
+            # would silently turn the later C-engine modes into Python
+            # reruns and make the parity assertion vacuous
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setenv("PANVC3_MAPQ_FAST", "0" if mode == "py" else mode)
+                if mode == "py":
+                    mp.setattr(rm, "get_native", lambda: None)
+                try:
+                    out = io.BytesIO()
+                    run_recalculate_mapq(io.BytesIO(sam), out, rescore=True)
+                    res[mode] = ("ok", out.getvalue())
+                except ValueError as e:
+                    res[mode] = ("err", str(e))
         assert res["0"] == res["1"] == res["py"]
         assert (res["0"][0] == "err") == should_raise
 
