@@ -371,10 +371,23 @@ def _run_scaling() -> None:
                 float((tmp / f"t_p{k}.txt").read_text().split("\t")[0])
                 for k in range(n_procs)
             )
+            # bracket the baseline: the box's throughput can drift within
+            # the bench, and a baseline measured only BEFORE the shard
+            # runs inflates efficiency when the box slows (superlinear
+            # artifacts); take the faster of a before/after pair —
+            # conservative, and both raws are emitted
+            p = spawn(0, 1, 0, "full.sam", f"single{n_procs}b", base_cpus)
+            p.communicate(timeout=1200)
+            t1b = t1
+            if p.returncode == 0:
+                t1b = float(
+                    (tmp / f"t_single{n_procs}b.txt").read_text().split("\t")[0]
+                )
             rows[f"scaling_efficiency_{n_procs}proc"] = round(
-                t1 / (n_procs * tn), 3
+                min(t1, t1b) / (n_procs * tn), 3
             )
             rows[f"scaling_t1_{n_procs}proc_s"] = round(t1, 3)
+            rows[f"scaling_t1b_{n_procs}proc_s"] = round(t1b, 3)
             rows[f"scaling_tn_{n_procs}proc_s"] = round(tn, 3)
 
         # whole-tool sharded recalculate_mapq (VERDICT r4 #5): QNAME-hash
@@ -433,10 +446,22 @@ def _run_scaling() -> None:
                     )
                     for k in range(n_procs)
                 )
+                # bracketed baseline, same rationale as the projection rows
+                p = spawn_mq(
+                    0, 1, 0, "mq_full.sam", "singleb",
+                    ",".join(str(c) for c in range(n_procs * per)),
+                )
+                p.communicate(timeout=1200)
+                t1b = t1
+                if p.returncode == 0:
+                    t1b = float(
+                        (tmp / "mq_t_singleb.txt").read_text().split("\t")[0]
+                    )
                 rows["scaling_efficiency_mapq_2proc"] = round(
-                    t1 / (n_procs * tn), 3
+                    min(t1, t1b) / (n_procs * tn), 3
                 )
                 rows["scaling_mapq_t1_s"] = round(t1, 3)
+                rows["scaling_mapq_t1b_s"] = round(t1b, 3)
                 rows["scaling_mapq_tn_s"] = round(tn, 3)
     print(json.dumps(rows))
 
@@ -752,8 +777,34 @@ def _device_lane_metrics(
             (x[0] for x in (dev, host) if x is not None), default=None
         )
         if forced_best:
+            # the forced rows were measured minutes BEFORE the adaptive
+            # run; on a box whose throughput drifts within the bench
+            # (observed 719k -> 627k cpu-lane over ~4 min in one window)
+            # that ordering biases the ratio against adaptive.  Bracket:
+            # re-measure the winning forced lane now and compare against
+            # the before/after mean; raw rows emitted for both.
+            denom = forced_best
+            try:
+                win_env = (
+                    {"PANVC3_HOST_DP_CELLS": "0"}
+                    if dev is not None and forced_best == dev[0]
+                    else {"PANVC3_HOST_DP_CELLS": str(10**15)}
+                )
+                re_rps, _, _ = run_once(
+                    "realign-heavy (best forced lane, post-adaptive recheck)",
+                    n_short, env=win_env, repeats=1,
+                )
+                rows["tool_realign_heavy_best_forced_recheck_reads_per_s"] = (
+                    round(re_rps, 1)
+                )
+                denom = (forced_best + re_rps) / 2.0
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"[bench] forced-lane recheck failed: {exc}",
+                    file=sys.stderr,
+                )
             rows["tool_realign_heavy_adaptive_vs_best_forced"] = round(
-                a_rps / forced_best, 3
+                a_rps / denom, 3
             )
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] realign-heavy adaptive row failed: {exc}", file=sys.stderr)

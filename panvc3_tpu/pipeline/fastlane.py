@@ -80,7 +80,18 @@ class LaneController:
     BOOTSTRAP_PERIOD = 24
     BOOTSTRAP_SPANS = 2  # spans a lane needs before normal cadence applies
     HYSTERESIS = 0.9     # switch only on a >=10% measured win
-    OVERRIDE_HOST = 8.0  # cheap side: cost-ratio that forces the host lane
+    # cheap side: cost-ratio that forces the host lane.  The margin must
+    # absorb the window amortization of dev_ns_batch: each deferred batch
+    # observes most of its aggregate WINDOW's stage+fetch wall (windows
+    # span ~2-8 batches), so the EMA reads several times the true
+    # per-batch cost and an 8x margin effectively shrank to ~1x — an
+    # instrumented heavy run showed every mid-range batch force-routed to
+    # the host lane (5.9 us/read) while the controller's span model had
+    # correctly chosen dev (2.9 us/read).  64x keeps the shortcut for its
+    # intended audience (trivial-realignment batches: mixed-workload
+    # batches run ~30k cells = ~0.1 ms host vs the 16 ms device prior)
+    # without overriding the measured span model on heavy streams.
+    OVERRIDE_HOST = 64.0
     OVERRIDE_DEV = 64.0  # expensive side: ratio that forces the device lane
     BACKOFF_MAX = 16     # probe-period multiplier when the probe keeps losing
     # close + restart a long same-lane span every N batches: spans
@@ -90,6 +101,20 @@ class LaneController:
     # the device lane chosen at 97k reads/s while the host lane ran 162k
     # in the same window, because the open dev span never closed)
     SPAN_CLOSE_BATCHES = 12
+    # spans carrying fewer counted batches measure lane-transition
+    # turbulence, not lane throughput: the same-lane fragment squeezed
+    # between a refresh close and the next probe window is stalled by the
+    # probe's aggregate-window fragmentation (measured 11.7 us/read on a
+    # 4-batch dev fragment whose clean 12-batch neighbours ran 3.8) —
+    # discard them.  Probe windows themselves count PROBE_LEN-1 batches
+    # (the first emit only starts the clock) and stay eligible.
+    MIN_SPAN_BATCHES = 5
+    # an ordered-drain dam burst can emit a whole span in near-zero wall
+    # time (measured 311 ns/read on a host probe span whose real rate was
+    # ~5600): a span implying a rate far beyond every lane's measured EMA
+    # carries no sustained-rate information.  Clamp instead of discard so
+    # a genuinely faster lane still converges over repeated probes.
+    BURST_FLOOR_FRACTION = 0.25
 
     def __init__(self):
         import threading
@@ -173,9 +198,19 @@ class LaneController:
         # record the finished span's ns/read (clocked from its FIRST emit,
         # so the lane-transition turbulence of batch 1 is excluded)
         elapsed = self.span_last_ns - self.span_start_ns
-        if self.span_lane is not None and self.span_reads > 0 and elapsed > 0:
+        if (
+            self.span_lane is not None
+            and self.span_reads > 0
+            and elapsed > 0
+            and self.span_batches >= self.MIN_SPAN_BATCHES
+        ):
             was_probe = self.span_lane != self.mode
             ns_read = elapsed / self.span_reads
+            known = [v for v in self.ns_read.values() if v is not None]
+            if known:
+                floor = self.BURST_FLOOR_FRACTION * min(known)
+                if ns_read < floor:
+                    ns_read = floor  # dam-burst span: cap its influence
             cur = self.ns_read[self.span_lane]
             self.ns_read[self.span_lane] = (
                 ns_read if cur is None else 0.7 * cur + 0.3 * ns_read

@@ -983,6 +983,66 @@ def test_lane_controller_schedule_and_switching():
     assert not any(not c2.decide(8_000_000) for _ in range(c2.PROBE_PERIOD))
 
 
+def test_lane_controller_span_artifact_filters():
+    """Two measurement artifacts observed on the realign-heavy bench
+    (tools/probe_adaptive.py) must not poison the lane EMAs:
+
+    - a FRAGMENT span (fewer than MIN_SPAN_BATCHES counted batches,
+      e.g. the same-lane remnant squeezed between a refresh close and
+      the next probe window, stalled by aggregate-window fragmentation)
+      measured 3x its lane's clean rate — discarded entirely;
+    - a DAM-BURST span (an ordered-drain dam clearing emits the whole
+      span in near-zero wall time) measured 311 ns/read against a real
+      ~5600 — clamped to BURST_FLOOR_FRACTION x the best measured EMA so
+      it cannot flip the mode on one bogus sample, while a genuinely
+      faster lane still converges over repeated probes."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    c = LaneController()
+    t = [0]
+
+    def span(dev, n, ns_per_batch):
+        t[0] += 30_000_000
+        c.observe_emit(dev, reads=1000, now_ns=t[0])
+        for _ in range(n - 1):
+            t[0] += ns_per_batch
+            c.observe_emit(dev, reads=1000, now_ns=t[0])
+
+    # clean baselines: dev 1 us/batch, host 2 us/batch -> mode=dev
+    for _ in range(4):
+        span(False, 13, 2_000_000)
+        span(True, 13, 1_000_000)
+    assert c.mode == "dev"
+    dev_ema = c.ns_read["dev"]
+    host_ema = c.ns_read["host"]
+
+    # fragment: a 4-batch dev span at 10x the clean rate is discarded
+    span(True, 4, 10_000_000)
+    span(False, 13, 2_000_000)  # transition closes the fragment
+    assert c.ns_read["dev"] == dev_ema
+
+    # dam burst: a host probe span emitting at ~0 wall time must not
+    # flip the mode off dev (it previously measured "host 18x faster")
+    c.mode = "dev"
+    span(True, 13, 1_000_000)
+    span(False, 6, 1_000)  # 1 us/batch burst: implies 1 ns/read
+    span(True, 13, 1_000_000)
+    assert c.mode == "dev"
+    # the clamped update can only move host's EMA a bounded step toward
+    # the floor, never below it
+    floor = c.BURST_FLOOR_FRACTION * min(c.ns_read["dev"], host_ema)
+    assert c.ns_read["host"] >= 0.7 * host_ema * 0 + floor * 0.3  # sanity
+    assert c.ns_read["host"] >= floor * 0.3
+    assert c.ns_read["host"] > 0.5 * host_ema  # one burst moves it <2x step
+
+    # a lane that genuinely got much faster still wins after a few
+    # repeated (clamped) probe spans
+    for _ in range(6):
+        span(True, 13, 8_000_000)   # dev degrades to 8 us/batch
+        span(False, 6, 100_000)     # host now truly 100 ns/read
+    assert c.mode == "host"
+
+
 def test_lane_controller_graduated_duty(monkeypatch):
     """PANVC3_LANE_MIX=1 (opt-in; reversed-order tunnel A/Bs measured
     the default rare-probe cadence better end to end): near-parity lanes
