@@ -94,6 +94,17 @@ class LaneController:
     OVERRIDE_HOST = 64.0
     OVERRIDE_DEV = 64.0  # expensive side: ratio that forces the device lane
     BACKOFF_MAX = 16     # probe-period multiplier when the probe keeps losing
+    # a probe that loses by more than this ratio grows the back-off.  It
+    # was 2.0, which kept the full 12.5% probe duty whenever the lanes
+    # diverged 1.2-2x — exactly today's steady state (dev ~1.5x faster
+    # realign-heavy), where each probe window costs its whole rate gap
+    # plus aggregate-window fragmentation (~15% of a 24-batch stretch,
+    # measured).  1.3 backs clearly-decided races off to ~1.6% duty while
+    # true near-ties (<=1.3) keep the close watch; the active lane's
+    # SPAN_CLOSE_BATCHES refresh still surfaces its own degradation
+    # immediately, so the cost of a stale inactive-lane EMA is bounded by
+    # the probe returning within BACKOFF_MAX periods.
+    BACKOFF_LOSS_RATIO = 1.3
     # close + restart a long same-lane span every N batches: spans
     # otherwise only close on lane TRANSITIONS, so a controller locked on
     # one lane would never refresh that lane's ns/read EMA and couldn't
@@ -228,7 +239,7 @@ class LaneController:
                     if self.span_lane == self.mode:
                         self.backoff = 1  # probe won: watch closely again
                     elif (
-                        mine > 2 * other
+                        mine > self.BACKOFF_LOSS_RATIO * other
                         and self.span_count[self.span_lane]
                         >= self.BOOTSTRAP_SPANS
                     ):

@@ -941,6 +941,10 @@ def test_lane_controller_schedule_and_switching():
         span(True, 6, 1_000_000)
     assert c.ns_read["dev"] < c.ns_read["host"]
     assert c.mode == "dev"
+    # the 2x-losing host spans above grew the probe back-off
+    # (BACKOFF_LOSS_RATIO) — a clearly-decided race is probed lazily
+    assert c.backoff > 1
+    c.backoff = 1  # reset to observe the base cadence
     probe_true = [c.decide(mid) for _ in range(c.PROBE_PERIOD)]
     assert probe_true.count(True) == c.PROBE_LEN  # now host is the probe
 
