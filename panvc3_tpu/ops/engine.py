@@ -94,9 +94,12 @@ def probe_d2h_mbps(size: int = 1 << 22) -> float:
 
     mid_n = 1 << 18
     mid_mbps, t_mid = differential_mbps(small_n, t_small, mid_n)
-    if mid_mbps < 100.0:
-        # plainly below the 200 MB/s arbitration threshold; skip the big
-        # fetch (it would cost seconds on a slow tunnel)
+    # skip the big fetch only on ABSOLUTE evidence of a slow link (256 KB
+    # taking >0.25 s ⇒ ~<1 MB/s, where 4 MB would cost seconds): the mid
+    # differential itself is ~1 ms at the 200 MB/s arbitration threshold
+    # and jitter-dominated on a tunnel, so a ratio-based exit here could
+    # misroute a healthy link to 'split' without ever measuring it
+    if t_mid > 0.25:
         return mid_mbps
     big_mbps, _ = differential_mbps(mid_n, t_mid, max(size, mid_n * 2))
     return big_mbps

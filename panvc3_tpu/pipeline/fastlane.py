@@ -136,6 +136,7 @@ class LaneController:
         self.dev_ns_batch = 16e6
         self.ns_read = {"host": None, "dev": None}
         self.span_count = {"host": 0, "dev": 0}
+        self.span_discards = {"host": 0, "dev": 0}
         self.mode = "host"
         self.tick = 0
         self.backoff = 1
@@ -209,20 +210,34 @@ class LaneController:
         # record the finished span's ns/read (clocked from its FIRST emit,
         # so the lane-transition turbulence of batch 1 is excluded)
         elapsed = self.span_last_ns - self.span_start_ns
-        if (
-            self.span_lane is not None
-            and self.span_reads > 0
-            and elapsed > 0
-            and self.span_batches >= self.MIN_SPAN_BATCHES
-        ):
+        if self.span_lane is not None and self.span_reads > 0 and elapsed > 0:
+            if self.span_batches < self.MIN_SPAN_BATCHES:
+                # fragment — but a workload whose spans are ALWAYS cut
+                # short (e.g. trivial override-routed batches interleaving
+                # every few heavy ones) must not freeze the EMAs entirely:
+                # after 3 consecutive discards on a lane, accept >=2-batch
+                # fragments until a full span records again
+                if not (
+                    self.span_discards[self.span_lane] >= 3
+                    and self.span_batches >= 2
+                ):
+                    self.span_discards[self.span_lane] += 1
+                    return
             was_probe = self.span_lane != self.mode
             ns_read = elapsed / self.span_reads
+            cur = self.ns_read[self.span_lane]
             known = [v for v in self.ns_read.values() if v is not None]
             if known:
                 floor = self.BURST_FLOOR_FRACTION * min(known)
                 if ns_read < floor:
+                    if cur is None:
+                        # a dam burst as a lane's FIRST evidence would be
+                        # adopted wholesale (below the switch hysteresis)
+                        # — no real measurement yet, so discard instead
+                        self.span_discards[self.span_lane] += 1
+                        return
                     ns_read = floor  # dam-burst span: cap its influence
-            cur = self.ns_read[self.span_lane]
+            self.span_discards[self.span_lane] = 0
             self.ns_read[self.span_lane] = (
                 ns_read if cur is None else 0.7 * cur + 0.3 * ns_read
             )

@@ -264,20 +264,13 @@ def build_groups(rng):
         n_x = variant % 5
         body = Lr - n_x
         if variant % 3 == 0 and body > 12:
+            # 4S + (body-10)= + nX + 2I + 4= consumes exactly Lr query chars
             cigar = f"4S{body - 10}={n_x}X2I4="
-            # 4S + (body-10)= + n_x X + 2I + 4= consumes body-10+n_x+2+4+4
-            used = 4 + (body - 10) + n_x + 2 + 4
-            if used != Lr:  # pad with soft clip at the end
-                cigar += f"{Lr - used}S"
         elif variant % 3 == 1:
             cigar = f"{body}={n_x}X" if n_x else f"{Lr}="
         else:
-            d = 3
+            # the deletion consumes reference only; query usage is exact
             cigar = f"{body - 6}=2D{n_x}X6=" if n_x else f"{Lr - 6}=3D6="
-            # deletion consumes no query; fix query usage
-            used = (body - 6) + n_x + 6 if n_x else Lr
-            if used != Lr:
-                cigar = f"{Lr - n_x}={n_x}X" if n_x else f"{Lr}="
         tags = [f"AS:i:{-variant}", "XR:i:0", f"XP:i:{1000 + variant}"]
         if variant % 4 == 0:
             nb = (Lr + 7) // 8
