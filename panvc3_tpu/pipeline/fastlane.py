@@ -230,13 +230,19 @@ class LaneController:
             if known:
                 floor = self.BURST_FLOOR_FRACTION * min(known)
                 if ns_read < floor:
-                    if cur is None:
-                        # a dam burst as a lane's FIRST evidence would be
-                        # adopted wholesale (below the switch hysteresis)
-                        # — no real measurement yet, so discard instead
-                        self.span_discards[self.span_lane] += 1
-                        return
-                    ns_read = floor  # dam-burst span: cap its influence
+                    # dam-burst span: cap its influence.  This applies to a
+                    # lane's FIRST span too (adopt the floor, don't
+                    # discard): a genuinely-4x-faster lane measures below
+                    # the floor LEGITIMATELY (measured: dev 1388 ns/read
+                    # vs host 6700 end to end), and discarding would
+                    # deadlock bootstrap — every probe re-measured, every
+                    # measurement "a burst", the controller locked on the
+                    # slow lane for the whole stream.  Adopting the floor
+                    # flips the mode the right way in the genuine case,
+                    # and in the bogus-burst case the adopted value is
+                    # pulled to reality by the refresh spans within a few
+                    # SPAN_CLOSE_BATCHES windows.
+                    ns_read = floor
             self.span_discards[self.span_lane] = 0
             self.ns_read[self.span_lane] = (
                 ns_read if cur is None else 0.7 * cur + 0.3 * ns_read

@@ -1043,9 +1043,11 @@ def test_lane_controller_span_artifact_filters():
         span(False, 6, 100_000)     # host now truly 100 ns/read
     assert c.mode == "host"
 
-    # a dam burst as a lane's FIRST evidence is discarded outright: with
-    # no real measurement to clamp toward, adopting the floor wholesale
-    # would flip the mode on one bogus sample
+    # a lane's FIRST span measuring below the burst floor ADOPTS the
+    # floor (it is not discarded): a genuinely-4x-faster lane measures
+    # below the floor legitimately, and discarding would deadlock
+    # bootstrap with the controller locked on the slow lane (measured:
+    # 135k reads/s all-host vs 205k with the dev lane engaged)
     c2 = LaneController()
     t2 = [0]
 
@@ -1057,10 +1059,13 @@ def test_lane_controller_span_artifact_filters():
             c2.observe_emit(dev, reads=1000, now_ns=t2[0])
 
     span_c2(False, 13, 2_000_000)   # host baseline
-    span_c2(True, 6, 1_000)         # first dev evidence: a burst
+    span_c2(True, 6, 1_000)         # first dev evidence: floor-fast
     span_c2(False, 13, 2_000_000)
-    assert c2.ns_read["dev"] is None
-    assert c2.mode == "host"
+    host_ema2 = c2.ns_read["host"]
+    assert c2.ns_read["dev"] == pytest.approx(
+        c2.BURST_FLOOR_FRACTION * host_ema2, rel=0.35
+    )
+    assert c2.mode == "dev"  # flipped — correct when genuinely faster
 
     # ...but a lane whose spans are ALWAYS fragmented (trivial
     # override-routed batches interleaving every few heavy ones) must not
