@@ -766,8 +766,13 @@ def _device_lane_metrics(
     # first-compile attribution.  Contract (VERDICT r4 #2): adaptive >=
     # max(forced lanes) - 5%; the ratio is emitted as its own row.
     try:
+        # repeats=3: the controller bootstraps from scratch on this
+        # workload (the forced rows bypass it entirely), and instrumented
+        # runs show convergence on run 2-3 (warm 157k -> 196k -> 258k,
+        # tools/probe_adaptive_bench_seq.py) — best-of-2 often measured
+        # only the bootstrap ramp
         a_rps, a_stats, a_dt = run_once(
-            "realign-heavy (adaptive)", n_long, repeats=2
+            "realign-heavy (adaptive)", n_long, repeats=3
         )
         rows["tool_realign_heavy_reads_per_s"] = round(a_rps, 1)
         rows["tool_realign_heavy_dp_cells_per_s"] = round(

@@ -137,6 +137,8 @@ class LaneController:
         self.ns_read = {"host": None, "dev": None}
         self.span_count = {"host": 0, "dev": 0}
         self.span_discards = {"host": 0, "dev": 0}
+        self.regime_cells_per_read = None
+        self._regime_outliers = 0
         self.mode = "host"
         self.tick = 0
         self.backoff = 1
@@ -274,17 +276,53 @@ class LaneController:
                         self.backoff = 1
 
     def observe_emit(
-        self, dev_lane: bool, reads: int, now_ns: int, attribute: bool = True
+        self,
+        dev_lane: bool,
+        reads: int,
+        now_ns: int,
+        attribute: bool = True,
+        cells: int = 0,
     ):
         """Writer-thread signal: one batch emitted.  ``attribute=False``
         (no realign runs — lane-neutral) joins the open span, if any,
-        without being able to start or switch one."""
+        without being able to start or switch one.  ``cells`` (the
+        batch's realignment DP cells) feeds workload-regime detection."""
         with self.lock:
             if not attribute:
                 if self.span_lane is not None:
                     self.span_reads += reads
                     self.span_last_ns = now_ns
                 return
+            # ns/read EMAs are only comparable within one workload
+            # regime: a mixed-workload host span (~1.3 us/read, realign a
+            # tiny slice of each batch) says nothing about the host
+            # lane's rate on a realign-heavy stream (~5.9 us/read).
+            # Benched back to back, the stale cross-regime EMAs cost the
+            # heavy adaptive run most of its first hundred batches
+            # re-learning (164k reads/s vs 277k measured heavy-only in
+            # the same windows).  Track cells/read; when it shifts >4x,
+            # reset to a fresh bootstrap (the 24-tick bootstrap cadence
+            # re-measures both lanes within ~2 windows).
+            if reads > 0 and cells > 0:
+                cpr = cells / reads
+                reg = self.regime_cells_per_read
+                if reg is None:
+                    self.regime_cells_per_read = cpr
+                elif cpr > 4.0 * reg or cpr < 0.25 * reg:
+                    # two consecutive out-of-band batches = a real regime
+                    # shift; one is just an outlier batch
+                    self._regime_outliers += 1
+                    if self._regime_outliers >= 2:
+                        self.regime_cells_per_read = cpr
+                        self._regime_outliers = 0
+                        self.ns_read = {"host": None, "dev": None}
+                        self.span_count = {"host": 0, "dev": 0}
+                        self.span_discards = {"host": 0, "dev": 0}
+                        self.backoff = 1
+                        self.span_lane = None  # current span mixes regimes
+                else:
+                    self._regime_outliers = 0
+                    self.regime_cells_per_read = 0.9 * reg + 0.1 * cpr
             lane = "dev" if dev_lane else "host"
             if lane != self.span_lane:
                 self._close_span()
@@ -1114,6 +1152,7 @@ def run_fast(
             payload["kept"],
             _time.perf_counter_ns(),
             attribute=bool(payload["n_realn"]),
+            cells=payload["cells"],
         )
         tw = _time.perf_counter() if _PROF else 0.0
         writer.write_raw(payload["blob"])

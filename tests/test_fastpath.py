@@ -1087,6 +1087,46 @@ def test_lane_controller_span_artifact_filters():
     assert c3.ns_read["dev"] is not None  # escape hatch recorded one
 
 
+def test_lane_controller_regime_reset():
+    """ns/read EMAs are only comparable within one workload regime: a
+    mixed-workload host span (~30k cells/batch, fast per read) says
+    nothing about the host lane on a realign-heavy stream (~20M
+    cells/batch).  When cells/read shifts >4x for two consecutive
+    batches the controller resets to a fresh bootstrap; a single outlier
+    batch does not reset."""
+    from panvc3_tpu.pipeline.fastlane import LaneController
+
+    c = LaneController()
+    t = [0]
+
+    def emit(dev, reads, dt_ns, cells):
+        t[0] += dt_ns
+        c.observe_emit(dev, reads, t[0], cells=cells)
+
+    # mixed regime: 4 cells/read, host spans at 1.3 us/read
+    for _ in range(14):
+        emit(False, 8192, 11_000_000, 8192 * 4)
+    assert c.ns_read["host"] is not None
+    mixed_host = c.ns_read["host"]
+
+    # one outlier heavy batch: no reset
+    emit(False, 8192, 48_000_000, 8192 * 2400)
+    assert c.ns_read["host"] is not None
+
+    # back in band, then a real heavy phase: two consecutive heavy
+    # batches reset the EMAs and the bootstrap re-measures
+    emit(False, 8192, 11_000_000, 8192 * 4)
+    emit(False, 8192, 48_000_000, 8192 * 2400)
+    emit(False, 8192, 48_000_000, 8192 * 2400)
+    assert c.ns_read == {"host": None, "dev": None}
+    assert c.span_count == {"host": 0, "dev": 0}
+    # the heavy regime's own spans then record cleanly
+    for _ in range(14):
+        emit(False, 8192, 48_000_000, 8192 * 2400)
+    assert c.ns_read["host"] is not None
+    assert c.ns_read["host"] > 3 * mixed_host
+
+
 def test_lane_controller_graduated_duty(monkeypatch):
     """PANVC3_LANE_MIX=1 (opt-in; reversed-order tunnel A/Bs measured
     the default rare-probe cadence better end to end): near-parity lanes
