@@ -151,6 +151,17 @@ class LaneController:
 
     def begin_run(self):
         with self.lock:
+            # CLOSE the previous run's open span (its clock ends at its
+            # last emit, so cross-run idle time is not counted) instead
+            # of dropping it: probe windows fire at the END of each
+            # period, which can align with the end of a run (24-batch
+            # runs x BOOTSTRAP_PERIOD 24), and dropping the open span
+            # then discards every bootstrap probe measurement — the
+            # other lane stays unmeasured forever and the controller
+            # locks on the initial mode (measured: 143-156k reads/s
+            # all-host across every run of a bench while the dev lane
+            # ran 183k+, tools/probe_adaptive_bench_seq.py).
+            self._close_span()
             self.span_lane = None
             self.span_reads = 0
             self.span_batches = 0

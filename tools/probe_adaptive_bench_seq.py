@@ -113,6 +113,12 @@ def main():
                 else:
                     os.environ[k] = v
 
+    if os.environ.get("PROBE_SEQ_MIXED", "0") == "1":
+        # reproduce the full bench: the mixed headline rows precede the
+        # heavy block and leave their regime in the controller
+        mixed = sam if isinstance(sam, bytes) else sam
+        run("mixed warm", mixed)
+        run("mixed", mixed, repeats=2)
     run("dev warm", heavy_short, env={"PANVC3_HOST_DP_CELLS": "0"})
     run("dev", heavy_short, env={"PANVC3_HOST_DP_CELLS": "0"}, repeats=3)
     run("host warm", heavy_short, env={"PANVC3_HOST_DP_CELLS": str(10**15)})
