@@ -139,6 +139,12 @@ class LaneController:
         self.span_discards = {"host": 0, "dev": 0}
         self.regime_cells_per_read = None
         self._regime_outliers = 0
+        self._regime_cooldown = 0
+        # burst floor carried across a regime reset (dam bursts are a
+        # steady-state artifact, so the first post-reset span needs the
+        # protection too); imperfect across regimes but directionally
+        # conservative
+        self._carried_floor = None
         self.mode = "host"
         self.tick = 0
         self.backoff = 1
@@ -165,6 +171,10 @@ class LaneController:
             self.span_lane = None
             self.span_reads = 0
             self.span_batches = 0
+            # a tail fragment at stream end is structural, not evidence
+            # of chronic fragmentation — don't let run boundaries arm the
+            # fragment escape hatch across runs
+            self.span_discards = {"host": 0, "dev": 0}
 
     def decide(self, real_cells: int) -> bool:
         """True -> host C DP; False -> device lane."""
@@ -240,8 +250,12 @@ class LaneController:
             ns_read = elapsed / self.span_reads
             cur = self.ns_read[self.span_lane]
             known = [v for v in self.ns_read.values() if v is not None]
-            if known:
-                floor = self.BURST_FLOOR_FRACTION * min(known)
+            if known or self._carried_floor is not None:
+                floor = (
+                    self.BURST_FLOOR_FRACTION * min(known)
+                    if known
+                    else self._carried_floor
+                )
                 if ns_read < floor:
                     # dam-burst span: cap its influence.  This applies to a
                     # lane's FIRST span too (adopt the floor, don't
@@ -317,20 +331,46 @@ class LaneController:
             if reads > 0 and cells > 0:
                 cpr = cells / reads
                 reg = self.regime_cells_per_read
+                if self._regime_cooldown > 0:
+                    self._regime_cooldown -= 1
                 if reg is None:
                     self.regime_cells_per_read = cpr
                 elif cpr > 4.0 * reg or cpr < 0.25 * reg:
                     # two consecutive out-of-band batches = a real regime
-                    # shift; one is just an outlier batch
+                    # shift; one is just an outlier batch.  At most one
+                    # reset per cooldown window: an OSCILLATING bimodal
+                    # stream would otherwise re-bootstrap forever and
+                    # never record a span — during cooldown the regime
+                    # EMA blends fast (0.3) instead, so a persistent new
+                    # regime re-centres without a second reset and an
+                    # oscillation lands the centre mid-band where the 4x
+                    # band covers both poles (pre-reset blended
+                    # behaviour).
                     self._regime_outliers += 1
                     if self._regime_outliers >= 2:
-                        self.regime_cells_per_read = cpr
                         self._regime_outliers = 0
-                        self.ns_read = {"host": None, "dev": None}
-                        self.span_count = {"host": 0, "dev": 0}
-                        self.span_discards = {"host": 0, "dev": 0}
-                        self.backoff = 1
-                        self.span_lane = None  # current span mixes regimes
+                        if self._regime_cooldown == 0:
+                            # carry a floor across the reset so the first
+                            # post-reset span keeps dam-burst protection
+                            known = [
+                                v for v in self.ns_read.values()
+                                if v is not None
+                            ]
+                            if known:
+                                self._carried_floor = (
+                                    self.BURST_FLOOR_FRACTION * min(known)
+                                )
+                            self.regime_cells_per_read = cpr
+                            self.ns_read = {"host": None, "dev": None}
+                            self.span_count = {"host": 0, "dev": 0}
+                            self.span_discards = {"host": 0, "dev": 0}
+                            self.backoff = 1
+                            self.span_lane = None  # span mixes regimes
+                            self._regime_cooldown = 96
+                        else:
+                            self.regime_cells_per_read = (
+                                0.7 * reg + 0.3 * cpr
+                            )
                 else:
                     self._regime_outliers = 0
                     self.regime_cells_per_read = 0.9 * reg + 0.1 * cpr

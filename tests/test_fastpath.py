@@ -1126,6 +1126,24 @@ def test_lane_controller_regime_reset():
     assert c.ns_read["host"] is not None
     assert c.ns_read["host"] > 3 * mixed_host
 
+    # an OSCILLATING bimodal stream must not re-bootstrap forever: at
+    # most one reset per cooldown window; during cooldown the regime EMA
+    # blends fast, re-centring mid-band so spans keep recording
+    c2 = LaneController()
+    t2 = [0]
+
+    def emit2(dev, reads, dt_ns, cells):
+        t2[0] += dt_ns
+        c2.observe_emit(dev, reads, t2[0], cells=cells)
+
+    for _ in range(10):  # alternating 4-batch blocks, 100 <-> 1000 c/r
+        for _ in range(4):
+            emit2(False, 8192, 11_000_000, 8192 * 100)
+        for _ in range(4):
+            emit2(False, 8192, 30_000_000, 8192 * 1000)
+    # after the single allowed reset + blending, spans record again
+    assert c2.ns_read["host"] is not None
+
 
 def test_lane_controller_graduated_duty(monkeypatch):
     """PANVC3_LANE_MIX=1 (opt-in; reversed-order tunnel A/Bs measured

@@ -86,7 +86,9 @@ def main():
         status_output_interval=0,
     )
 
-    def run(tag, sam_b, env=None, repeats=1):
+    def run(tag, sam_b, env=None, repeats=1, nreads=None):
+        if nreads is None:
+            nreads = n_short if sam_b is heavy_short else n_long
         saved = {}
         for k, v in (env or {}).items():
             saved[k] = os.environ.get(k)
@@ -98,7 +100,6 @@ def main():
                 t0 = time.perf_counter()
                 run_project_alignments(io.BytesIO(sam_b), io.BytesIO(), cfg)
                 dt = time.perf_counter() - t0
-                nreads = n_short if sam_b is heavy_short else n_long
                 best = max(best, nreads / dt)
                 log.append(
                     (f"== {tag}", round(nreads / dt / 1e3, 1), "k/s",
@@ -116,9 +117,8 @@ def main():
     if os.environ.get("PROBE_SEQ_MIXED", "0") == "1":
         # reproduce the full bench: the mixed headline rows precede the
         # heavy block and leave their regime in the controller
-        mixed = sam if isinstance(sam, bytes) else sam
-        run("mixed warm", mixed)
-        run("mixed", mixed, repeats=2)
+        run("mixed warm", sam, nreads=n)
+        run("mixed", sam, nreads=n, repeats=2)
     run("dev warm", heavy_short, env={"PANVC3_HOST_DP_CELLS": "0"})
     run("dev", heavy_short, env={"PANVC3_HOST_DP_CELLS": "0"}, repeats=3)
     run("host warm", heavy_short, env={"PANVC3_HOST_DP_CELLS": str(10**15)})
